@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated test tables (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` so Catalyst owns pushdown/pruning: every
+  * downstream `.select`/`.filter` reaches the scan as `ReadSchema` /
+  * `PushedFilters`. At 100 TB these would be partitioned/bucketed table
+  * scans; the query code is agnostic to that (it never assumes a
+  * single-file layout).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session settings every entry point (Verify/Bench/tests) must share.
+    * `nanosAsLong`: events.ts is parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (micros) refuses; reading it as a raw nanos Long is
+    * lossless and all query code derives seconds/timestamps from it
+    * explicitly.
+    */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true")
+}

@@ -1,0 +1,538 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Q._
+
+/** The relational operator surface from SURVEY.md §2.2 (the SQL subset the
+  * reference engine exercises through its transform / filter / ad-hoc
+  * channels) plus the §2.3 categories Spark provides for free (windows,
+  * set ops, rollup, semi/anti joins) — each as a DataFrame-first query
+  * with a DuckDB oracle.
+  *
+  * Scale notes are on each query; the common themes:
+  *  - dimension joins are explicitly `broadcast()` (region/nation/part/
+  *    customer stay tiny relative to the fact tables at any SF);
+  *  - filters/projections are applied before joins so parquet pushdown
+  *    and column pruning bound the scan;
+  *  - every query is deterministic (total ORDER BY) and float-safe (Q.*).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- Scan + filter + projection + computed column (SURVEY §2.2
+    //     Scan/Projection/Filter rows). Predicate + 5-column ReadSchema
+    //     push into the parquet scan; no shuffle at all.
+    QueryDef(
+      "q01_scan_filter_project",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_quantity"),
+            (dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
+              .cast("double").as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey,
+             |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       l_quantity,
+             |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |            * CAST(1 - l_discount AS DECIMAL(8,2)) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity > 40
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- TPC-H Q1-shaped pricing summary: grouped agg with SUM / AVG /
+    //     COUNT over exact decimals (map-side partial agg; 6-row result).
+    QueryDef(
+      "q02_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sumMoney(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount"))
+              * fac2(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            avgMoney(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       SUM(l_quantity) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * CAST(1 - l_discount AS DECIMAL(8,2))
+             |                * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+             |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |       COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // --- Fact ⋈ broadcast dimension (SURVEY §2.2 Join rows). `part` is
+    //     O(SF·200k) rows — always broadcastable; no fact-side shuffle
+    //     before the join, only the 50-group aggregate shuffles.
+    QueryDef(
+      "q03_join_broadcast_dim",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity",
+          "l_extendedprice")
+        val p = t(s, dir, "part").select("p_partkey", "p_brand")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sumMoney(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+             |       SUM(l_quantity) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |       COUNT(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin),
+      headline = true),
+
+    // --- LEFT OUTER join + agg (the reference's enrichment-join shape,
+    //     tests/test_integration.py:336). Aggregate orders per customer
+    //     BEFORE the join: the shuffle moves the pre-aggregated (small)
+    //     side, and customers with no orders still appear.
+    QueryDef(
+      "q04_left_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val perCust = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("total_spent"))
+        c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+          .select(
+            col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |       COALESCE(o.n_orders, 0) AS n_orders,
+             |       COALESCE(o.total_spent, 0.0) AS total_spent
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+             |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+             |           FROM orders GROUP BY o_custkey) o
+             |  ON c_custkey = o.o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- Semi join (EXISTS): planned as LeftSemi, never materializes the
+    //     right side's payload columns.
+    QueryDef(
+      "q05_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select("o_custkey")
+        c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- Anti join (NOT EXISTS).
+    QueryDef(
+      "q06_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").where(col("o_orderstatus") === "P")
+          .select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- TPC-H Q5-shaped 6-way join. Join order: fact table last, all
+    //     dimensions broadcast; Catalyst + AQE collapse this to a single
+    //     fact scan with 5 broadcast-hash joins — zero fact shuffles
+    //     before the final 25-group aggregate.
+    QueryDef(
+      "q07_regional_revenue",
+      (s, dir) => {
+        val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val orders = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+
+        li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin),
+      headline = true),
+
+    // --- ORDER BY + LIMIT top-k: Spark plans TakeOrderedAndProject
+    //     (per-partition heap + driver merge — no global sort at scale).
+    QueryDef(
+      "q08_topk_orders",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // --- Conditional aggregation: COUNT + SUM(CASE WHEN) + CAST ratio —
+    //     the reference's /stats shape (src/app.py:1266-1273).
+    QueryDef(
+      "q09_conditional_agg",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+            (sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).cast("double")
+              / count(lit(1))).as("finished_ratio"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / COUNT(*) AS finished_ratio
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // --- JSON extraction + group: the reference's json_extract analytics
+    //     (frontend/src/pages/SqlQuery.tsx:38) over the events stream.
+    QueryDef(
+      "q10_json_extract_events",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("value"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            sumMoney(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // --- Ranking window: top-3 orders per customer.
+    QueryDef(
+      "q11_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) x
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin),
+      headline = true),
+
+    // --- Running-total window (exact decimal accumulation under the
+    //     frame, so segment-tree vs incremental evaluation can't diverge).
+    QueryDef(
+      "q12_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            sum(dec2(col("value"))).over(w).cast("double").as("running_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |            AS DOUBLE) AS running_value
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // --- Set operations, tagged into one relation.
+    QueryDef(
+      "q13_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("k")).distinct()
+        val sup = t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("k")).distinct()
+        c.union(sup).distinct().withColumn("op", lit("union"))
+          .unionByName(c.intersect(sup).withColumn("op", lit("intersect")))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .select("op", "k")
+          .orderBy("op", "k")
+      },
+      Some("""WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+             |     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+             |SELECT 'union' AS op, k FROM (SELECT k FROM c UNION SELECT k FROM s)
+             |UNION ALL
+             |SELECT 'intersect' AS op, k FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+             |UNION ALL
+             |SELECT 'except' AS op, k FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+             |ORDER BY op, k""".stripMargin)),
+
+    // --- ROLLUP over the region→nation hierarchy (grouping-set nulls
+    //     coalesced to 'ALL' so null-ordering semantics can't differ).
+    QueryDef(
+      "q14_rollup",
+      (s, dir) => {
+        // Through the SQL channel (the reference's native surface);
+        // region/nation are auto-broadcast, rollup is one hash aggregate.
+        Seq("region", "nation", "customer").foreach(n =>
+          t(s, dir, n).createOrReplaceTempView(s"q14_$n"))
+        s.sql("""SELECT COALESCE(r_name, 'ALL') AS region,
+                |       COALESCE(n_name, 'ALL') AS nation,
+                |       COUNT(*) AS n_customers
+                |FROM q14_customer
+                |JOIN q14_nation ON c_nationkey = n_nationkey
+                |JOIN q14_region ON n_regionkey = r_regionkey
+                |GROUP BY ROLLUP (r_name, n_name)
+                |ORDER BY region, nation""".stripMargin)
+      },
+      Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+             |       COALESCE(n_name, 'ALL') AS nation,
+             |       COUNT(*) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    // --- DISTINCT aggregation (expands to two-phase agg in Spark).
+    QueryDef(
+      "q15_distinct_agg",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_suppliers"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             |       COUNT(DISTINCT l_partkey) AS n_parts,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // --- String functions: ||-concat (the reference's pinned transform,
+    //     tests/test_integration.py:100), UPPER, SUBSTRING, LENGTH, LIKE.
+    QueryDef(
+      "q16_string_funcs",
+      (s, dir) => {
+        t(s, dir, "part")
+          .where(col("p_type").like("P%"))
+          .select(
+            col("p_partkey"),
+            concat(col("p_brand"), lit(" - "), col("p_type")).as("combined"),
+            upper(col("p_name")).as("uname"),
+            substring(col("p_name"), 1, 12).as("prefix12"),
+            length(col("p_name")).cast("long").as("name_len"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |       p_brand || ' - ' || p_type AS combined,
+             |       UPPER(p_name) AS uname,
+             |       SUBSTRING(p_name, 1, 12) AS prefix12,
+             |       CAST(LENGTH(p_name) AS BIGINT) AS name_len
+             |FROM part
+             |WHERE p_type LIKE 'P%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // --- Date functions: year/month extraction + month truncation.
+    QueryDef(
+      "q17_date_funcs",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            month(col("o_orderdate")).cast("long").as("o_month"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("total"))
+          .orderBy("o_year", "o_month")
+      },
+      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+             |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY 1, 2, 3
+             |ORDER BY o_year, o_month""".stripMargin)),
+
+    // --- GROUP BY + HAVING.
+    QueryDef(
+      "q19_having",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+          .where(col("n_orders") >= 15)
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) >= 15
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // --- CASE bucketing + grouped agg over the buckets.
+    QueryDef(
+      "q20_case_buckets",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .select(
+            when(col("c_acctbal") < 0, "negative")
+              .when(col("c_acctbal") < 5000, "mid")
+              .otherwise("high").as("bucket"),
+            col("c_acctbal"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sumMoney(col("c_acctbal")).as("total_bal"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+             |            WHEN c_acctbal < 5000 THEN 'mid'
+             |            ELSE 'high' END AS bucket,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // --- Correlated-subquery shape: customers above their nation's mean
+    //     balance (decorrelated as an aggregate + broadcast join — the
+    //     plan Catalyst produces for the EXISTS/scalar-subquery SQL too).
+    QueryDef(
+      "q21_above_nation_avg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("nation_avg"))
+        c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
+          .where(col("c_acctbal") > col("nation_avg"))
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_acctbal"), col("nation_avg"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH na AS (SELECT c_nationkey AS nk,
+             |                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |                     / COUNT(*) AS nation_avg
+             |            FROM customer GROUP BY c_nationkey)
+             |SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |       c_acctbal, nation_avg
+             |FROM customer JOIN na ON c_nationkey = na.nk
+             |WHERE c_acctbal > nation_avg
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- Sessionization: 30-min inactivity gap via LAG — the canonical
+    //     event-stream analytic (integer-second arithmetic keeps the
+    //     micro-vs-nano timestamp precision difference out of play).
+    QueryDef(
+      "q22_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        // ts arrives as raw nanos (Tables.sessionConf) → integer seconds.
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000000000").as("sec"))
+          .select(col("user_id"),
+            when(lag(col("sec"), 1).over(w).isNull, 1L)
+              .when(col("sec") - lag(col("sec"), 1).over(w) > 1800, 1L)
+              .otherwise(0L).as("new_session"))
+          .groupBy("user_id")
+          .agg(sum("new_session").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+             |           FROM events),
+             |     flags AS (SELECT user_id,
+             |                      CASE WHEN LAG(sec) OVER w IS NULL THEN 1
+             |                           WHEN sec - LAG(sec) OVER w > 1800 THEN 1
+             |                           ELSE 0 END AS new_session
+             |               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+             |FROM flags GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      headline = true)
+  )
+}
