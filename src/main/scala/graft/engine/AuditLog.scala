@@ -1,0 +1,108 @@
+package graft.engine
+
+import java.time.Instant
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only audit tables `raw_events` / `transformed_events`
+  * (reference P10, src/app.py:350-432) — the substrate every analytics
+  * query runs over.
+  *
+  * Design for scale: appends buffer in memory and flush as parquet files
+  * partitioned by event date (`dt=`), so at 100 TB the analytics queries
+  * partition-prune by day and each flush is one immutable file (no
+  * per-event writes — the reference pays one INSERT round-trip per
+  * event). Readers see buffer ∪ parquet via union, so audit queries are
+  * read-your-writes without forcing a flush per event.
+  */
+final class AuditLog(spark: SparkSession, workDir: String,
+    flushEvery: Int = 5000) {
+
+  import spark.implicits._
+
+  private val rawBuf = new ArrayBuffer[RawEvent]()
+  private val trBuf = new ArrayBuffer[TransformedEvent]()
+  private val rawDir = s"$workDir/raw_events"
+  private val trDir = s"$workDir/transformed_events"
+
+  def nowMicros(): Long = {
+    val i = Instant.now()
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  def logRaw(sourcePath: String, payloadJson: String): RawEvent =
+    synchronized {
+      val e = RawEvent(UUID.randomUUID().toString, nowMicros(), sourcePath,
+        payloadJson)
+      rawBuf += e
+      if (rawBuf.size >= flushEvery) flushRaw()
+      e
+    }
+
+  def logTransformed(rawEventId: String, webhookId: String,
+      transformedJson: String, destinationUrl: String, success: Boolean,
+      responseCode: Option[Int], responseBody: String): TransformedEvent =
+    synchronized {
+      val e = TransformedEvent(UUID.randomUUID().toString, rawEventId,
+        webhookId, nowMicros(), transformedJson, destinationUrl, success,
+        responseCode, responseBody)
+      trBuf += e
+      if (trBuf.size >= flushEvery) flushTransformed()
+      e
+    }
+
+  /** Timestamp micros → date-partitioned parquet append. */
+  private def withDt(df: DataFrame): DataFrame =
+    df.withColumn("timestamp",
+        timestamp_micros(col("timestampMicros")))
+      .drop("timestampMicros")
+      .withColumn("dt", to_date(col("timestamp")))
+
+  private def flushRaw(): Unit = if (rawBuf.nonEmpty) {
+    withDt(rawBuf.toSeq.toDF()).write.mode("append").partitionBy("dt")
+      .parquet(rawDir)
+    rawBuf.clear()
+  }
+
+  private def flushTransformed(): Unit = if (trBuf.nonEmpty) {
+    withDt(trBuf.toSeq.toDF()).write.mode("append").partitionBy("dt")
+      .parquet(trDir)
+    trBuf.clear()
+  }
+
+  def flush(): Unit = synchronized { flushRaw(); flushTransformed() }
+
+  private def readDir(dir: String, bufDf: => DataFrame): DataFrame = {
+    val onDisk =
+      try Some(spark.read.parquet(dir))
+      catch { case _: Throwable => None } // nothing flushed yet
+    onDisk match {
+      case Some(d) => d.unionByName(bufDf, allowMissingColumns = true)
+      case None => bufDf
+    }
+  }
+
+  def rawEvents(): DataFrame = synchronized {
+    readDir(rawDir, withDt(rawBuf.toSeq.toDF()))
+  }
+
+  def transformedEvents(): DataFrame = synchronized {
+    readDir(trDir, withDt(trBuf.toSeq.toDF()))
+  }
+
+  /** Register both audit tables in the session catalog for ad-hoc SQL
+    * (the reference exposes them to /query the same way).
+    */
+  def registerViews(): Unit = {
+    rawEvents().createOrReplaceTempView("raw_events")
+    transformedEvents().createOrReplaceTempView("transformed_events")
+  }
+
+  def countRawFor(sourcePaths: Seq[String]): Long =
+    if (sourcePaths.isEmpty) 0L
+    else rawEvents().where(col("source_path").isin(sourcePaths: _*)).count()
+}

@@ -1,0 +1,83 @@
+package graft.engine
+
+import java.time.Instant
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-webhook uploaded enrichment tables (reference P4,
+  * src/app.py:581-671): a CSV/JSON upload becomes a queryable table named
+  * `ref_<webhookId>_<name>` that transform queries join against.
+  *
+  * Spark-first: the parsed upload is registered as a temp view backed by
+  * a cached DataFrame. Reference tables are dimension-sized by contract
+  * (they arrive in one HTTP upload), so caching them in memory makes
+  * every enrichment join a broadcast-hash join with zero scan cost —
+  * on a cluster these would additionally be persisted parquet for
+  * executor-local rehydration.
+  */
+final class ReferenceTables(spark: SparkSession) {
+
+  private val meta = new TrieMap[String, RefTableMeta]() // qualified → meta
+
+  def qualifiedName(webhookId: String, tableName: String): String = {
+    // sanitize like src/app.py:605-607: non-alphanumerics → _
+    val safe = tableName.replaceAll("[^A-Za-z0-9_]", "_")
+    s"ref_${webhookId.replace("-", "_")}_$safe"
+  }
+
+  /** CSV text upload with header + schema inference (src/app.py:1019-1020). */
+  def uploadCsv(webhookId: String, tableName: String, description: String,
+      csvText: String): RefTableMeta = {
+    import spark.implicits._
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csvText.linesIterator.toSeq.toDS())
+    upload(webhookId, tableName, description, df)
+  }
+
+  /** JSON-lines / JSON-array text upload (src/app.py:1021-1022). */
+  def uploadJson(webhookId: String, tableName: String, description: String,
+      jsonText: String): RefTableMeta = {
+    import spark.implicits._
+    val df = spark.read.json(Seq(jsonText).toDS())
+    upload(webhookId, tableName, description, df)
+  }
+
+  /** CTAS semantics: DROP + CREATE from the parsed upload, metadata
+    * upserted (src/app.py:621-648). Re-upload replaces content (pinned
+    * tests/test_reference_and_udf.py:82-153).
+    */
+  def upload(webhookId: String, tableName: String, description: String,
+      df: DataFrame): RefTableMeta = synchronized {
+    val qname = qualifiedName(webhookId, tableName)
+    val cached = df.cache()
+    cached.count() // materialize now: upload-time errors surface at upload
+    cached.createOrReplaceTempView(qname)
+    val now = Instant.now()
+    val row = meta.get(qname) match {
+      case Some(m) => m.copy(description = description, updatedAt = now)
+      case None => RefTableMeta(UUID.randomUUID().toString, webhookId,
+        tableName, qname, description, now, now)
+    }
+    meta.put(qname, row)
+    row
+  }
+
+  def forWebhook(webhookId: String): Seq[RefTableMeta] =
+    meta.values.filter(_.webhookId == webhookId).toSeq.sortBy(_.tableName)
+
+  def list(): Seq[RefTableMeta] = meta.values.toSeq.sortBy(_.qualifiedName)
+
+  def table(qname: String): DataFrame = spark.table(qname)
+
+  def delete(webhookId: String): Int = {
+    val doomed = forWebhook(webhookId)
+    doomed.foreach { m =>
+      spark.catalog.dropTempView(m.qualifiedName)
+      meta.remove(m.qualifiedName)
+    }
+    doomed.size
+  }
+}
