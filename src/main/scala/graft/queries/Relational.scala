@@ -29,7 +29,9 @@ object Relational {
 
     // --- Scan + filter + projection + computed column (SURVEY §2.2
     //     Scan/Projection/Filter rows). Predicate + 5-column ReadSchema
-    //     push into the parquet scan; no shuffle at all.
+    //     push into the parquet scan; no shuffle at all. Per-row double
+    //     arithmetic is deterministic (no aggregation order involved), so
+    //     no exact-integer detour is needed here.
     QueryDef(
       "q01_scan_filter_project",
       (s, dir) => {
@@ -39,49 +41,50 @@ object Relational {
             col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
             col("l_quantity"),
-            (dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
-              .cast("double").as("revenue"))
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey,
              |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |       l_quantity,
-             |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             |            * CAST(1 - l_discount AS DECIMAL(8,2)) AS DOUBLE) AS revenue
+             |       l_extendedprice * (1 - l_discount) AS revenue
              |FROM lineitem
              |WHERE l_returnflag = 'R' AND l_quantity > 40
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // --- TPC-H Q1-shaped pricing summary: grouped agg with SUM / AVG /
-    //     COUNT over exact decimals (map-side partial agg; 6-row result).
+    //     COUNT over exact integer cents (map-side partial agg; 6-row
+    //     result; all per-row math stays inside whole-stage codegen).
     QueryDef(
       "q02_pricing_summary",
       (s, dir) => {
+        val price = cents(col("l_extendedprice"))           // exact cents
+        val disc = lit(100) - pct(col("l_discount"))        // exact percent
+        val tax = lit(100) + pct(col("l_tax"))
         t(s, dir, "lineitem")
           .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum("l_quantity").as("sum_qty"),
-            sumMoney(col("l_extendedprice")).as("sum_base_price"),
-            sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount"))
-              * fac2(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            (exactSum(price).cast("double") / 100).as("sum_base_price"),
+            (exactSum(price * disc).cast("double") / 10000).as("sum_disc_price"),
+            (exactSum(price * disc * tax).cast("double") / 1000000).as("sum_charge"),
             (sum("l_quantity") / count(lit(1))).as("avg_qty"),
-            avgMoney(col("l_extendedprice")).as("avg_price"),
+            (exactSum(price).cast("double") / 100 / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |       SUM(l_quantity) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                * CAST(1 - l_discount AS DECIMAL(8,2))
-             |                * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |                * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |                * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+             |                * (100 + CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
              |       SUM(l_quantity) / COUNT(*) AS avg_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_price,
              |       COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -89,16 +92,19 @@ object Relational {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       headline = true),
 
-    // --- Fact ⋈ broadcast dimension (SURVEY §2.2 Join rows). `part` is
-    //     O(SF·200k) rows — always broadcastable; no fact-side shuffle
-    //     before the join, only the 50-group aggregate shuffles.
+    // --- Fact ⋈ dimension join (SURVEY §2.2 Join rows). No manual
+    //     broadcast hint: `part` scales with SF (not a fixed-size dim), so
+    //     the strategy is left to the planner + AQE — at bench scale it
+    //     becomes a broadcast-hash join from file stats; at 100 TB it
+    //     correctly degrades to a shuffle join. Only the 2-column
+    //     projections of both sides are scanned.
     QueryDef(
       "q03_join_broadcast_dim",
       (s, dir) => {
         val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity",
           "l_extendedprice")
         val p = t(s, dir, "part").select("p_partkey", "p_brand")
-        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        li.join(p, li("l_partkey") === p("p_partkey"))
           .groupBy("p_brand")
           .agg(
             sum("l_quantity").as("sum_qty"),
@@ -106,9 +112,9 @@ object Relational {
             count(lit(1)).as("n_items"))
           .orderBy("p_brand")
       },
-      Some("""SELECT p_brand,
+      Some(s"""SELECT p_brand,
              |       SUM(l_quantity) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |       ${sumMoneySql("l_extendedprice")} AS sum_price,
              |       COUNT(*) AS n_items
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand
@@ -134,12 +140,12 @@ object Relational {
             coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
           .orderBy("c_custkey")
       },
-      Some("""SELECT c_custkey, c_name,
+      Some(s"""SELECT c_custkey, c_name,
              |       COALESCE(o.n_orders, 0) AS n_orders,
              |       COALESCE(o.total_spent, 0.0) AS total_spent
              |FROM customer
              |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
-             |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+             |                  ${sumMoneySql("o_totalprice")} AS total_spent
              |           FROM orders GROUP BY o_custkey) o
              |  ON c_custkey = o.o_custkey
              |ORDER BY c_custkey""".stripMargin)),
@@ -177,10 +183,14 @@ object Relational {
              |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
              |ORDER BY c_custkey""".stripMargin)),
 
-    // --- TPC-H Q5-shaped 6-way join. Join order: fact table last, all
-    //     dimensions broadcast; Catalyst + AQE collapse this to a single
-    //     fact scan with 5 broadcast-hash joins — zero fact shuffles
-    //     before the final 25-group aggregate.
+    // --- TPC-H Q5-shaped 6-way join. Scale-safe join strategy: only the
+    //     FIXED-cardinality dims (region 5 rows, nation 25 rows — they do
+    //     not grow with SF) carry broadcast hints. customer / orders /
+    //     supplier / lineitem all scale linearly, so their joins are left
+    //     to the planner + AQE: at bench scale AQE turns them into
+    //     broadcast-hash joins from runtime sizes; at 100 TB they become
+    //     shuffle joins on their keys with AQE skew-splitting — never a
+    //     driver-side broadcast of a fact-side relation.
     QueryDef(
       "q07_regional_revenue",
       (s, dir) => {
@@ -195,21 +205,26 @@ object Relational {
         val li = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
 
-        li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(supp),
+        // Join order: fact ⋈ (filtered) orders first, then customer —
+        // left-deep, so the planner always builds the hash side on the
+        // smaller (filtered/dimension) relation and never considers
+        // broadcasting the fact or a fact-side join result.
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp,
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(sum(dec2(col("l_extendedprice")) * fac2(lit(1) - col("l_discount")))
-            .cast("double").as("revenue"))
+          .agg((exactSum(cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount"))))
+            .cast("double") / 10000).as("revenue"))
           .orderBy(desc("revenue"), col("n_name"))
       },
       Some("""SELECT n_name,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |                * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000 AS revenue
              |FROM customer, orders, lineitem, supplier, nation, region
              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -273,10 +288,10 @@ object Relational {
             sumMoney(col("value")).as("sum_value"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type,
+      Some(s"""SELECT event_type,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |       CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       ${sumMoneySql("value")} AS sum_value
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
@@ -302,8 +317,9 @@ object Relational {
              |ORDER BY o_custkey, rn""".stripMargin),
       headline = true),
 
-    // --- Running-total window (exact decimal accumulation under the
-    //     frame, so segment-tree vs incremental evaluation can't diverge).
+    // --- Running-total window (exact integer-cents accumulation under
+    //     the frame, so segment-tree vs incremental evaluation can't
+    //     diverge, and every per-row value divides back exactly).
     QueryDef(
       "q12_window_running_sum",
       (s, dir) => {
@@ -311,14 +327,15 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .select(col("event_id"), col("user_id"),
-            sum(dec2(col("value"))).over(w).cast("double").as("running_value"))
+            (sum(cents(col("value"))).over(w).cast("double") / 100)
+              .as("running_value"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-             |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             |       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
              |            OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |            AS DOUBLE) AS running_value
+             |            AS DOUBLE)/100 AS running_value
              |FROM events
              |ORDER BY event_id""".stripMargin)),
 
@@ -429,11 +446,11 @@ object Relational {
             sumMoney(col("o_totalprice")).as("total"))
           .orderBy("o_year", "o_month")
       },
-      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      Some(s"""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
              |       CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
              |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
              |       COUNT(*) AS n_orders,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |       ${sumMoneySql("o_totalprice")} AS total
              |FROM orders
              |GROUP BY 1, 2, 3
              |ORDER BY o_year, o_month""".stripMargin)),
@@ -467,11 +484,11 @@ object Relational {
             sumMoney(col("c_acctbal")).as("total_bal"))
           .orderBy("bucket")
       },
-      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+      Some(s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
              |            WHEN c_acctbal < 5000 THEN 'mid'
              |            ELSE 'high' END AS bucket,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |       ${sumMoneySql("c_acctbal")} AS total_bal
              |FROM customer
              |GROUP BY 1
              |ORDER BY bucket""".stripMargin)),
@@ -483,17 +500,19 @@ object Relational {
       "q21_above_nation_avg",
       (s, dir) => {
         val c = t(s, dir, "customer")
+        // nation_avg has ≤ 25 rows at ANY scale factor (nationkey domain
+        // is fixed), so this broadcast hint is scale-safe by construction.
         val natAvg = c.groupBy(col("c_nationkey").as("nk"))
-          .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
-            .as("nation_avg"))
+          .agg((exactSum(cents(col("c_acctbal"))).cast("double") / 100
+            / count(lit(1))).as("nation_avg"))
         c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
           .where(col("c_acctbal") > col("nation_avg"))
           .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
             col("c_acctbal"), col("nation_avg"))
           .orderBy("c_custkey")
       },
-      Some("""WITH na AS (SELECT c_nationkey AS nk,
-             |                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      Some(s"""WITH na AS (SELECT c_nationkey AS nk,
+             |                   ${sumMoneySql("c_acctbal")}
              |                     / COUNT(*) AS nation_avg
              |            FROM customer GROUP BY c_nationkey)
              |SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
