@@ -77,9 +77,14 @@ final class AuditLog(spark: SparkSession, workDir: String,
   def flush(): Unit = synchronized { flushRaw(); flushTransformed() }
 
   private def readDir(dir: String, bufDf: => DataFrame): DataFrame = {
+    // Only a genuinely-absent directory means "nothing flushed yet";
+    // any other read failure (corruption, permissions) must propagate —
+    // silently treating it as empty would drop audit history from
+    // query results.
     val onDisk =
-      try Some(spark.read.parquet(dir))
-      catch { case _: Throwable => None } // nothing flushed yet
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        Some(spark.read.parquet(dir))
+      else None
     onDisk match {
       case Some(d) => d.unionByName(bufDf, allowMissingColumns = true)
       case None => bufDf

@@ -33,38 +33,55 @@ import org.apache.spark.sql.types._
   * Spark UDF; compilation happens once on the driver per distinct source.
   */
 final class UdfRegistry(spark: SparkSession) {
+  import UdfCompiler.toolbox
 
   private val meta = new TrieMap[String, UdfMeta]() // qualifiedName → meta
-  private val compileCache = new TrieMap[String, AnyRef]() // sha → fn
-
-  private lazy val toolbox = {
-    import scala.tools.reflect.ToolBox
-    scala.reflect.runtime.currentMirror.mkToolBox()
-  }
-
-  private val DefSig =
-    """(?s).*def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s*:\s*([A-Za-z.\[\]]+)\s*=.*""".r
 
   def qualifiedName(webhookId: String, functionName: String): String =
     s"udf_${webhookId.replace("-", "_")}_$functionName"
 
+  /** Extract (paramTypes, returnType) from the parsed AST rather than a
+    * regex, so default args, tuple/generic param types and multi-line
+    * signatures all work. Return type falls back to String (the
+    * reference defaults missing annotations to VARCHAR,
+    * src/app.py:726-734).
+    */
+  private def parseSignature(code: String,
+      fnName: String): Either[String, (Seq[String], String)] =
+    try {
+      import scala.reflect.runtime.universe._
+      val tree = toolbox.parse(code)
+      val defs = (tree match {
+        case b: Block => b.stats :+ b.expr
+        case single => List(single)
+      }).collect { case d: DefDef => d }
+      defs.find(_.name.decodedName.toString == fnName) match {
+        case None =>
+          val found = defs.map(_.name.decodedName.toString)
+          Left(if (found.isEmpty)
+            s"Function '$fnName' not found in code or invalid syntax"
+          else
+            s"Function '$fnName' not found in code (found '${found.mkString(", ")}')")
+        case Some(d) =>
+          val params = d.vparamss.flatten.map(p => p.tpt.toString)
+          val ret = d.tpt.toString match {
+            case "<type ?>" => "String" // unannotated → VARCHAR default
+            case t => t
+          }
+          Right((params, ret))
+      }
+    } catch {
+      case e: Throwable => Left(s"Invalid function code: ${e.getMessage}")
+    }
+
   /** Compile + register. Returns the SQL-callable qualified name. */
   def register(webhookId: String, functionName: String,
       functionCode: String): Either[String, UdfMeta] = synchronized {
-    val parsed = functionCode match {
-      case DefSig(name, params, ret) if name == functionName =>
-        Right((params.trim, ret.trim))
-      case DefSig(name, _, _) =>
-        Left(s"Function '$functionName' not found in code (found '$name')")
-      case _ =>
-        Left(s"Function '$functionName' not found in code or invalid syntax")
-    }
-    parsed.flatMap { case (params, ret) =>
-      compile(functionCode, functionName).map { fn =>
-        val paramTypes = if (params.isEmpty) Nil
-          else params.split(",").toSeq.map(_.split(":").last.trim)
+    parseSignature(functionCode, functionName).flatMap { case (paramTypes, ret) =>
+      // compile eagerly so invalid source is rejected at registration
+      compile(functionCode, functionName).map { _ =>
         val qname = qualifiedName(webhookId, functionName)
-        registerWithSpark(qname, fn, paramTypes, ret)
+        registerWithSpark(qname, paramTypes, ret, functionCode, functionName)
         val now = Instant.now()
         val row = meta.get(qname) match {
           case Some(m) => m.copy(functionCode = functionCode, updatedAt = now)
@@ -96,30 +113,69 @@ final class UdfRegistry(spark: SparkSession) {
     doomed.size
   }
 
-  // ---- compilation ----
+  // ---- compilation / registration plumbing ----
+
+  private def compile(code: String, fnName: String): Either[String, AnyRef] =
+    try Right(UdfCompiler.compile(code, fnName))
+    catch {
+      case e: Throwable => Left(s"Invalid function code: ${e.getMessage}")
+    }
+
+  /** Register the serializable source-carrying wrapper with Spark. The
+    * wrapper re-compiles lazily per JVM, so on a cluster each executor
+    * hydrates the function from source exactly once — nothing but
+    * strings crosses the wire (the reference persists only source text
+    * too, src/app.py:157-167).
+    */
+  private def registerWithSpark(qname: String,
+      paramTypes: Seq[String], retType: String, code: String,
+      fnName: String): Unit = {
+    val ret = UdfCompiler.sqlType(retType)
+    paramTypes.size match {
+      case 1 => spark.udf.register(qname,
+        SourceUdf1(code, fnName, paramTypes.head), ret)
+      case 2 => spark.udf.register(qname,
+        SourceUdf2(code, fnName, paramTypes(0), paramTypes(1)), ret)
+      case 3 => spark.udf.register(qname,
+        SourceUdf3(code, fnName, paramTypes(0), paramTypes(1), paramTypes(2)),
+        ret)
+      case n => throw new IllegalArgumentException(
+        s"UDFs of arity $n are not supported (1-3)")
+    }
+  }
+}
+
+/** Process-wide compile cache + conversions. Lives outside any Spark
+  * closure so UDF wrappers never capture non-serializable state.
+  */
+object UdfCompiler {
+
+  lazy val toolbox = {
+    import scala.tools.reflect.ToolBox
+    scala.reflect.runtime.currentMirror.mkToolBox()
+  }
+
+  private val cache = new TrieMap[String, AnyRef]() // sha → compiled fn
 
   private def sha(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  private def compile(code: String, fnName: String): Either[String, AnyRef] = {
+  /** Compile `code` and return `fnName` as a function object; cached by
+    * content hash, synchronized (ToolBox eval is not thread-safe).
+    */
+  def compile(code: String, fnName: String): AnyRef = {
     val key = sha(code + "#" + fnName)
-    compileCache.get(key) match {
-      case Some(fn) => Right(fn)
-      case None =>
-        try {
-          val fn = toolbox.eval(toolbox.parse(s"$code\n$fnName _"))
-            .asInstanceOf[AnyRef]
-          compileCache.put(key, fn)
-          Right(fn)
-        } catch {
-          case e: Throwable =>
-            Left(s"Invalid function code: ${e.getMessage}")
-        }
-    }
+    cache.getOrElse(key, synchronized {
+      cache.getOrElseUpdate(key,
+        toolbox.eval(toolbox.parse(s"$code\n$fnName _")).asInstanceOf[AnyRef])
+    })
   }
 
-  private def sqlType(scalaType: String): DataType = scalaType match {
+  private val OptionOf = """Option\[(.+)\]""".r
+
+  def sqlType(scalaType: String): DataType = scalaType match {
+    case OptionOf(inner) => sqlType(inner) // Option[T] returns map to T
     case "Int" | "Integer" => IntegerType
     case "Long" => LongType
     case "Double" | "Float" => DoubleType
@@ -127,7 +183,16 @@ final class UdfRegistry(spark: SparkSession) {
     case _ => StringType // default VARCHAR, matching src/app.py:734
   }
 
-  private def conv(scalaType: String)(x: Any): Any = x match {
+  /** Option results unwrap to value-or-null (the canonical reference
+    * UDFs are str → Option[str]-shaped, SURVEY §2.4).
+    */
+  def unwrap(x: Any): Any = x match {
+    case Some(v) => v
+    case None => null
+    case other => other
+  }
+
+  def conv(scalaType: String, x: Any): Any = x match {
     case null => null
     case v => scalaType match {
       case "Int" | "Integer" => v match {
@@ -156,39 +221,39 @@ final class UdfRegistry(spark: SparkSession) {
       }
     }
   }
+}
 
-  /** Null-in/null-out applies to reference-type (string-ish) params —
-    * primitives can't be null in a JVM function anyway.
-    */
-  private def registerWithSpark(qname: String, fn: AnyRef,
-      paramTypes: Seq[String], retType: String): Unit = {
-    val ret = sqlType(retType)
-    paramTypes.size match {
-      case 1 =>
-        val f = fn.asInstanceOf[Any => Any]
-        val c0 = conv(paramTypes.head) _
-        spark.udf.register(qname, new UDF1[Any, Any] {
-          override def call(a: Any): Any =
-            if (a == null) null else f(c0(a))
-        }, ret)
-      case 2 =>
-        val f = fn.asInstanceOf[(Any, Any) => Any]
-        val c0 = conv(paramTypes(0)) _; val c1 = conv(paramTypes(1)) _
-        spark.udf.register(qname, new UDF2[Any, Any, Any] {
-          override def call(a: Any, b: Any): Any =
-            if (a == null && b == null) null else f(c0(a), c1(b))
-        }, ret)
-      case 3 =>
-        val f = fn.asInstanceOf[(Any, Any, Any) => Any]
-        val c0 = conv(paramTypes(0)) _; val c1 = conv(paramTypes(1)) _
-        val c2 = conv(paramTypes(2)) _
-        spark.udf.register(qname, new UDF3[Any, Any, Any, Any] {
-          override def call(a: Any, b: Any, c: Any): Any =
-            if (a == null && b == null && c == null) null
-            else f(c0(a), c1(b), c2(c))
-        }, ret)
-      case n => throw new IllegalArgumentException(
-        s"UDFs of arity $n are not supported (1-3)")
-    }
-  }
+/** Serializable UDF wrappers: carry source text only; compile lazily per
+  * JVM via the process-wide cache. Null handling is null-in/null-out on
+  * ANY null argument — matching the reference contract (DuckDB's default
+  * null handling skips the user function when any input is NULL,
+  * SURVEY §2.4).
+  */
+final case class SourceUdf1(code: String, fnName: String, p0: String)
+    extends UDF1[Any, Any] {
+  @transient private lazy val f =
+    UdfCompiler.compile(code, fnName).asInstanceOf[Any => Any]
+  override def call(a: Any): Any =
+    if (a == null) null
+    else UdfCompiler.unwrap(f(UdfCompiler.conv(p0, a)))
+}
+
+final case class SourceUdf2(code: String, fnName: String, p0: String,
+    p1: String) extends UDF2[Any, Any, Any] {
+  @transient private lazy val f =
+    UdfCompiler.compile(code, fnName).asInstanceOf[(Any, Any) => Any]
+  override def call(a: Any, b: Any): Any =
+    if (a == null || b == null) null
+    else UdfCompiler.unwrap(
+      f(UdfCompiler.conv(p0, a), UdfCompiler.conv(p1, b)))
+}
+
+final case class SourceUdf3(code: String, fnName: String, p0: String,
+    p1: String, p2: String) extends UDF3[Any, Any, Any, Any] {
+  @transient private lazy val f =
+    UdfCompiler.compile(code, fnName).asInstanceOf[(Any, Any, Any) => Any]
+  override def call(a: Any, b: Any, c: Any): Any =
+    if (a == null || b == null || c == null) null
+    else UdfCompiler.unwrap(f(UdfCompiler.conv(p0, a),
+      UdfCompiler.conv(p1, b), UdfCompiler.conv(p2, c)))
 }

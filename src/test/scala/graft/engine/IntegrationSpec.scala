@@ -1,0 +1,155 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Ports of the reference's end-to-end pins (tests/test_integration.py):
+  * register → ingest → transform → deliver → audit, with a captured
+  * delivery target standing in for the in-thread destination server.
+  */
+class IntegrationSpec extends SparkSpec {
+  import SparkSpec._
+
+  /** In-memory "destination server": records delivered JSON bodies. */
+  private final class Capture {
+    val received = new ArrayBuffer[String]()
+    def deliver(url: String, json: String): Delivery.Result = {
+      received += json
+      Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
+    }
+  }
+
+  test("end-to-end forwarding with concat transform (test_integration.py:91-165)") {
+    val cap = new Capture
+    val e = newEngine(cap.deliver)
+    e.register(WebhookConfig("/test-integration", "http://dest:9/webhook",
+      "SELECT field1, field2, field1 || ' - ' || field2 AS combined FROM {{payload}}",
+      None, Some("test-integration")))
+    val payload =
+      """{"field1": "value1", "field2": "value2", "field3": "value3"}"""
+
+    val ack = e.ingest("/test-integration", payload).toOption.get
+    assert(ack.status == "accepted")
+
+    val rows = e.adHocQuery(
+      s"""SELECT success, response_code, transformed_payload
+         |FROM transformed_events WHERE raw_event_id = '${ack.eventId}'""".stripMargin)
+      .toOption.get
+    assert(rows.size == 1)
+    assert(rows.head(0) == true)
+    assert(rows.head(1) == 200)
+    val transformed = rows.head(2).asInstanceOf[String]
+    // pinned at test_integration.py:153-160: combined present, field3 gone
+    assert(jsonEq(transformed,
+      """{"field1":"value1","field2":"value2","combined":"value1 - value2"}"""))
+    assert(!transformed.contains("field3"))
+
+    assert(cap.received.toSeq == Seq(transformed))
+  }
+
+  test("end-to-end filtering: blocked vs allowed (test_integration.py:167-263)") {
+    val cap = new Capture
+    val e = newEngine(cap.deliver)
+    e.register(WebhookConfig("/test-integration-filter", "http://dest:9/webhook",
+      "SELECT * FROM {{payload}}", Some("type = 'allowed'"),
+      Some("test-integration")))
+
+    val blocked = e.ingest("/test-integration-filter",
+      """{"type": "blocked", "data": "test"}""").toOption.get
+    val passed = e.ingest("/test-integration-filter",
+      """{"type": "allowed", "data": "test"}""").toOption.get
+
+    val blockedRows = e.adHocQuery(
+      s"""SELECT success, response_body FROM transformed_events
+         |WHERE raw_event_id = '${blocked.eventId}'""".stripMargin).toOption.get
+    assert(blockedRows.size == 1)
+    assert(blockedRows.head(0) == false)
+    assert(blockedRows.head(1).asInstanceOf[String].contains("Filtered out"))
+
+    val passedRows = e.adHocQuery(
+      s"""SELECT success, response_code FROM transformed_events
+         |WHERE raw_event_id = '${passed.eventId}'""".stripMargin).toOption.get
+    assert(passedRows == Seq(Seq(true, 200)))
+
+    assert(cap.received.size == 1)
+    assert(jsonGet(cap.received.head, "type") == "allowed")
+  }
+
+  test("CSV reference table upload → LEFT JOIN enrichment (test_integration.py:265-374)") {
+    val cap = new Capture
+    val e = newEngine(cap.deliver)
+    val w = e.register(WebhookConfig("/test-integration-reference",
+      "http://dest:9/webhook", "SELECT * FROM {{payload}}", None, None))
+      .toOption.get
+    val meta = e.refTables.uploadCsv(w.id, "users", "user enrichment",
+      """username,full_name,department
+        |jdoe,John Doe,Engineering
+        |asmith,Alice Smith,Marketing""".stripMargin)
+    // transform is updated to join the uploaded table (the reference
+    // re-registers the webhook with the ref-table name inlined)
+    e.register(WebhookConfig("/test-integration-reference",
+      "http://dest:9/webhook",
+      s"""SELECT e.username, e.action, u.full_name, u.department
+         |FROM {{payload}} e
+         |LEFT JOIN ${meta.qualifiedName} u ON e.username = u.username""".stripMargin,
+      None, None))
+
+    val ack = e.ingest("/test-integration-reference",
+      """{"username": "jdoe", "action": "login"}""").toOption.get
+    val rows = e.adHocQuery(
+      s"""SELECT transformed_payload FROM transformed_events
+         |WHERE raw_event_id = '${ack.eventId}'""".stripMargin).toOption.get
+    assert(jsonEq(rows.head.head.asInstanceOf[String],
+      """{"username":"jdoe","action":"login",
+        | "full_name":"John Doe","department":"Engineering"}""".stripMargin))
+  }
+
+  test("UDF registration → domain extraction delivered (test_integration.py:376-469)") {
+    val cap = new Capture
+    val e = newEngine(cap.deliver)
+    val w = e.register(WebhookConfig("/test-integration-udf",
+      "http://dest:9/webhook", "SELECT * FROM {{payload}}", None, None))
+      .toOption.get
+    val udf = e.udfs.register(w.id, "extract_domain",
+      """def extract_domain(email: String): String =
+        |  if (email == null || !email.contains("@")) null
+        |  else email.split("@").last""".stripMargin).toOption.get
+    e.register(WebhookConfig("/test-integration-udf", "http://dest:9/webhook",
+      s"""SELECT email, ${udf.qualifiedName}(email) AS domain FROM {{payload}}""",
+      None, None))
+
+    val ack = e.ingest("/test-integration-udf",
+      """{"email": "user@company.com"}""").toOption.get
+    val rows = e.adHocQuery(
+      s"""SELECT transformed_payload FROM transformed_events
+         |WHERE raw_event_id = '${ack.eventId}'""".stripMargin).toOption.get
+    assert(jsonEq(rows.head.head.asInstanceOf[String],
+      """{"email":"user@company.com","domain":"company.com"}"""))
+    assert(cap.received.size == 1)
+  }
+
+  test("ingest: unknown path → UnknownPath, bad JSON → InvalidJson (src/app.py:1089-1098)") {
+    val e = newEngine()
+    assert(e.ingest("/nope", "{}") == Left(WebhookEngine.UnknownPath))
+    e.register(WebhookConfig("/known", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    assert(e.ingest("/known", "{not json") == Left(WebhookEngine.InvalidJson))
+    assert(e.ingest("/known", """{"a": 1}""").isRight)
+  }
+
+  test("audit survives flush: buffered + on-disk rows union (AuditLog)") {
+    val e = newEngine()
+    e.register(WebhookConfig("/flush-test", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    val acks = (1 to 3).map(i =>
+      e.ingest("/flush-test", s"""{"n": $i}""").toOption.get)
+    e.audit.flush() // everything to parquet
+    val ack4 = e.ingest("/flush-test", """{"n": 4}""").toOption.get // buffered
+    val rows = e.adHocQuery(
+      "SELECT COUNT(*) FROM raw_events WHERE source_path = '/flush-test'")
+      .toOption.get
+    assert(rows == Seq(Seq(4L)))
+    val ids = e.adHocQuery(
+      "SELECT id FROM transformed_events").toOption.get.map(_.head).toSet
+    assert((acks :+ ack4).forall(a => e.transformedFor(a.eventId).isDefined))
+  }
+}
