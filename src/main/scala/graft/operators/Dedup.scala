@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, …)` relation —
+  * the training-data-pipeline surface the brief requires: exact dedup,
+  * MinHash+LSH near-dup, and SimHash, all as composable DataFrame
+  * transforms.
+  *
+  * 100 TB design notes:
+  *  - nothing here is ever all-pairs: near-dup candidates come from
+  *    band-bucket joins (docs sharing a (band, minhash) key), so the
+  *    shuffle keys are bucket hashes and the quadratic blowup is bounded
+  *    per bucket — the standard MinHash-LSH layout; at cluster scale the
+  *    bucket join is a hash-partitioned shuffle join on (band, minhash);
+  *  - exact dedup is one hash-aggregate on a fingerprint (map-side
+  *    partial aggregation applies);
+  *  - all hashes are md5 (same bytes in any engine/JVM) so results are
+  *    reproducible across engines and cluster sizes, and the DuckDB
+  *    oracle can replay them bit-for-bit.
+  */
+object Dedup {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle).
+    * Documents shorter than 3 tokens produce no shingles (matching the
+    * oracle's range semantics).
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) < lit(3), array())
+          .otherwise(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups: md5(text) fingerprint → group size +
+    * representative (min doc_id). One hash aggregate; at 100 TB this is
+    * the canonical first dedup pass (shuffle key = 128-bit digest, no
+    * skew).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
+
+  /** Per-document per-band MinHash signature: minimum md5 over
+    * band-seeded shingles. One hash per band (r=1, b=`bands`) — the
+    * bucket key IS the signature.
+    */
+  def minhash(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val sh = shingles(docs)
+    val b = docs.sparkSession.range(bands).select(col("id").as("band"))
+    sh.crossJoin(b)
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(md5(concat(col("band"), lit("|"), col("shingle"))
+        .cast("binary"))).as("minhash"))
+  }
+
+  /** LSH candidate buckets: (band, minhash) keys shared by >1 document,
+    * with the member list. This is the set a near-dup pass joins on —
+    * never an all-pairs comparison.
+    */
+  def lshBuckets(docs: DataFrame, bands: Int = 8): DataFrame =
+    minhash(docs, bands)
+      .groupBy(col("band"), col("minhash"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("docs"))
+      .where(col("n_docs") > 1)
+
+  /** Verified near-duplicate pairs: LSH candidates whose exact shingle
+    * Jaccard ≥ `threshold`. The Jaccard join runs only over candidate
+    * pairs (bucket-bounded), with intersection counts from a shingle
+    * equi-join.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.2,
+      bands: Int = 8): DataFrame = {
+    val mh = minhash(docs, bands)
+    val cand = mh.as("m1")
+      .join(mh.as("m2"),
+        col("m1.band") === col("m2.band") &&
+          col("m1.minhash") === col("m2.minhash") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("a"), col("m2.doc_id").as("b"))
+      .distinct()
+    val sh = shingles(docs)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("s1.doc_id") === col("a"))
+      .join(sh.as("s2"),
+        col("s2.doc_id") === col("b") && col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("b"))
+      .select(col("a"), col("b"), col("i"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash per document, rendered as a 16-hex-char signature.
+    * Pure integer arithmetic over md5 hex digits so any engine computes
+    * the identical signature; near-dup detection is then hamming
+    * distance over these (bucketable by 16-bit blocks at scale).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val th = tok.select(col("doc_id"), md5(col("t").cast("binary")).as("h"))
+    val bits = spark.range(64).select(col("id").as("b"))
+    // value 0..15 of the hex digit this bit lives in, integer-divided by
+    // the bit's weight (8/4/2/1) — the parity is the md5 bit itself
+    val contrib = th.crossJoin(bits)
+      .select(col("doc_id"), col("b"),
+        expr("""CASE WHEN ((instr('0123456789abcdef',
+                            substr(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1)
+                       DIV (CASE CAST(b % 4 AS INT)
+                            WHEN 0 THEN 8 WHEN 1 THEN 4
+                            WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                THEN 1 ELSE -1 END""").as("c"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("c")).as("s"))
+    val obits = contrib.select(col("doc_id"), col("b"),
+      when(col("s") >= 0, 1L).otherwise(0L).as("bit"))
+    val digits = obits
+      .groupBy(col("doc_id"), expr("b DIV 4").as("d"))
+      .agg(sum(col("bit") *
+        expr("CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
+        .as("dv"))
+    digits
+      .select(col("doc_id"), col("d"),
+        expr("substr('0123456789abcdef', CAST(dv AS INT) + 1, 1)").as("ch"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("d"), col("ch")))),
+        s => s.getField("ch")), "").as("simhash"))
+  }
+}

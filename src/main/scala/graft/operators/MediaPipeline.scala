@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column processing: image/audio/video handled as opaque
+  * `BINARY` columns with typed metadata, the standard lakehouse layout
+  * for multimodal training data.
+  *
+  * The Spark-side plumbing here is real and tested — schema, typed
+  * Dataset encoders, per-partition batch processing (`mapPartitions`, so
+  * a real decoder would amortize native-library init per partition, not
+  * per row), and feature extraction as columnar aggregates. The byte
+  * decode itself is a clearly-marked DETERMINISTIC STUB (`decodeStub`):
+  * this container has no image/audio codecs, so "decoding" parses the
+  * 12-byte synthetic header and treats the payload bytes as pixels.
+  * Swapping in a real codec changes only that one function.
+  *
+  * 100 TB design notes:
+  *  - binary payloads stay columnar in parquet; metadata columns
+  *    (width/height/format) are scalars, so filters like
+  *    `width >= 64` prune row groups WITHOUT touching payload bytes;
+  *  - feature extraction is a narrow map — no shuffle; the only shuffle
+  *    in this module is the optional group-by-format stats;
+  *  - `mapPartitions` keeps the decode batch-shaped: one iterator pass
+  *    per partition, no per-row session/codec setup.
+  */
+object MediaPipeline {
+
+  /** One media object: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      format: String, // fake codec tag
+      width: Int,
+      height: Int,
+      data: Array[Byte])
+
+  /** Decoded form: header fields + payload "pixels". */
+  final case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      pixels: Array[Byte])
+
+  /** Extracted features: fixed-width vector + scalar stats. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      mean_byte: Double,
+      histogram: Array[Long])
+
+  private val HeaderBytes = 12
+
+  /** Deterministic synthetic media derived from the `documents` table:
+    * payload = 12-byte header (width, height, kind tag) + text bytes.
+    * Stands in for real image files so the binary-column plumbing is
+    * exercised end-to-end on driver-provided data.
+    */
+  def fakeMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val width = (32 + (id % 8) * 16).toInt
+        val height = (32 + (id % 5) * 16).toInt
+        val payload = text.getBytes("UTF-8")
+        val buf = java.nio.ByteBuffer.allocate(HeaderBytes + payload.length)
+        buf.putInt(width).putInt(height).putInt(kind.hashCode)
+        buf.put(payload)
+        MediaRecord(id, kind, "fake/v1", width, height, buf.array())
+    }
+  }
+
+  /** ==== STUB ==== byte decode. A real implementation would call an
+    * image/audio codec here (per-partition init, batch decode); the
+    * deterministic fake parses the synthetic header and passes payload
+    * bytes through as "pixels". Signature and batch shape are the real
+    * contract.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real codecs would initialize ONCE here, per partition
+      it.map { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.data)
+        val width = buf.getInt()
+        val height = buf.getInt()
+        buf.getInt() // kind tag, unused by the stub
+        val pixels = java.util.Arrays.copyOfRange(m.data, HeaderBytes,
+          m.data.length)
+        DecodedMedia(m.media_id, m.kind, width, height, pixels.length, pixels)
+      }
+    }
+  }
+
+  /** ==== STUB ==== resize: keeps every `factor`-th payload byte —
+    * shape-preserving stand-in for a real downsample kernel.
+    */
+  def resizeStub(decoded: Dataset[DecodedMedia],
+      factor: Int = 4): Dataset[DecodedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val out = d.pixels.indices.collect {
+        case i if i % factor == 0 => d.pixels(i)
+      }.toArray
+      d.copy(width = math.max(1, d.width / factor),
+        height = math.max(1, d.height / factor),
+        n_bytes = out.length, pixels = out)
+    })
+  }
+
+  /** Feature extraction over decoded payloads: 16-bucket byte histogram
+    * + mean byte value. Narrow map, no shuffle.
+    */
+  def features(decoded: Dataset[DecodedMedia]): Dataset[MediaFeatures] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < d.pixels.length) {
+        val b = d.pixels(i) & 0xff
+        hist(b / 16) += 1
+        sum += b
+        i += 1
+      }
+      val mean = if (d.pixels.isEmpty) 0.0 else sum.toDouble / d.pixels.length
+      MediaFeatures(d.media_id, d.kind, d.width, d.height, d.n_bytes, mean,
+        hist)
+    })
+  }
+
+  /** End-to-end: documents → fake media → decode → features, as a
+    * DataFrame for the correctness gate (rows-only check; the stub
+    * decode is not SQL-expressible by design).
+    */
+  def featureTable(docs: DataFrame): DataFrame =
+    features(decodeStub(fakeMediaFromDocs(docs)))
+      .toDF()
+      .withColumn("histogram", col("histogram").cast("string"))
+      .orderBy("media_id")
+}

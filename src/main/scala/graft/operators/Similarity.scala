@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an `embeddings(vec_id, embedding ARRAY<FLOAT>,
+  * label)` relation: exact brute-force cosine top-k as the baseline, and
+  * an IVF (inverted-file, centroid-probed) variant as the scale path.
+  *
+  * 100 TB design notes:
+  *  - brute force is O(|Q|·N) — correct but only viable for small query
+  *    sets; it exists as the ground-truth baseline;
+  *  - the IVF variant partitions vectors by a coarse cluster id (here
+  *    the `label` column stands in for a trained coarse quantizer) and
+  *    probes only the nearest centroid's partition: at cluster scale the
+  *    vector table is hash-partitioned (or bucketed) by cluster id, the
+  *    centroid table is broadcast (n_clusters rows), and each query
+  *    shuffles to exactly its probed partition(s);
+  *  - determinism: per-element products are quantized to exact integer
+  *    picos via `floor(x*y*1e12 + 0.5)` — primitive IEEE double ops that
+  *    any engine computes bit-identically (unlike double→DECIMAL casts,
+  *    whose rounding paths differ between engines) — then summed as
+  *    integers, so the quantized cosine is order-insensitive and
+  *    engine-independent. Quantization error ~1e-10 on the similarity,
+  *    far below any meaningful neighbour distinction; exact ties rank
+  *    by vec_id in both engines.
+  */
+object Similarity {
+
+  private val Q = 1e12
+
+  /** Exact integer-quantized dot product of two float-array columns
+    * (sum of 64 pico-scaled longs — fits a long with 5 orders of
+    * headroom for unit-ish vectors).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * Q + 0.5)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized dot/norms (single deterministic
+    * double ops at the end).
+    */
+  def cosine(a: Column, b: Column): Column =
+    (dotQ(a, b).cast("double") / Q) /
+      (sqrt(dotQ(a, a).cast("double") / Q) *
+        sqrt(dotQ(b, b).cast("double") / Q))
+
+  /** DuckDB oracle spelling of the quantized dot product over the
+    * per-dimension expansion (columns `<p>.v` × `<q>.v`).
+    */
+  def dotQSql(x: String, y: String): String =
+    s"SUM(CAST(FLOOR($x * $y * 1000000000000 + 0.5) AS BIGINT))"
+
+  /** Exact top-k neighbours by brute force for queries `vec_id < maxQid`
+    * (self excluded). Ground-truth baseline; O(|Q|·N).
+    */
+  def cosineTopK(emb: DataFrame, maxQid: Long = 10, k: Int = 5): DataFrame = {
+    val q = emb.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"))
+    val scored = q.join(t, col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("tid"))
+    scored
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-cluster centroids: mean of each pico-quantized dimension.
+    * Sums accumulate as DECIMAL(38,0) (128-bit) — a long would wrap at
+    * ~1e6 vectors × 1e12 quanta; the oracle's SUM(BIGINT)→HUGEINT
+    * mirrors this. Emitted as (label, centroid ARRAY<DOUBLE>).
+    */
+  def centroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(floor(col("v").cast("double") * Q + 0.5)
+        .cast(DecimalType(38, 0))).cast("double") / Q / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** IVF top-k: assign each query to its nearest centroid (1-probe),
+    * then brute-force only within that cluster. Approximate by design;
+    * the oracle replays the identical algorithm.
+    */
+  def ivfTopK(emb: DataFrame, maxQid: Long = 10, k: Int = 5): DataFrame = {
+    val cent = centroids(emb)
+    val q = emb.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // nearest centroid per query (broadcast: n_clusters rows at any scale)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(desc("ccos"), col("label"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qv"), col("label"),
+        cosine(col("qv"), col("centroid")).as("ccos"))
+      .select(col("qid"), col("qv"), col("label"),
+        row_number().over(wq).as("crnk"))
+      .where(col("crnk") === 1)
+      .select(col("qid"), col("qv"), col("label").as("probe"))
+    val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("tid"))
+    assigned
+      .join(t, col("label") === col("probe") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: per-document statistics /
+  * quality signals, n-gram-heuristic language ID, and shingle-hash
+  * document fingerprints (winnowing-style min-k sketch).
+  *
+  * Every derived ratio is a single division of exact integers, so the
+  * values are bit-identical across engines and cluster sizes. All of
+  * these are single-pass groupBy aggregations — at 100 TB they are one
+  * scan + one hash aggregate each (map-side partials apply; doc_id is
+  * unique so there is no skew).
+  */
+object TextAnalysis {
+
+  /** Per-document stats: token counts (whitespace + BPE-ish regex),
+    * type-token ratio, average token length, and a coarse quality
+    * bucket. The regex token count stands in for subword tokenizers:
+    * letter runs, digit runs, and single non-alnum marks.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      col("text"), explode(Dedup.tokens(col("text"))).as("t"))
+    tok.groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct"),
+        sum(length(col("t"))).as("sum_token_len"))
+      .join(docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_bpe_tokens")), "doc_id")
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        col("n_distinct"), col("n_bpe_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (col("sum_token_len").cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 200 &&
+          (col("n_distinct").cast("double") / col("n_tokens")) > 0.4, "good")
+          .otherwise("poor").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-marker language ID (n-gram heuristic) scored against the
+    * labelled `lang` column, emitted as a confusion matrix. Marker sets
+    * are deliberately tiny — the operator shape (per-doc scoring + one
+    * aggregation) is what scales, not the lexicon.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(Dedup.tokens(col("text"))).as("t"))
+    val scores = tok.groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(when(col("t").isin("the", "a", "and", "of", "to"), 1)
+          .otherwise(0)).as("en_score"),
+        sum(when(col("t").isin("der", "die", "und", "das", "ist"), 1)
+          .otherwise(0)).as("de_score"),
+        sum(when(col("t").isin("le", "la", "et", "les", "un"), 1)
+          .otherwise(0)).as("fr_score"),
+        sum(when(col("t").isin("el", "los", "que", "de", "y"), 1)
+          .otherwise(0)).as("es_score"))
+    scores
+      .select(col("lang"),
+        when(col("en_score") >= col("de_score") &&
+          col("en_score") >= col("fr_score") &&
+          col("en_score") >= col("es_score") && col("en_score") > 0, "en")
+          .when(col("de_score") >= col("fr_score") &&
+            col("de_score") >= col("es_score") && col("de_score") > 0, "de")
+          .when(col("fr_score") >= col("es_score") &&
+            col("fr_score") > 0, "fr")
+          .when(col("es_score") > 0, "es")
+          .otherwise("unknown").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Winnowing-style fingerprint: the k lexicographically-smallest
+    * shingle hashes, concatenated. Two documents sharing most content
+    * share the sketch; the sketch is joinable/groupable at scale (one
+    * 128·k-bit key per document).
+    */
+  def fingerprint(docs: DataFrame, k: Int = 4): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    sh.select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+      .select(col("doc_id"), col("h"), row_number().over(w).as("r"))
+      .where(col("r") <= k)
+      .groupBy(col("doc_id"))
+      .agg(array_join(sort_array(collect_list(col("h"))), "")
+        .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, MediaPipeline, Similarity, TextAnalysis}
+
+/** The LLM-training-data-pipeline operator battery over the provided
+  * `documents` / `embeddings` tables: dedup (exact, MinHash-LSH,
+  * SimHash), similarity search (brute-force + IVF), and text analysis —
+  * each with a DuckDB oracle that replays the identical algorithm, so
+  * the gate checks exact parity, not just row counts.
+  *
+  * Shared determinism rules: all hashes are md5 hex; all ratio outputs
+  * are a single double division of exact integers; all vector sums
+  * accumulate per-element DECIMAL products (order-insensitive).
+  */
+object DataPipeline {
+
+  /** DuckDB spelling of the shared shingle CTE (word 3-grams). */
+  private val ShinglesCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |  FROM toks
+      |)""".stripMargin
+
+  /** DuckDB spelling of the shared MinHash CTE (8 bands, r=1). */
+  private val MinhashCte =
+    s"""$ShinglesCte,
+       |bands AS (SELECT unnest(range(8)) AS band),
+       |mh AS (
+       |  SELECT s.doc_id, b.band, MIN(md5(b.band || '|' || s.shingle)) AS minhash
+       |  FROM sh s CROSS JOIN bands b
+       |  GROUP BY s.doc_id, b.band
+       |)""".stripMargin
+
+  /** DuckDB spelling of per-dimension vector expansion + pico-quantized
+    * norms (`FLOOR(x*1e12 + 0.5)` longs — mirrors Similarity.dotQ).
+    */
+  private val DimsCte =
+    """dims AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      |),
+      |norm AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CAST(FLOOR(v * v * 1000000000000 + 0.5) AS BIGINT))
+      |              AS DOUBLE) / 1000000000000 AS n2
+      |  FROM dims GROUP BY vec_id
+      |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- Exact dedup: one hash aggregate on a content fingerprint.
+    QueryDef(
+      "q30_exact_dedup",
+      (s, dir) => Dedup.exactGroups(Tables(s, dir, "documents"))
+        .orderBy("fingerprint"),
+      Some("""SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
+             |       MIN(doc_id) AS representative
+             |FROM documents
+             |GROUP BY md5(text)
+             |ORDER BY fingerprint""".stripMargin)),
+
+    // --- MinHash-LSH candidate buckets ((band, minhash) keys with >1
+    //     member) — the anti-all-pairs layout for near-dup at scale.
+    QueryDef(
+      "q31_lsh_buckets",
+      (s, dir) => Dedup.lshBuckets(Tables(s, dir, "documents"))
+        .orderBy("band", "minhash"),
+      Some(s"""WITH $MinhashCte
+             |SELECT band, minhash, COUNT(*) AS n_docs,
+             |       string_agg(doc_id, ',' ORDER BY doc_id) AS docs
+             |FROM mh GROUP BY band, minhash HAVING COUNT(*) > 1
+             |ORDER BY band, minhash""".stripMargin)),
+
+    // --- Verified near-duplicate pairs: LSH candidates with exact
+    //     shingle-Jaccard >= 0.2 (intersection via bucket-bounded join).
+    QueryDef(
+      "q32_minhash_near_dup",
+      (s, dir) => Dedup.nearDupPairs(Tables(s, dir, "documents")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |)
+             |SELECT i.a, i.b, i.i,
+             |       CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+             |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |             JOIN cnt cb ON cb.doc_id = i.b
+             |WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.2
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- 64-bit SimHash signatures (hex), pure integer arithmetic.
+    QueryDef(
+      "q33_simhash",
+      (s, dir) => Dedup.simhash(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             |                 t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |th AS (SELECT doc_id, md5(t) AS h FROM tok),
+             |bits AS (SELECT unnest(range(64)) AS b),
+             |contrib AS (
+             |  SELECT th.doc_id, bits.b,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+             |                    substr(th.h, CAST(bits.b // 4 AS INT) + 1, 1)) - 1)
+             |             // (CASE bits.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+             |                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM th CROSS JOIN bits
+             |  GROUP BY th.doc_id, bits.b
+             |),
+             |digits AS (
+             |  SELECT doc_id, b // 4 AS d,
+             |    SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END
+             |        * CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+             |          WHEN 2 THEN 2 ELSE 1 END) AS dv
+             |  FROM contrib GROUP BY doc_id, b // 4
+             |)
+             |SELECT doc_id,
+             |       string_agg(substr('0123456789abcdef', CAST(dv AS INT) + 1, 1),
+             |                  '' ORDER BY d) AS simhash
+             |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- Brute-force exact cosine top-5 for queries vec_id < 10.
+    QueryDef(
+      "q34_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $DimsCte,
+             |dot AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+             |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+             |  FROM dims q JOIN dims t ON q.i = t.i
+             |   AND q.vec_id < 10 AND t.vec_id <> q.vec_id
+             |  GROUP BY q.vec_id, t.vec_id
+             |),
+             |scored AS (
+             |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+             |  FROM dot JOIN norm nq ON nq.vec_id = qid
+             |           JOIN norm nt ON nt.vec_id = tid
+             |),
+             |ranked AS (
+             |  SELECT qid, tid, cosine,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+             |  FROM scored
+             |)
+             |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
+             |ORDER BY qid, rnk""".stripMargin)),
+
+    // --- IVF (centroid-probed) approximate top-5: label = coarse
+    //     cluster; probe the nearest centroid's partition only.
+    QueryDef(
+      "q35_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $DimsCte,
+             |lab AS (SELECT vec_id, label FROM embeddings),
+             |cent AS (
+             |  SELECT l.label, d.i,
+             |         CAST(SUM(CAST(FLOOR(d.v * 1000000000000 + 0.5) AS BIGINT))
+             |              AS DOUBLE) / 1000000000000 / COUNT(*) AS c
+             |  FROM dims d JOIN lab l ON l.vec_id = d.vec_id
+             |  GROUP BY l.label, d.i
+             |),
+             |cnorm AS (
+             |  SELECT label,
+             |         CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5) AS BIGINT))
+             |              AS DOUBLE) / 1000000000000 AS n2
+             |  FROM cent GROUP BY label
+             |),
+             |qcent AS (
+             |  SELECT d.vec_id AS qid, c.label,
+             |         (CAST(SUM(CAST(FLOOR(d.v * c.c * 1000000000000 + 0.5)
+             |               AS BIGINT)) AS DOUBLE) / 1000000000000)
+             |           / (sqrt(nq.n2) * sqrt(cn.n2)) AS ccos
+             |  FROM dims d
+             |  JOIN cent c ON c.i = d.i
+             |  JOIN norm nq ON nq.vec_id = d.vec_id
+             |  JOIN cnorm cn ON cn.label = c.label
+             |  WHERE d.vec_id < 10
+             |  GROUP BY d.vec_id, c.label, nq.n2, cn.n2
+             |),
+             |probe AS (
+             |  SELECT qid, label FROM (
+             |    SELECT qid, label,
+             |           ROW_NUMBER() OVER (PARTITION BY qid
+             |             ORDER BY ccos DESC, label) AS crnk
+             |    FROM qcent) x WHERE crnk = 1
+             |),
+             |dot AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+             |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+             |  FROM dims q JOIN dims t ON q.i = t.i AND t.vec_id <> q.vec_id
+             |  JOIN probe p ON p.qid = q.vec_id
+             |  JOIN lab tl ON tl.vec_id = t.vec_id AND tl.label = p.label
+             |  GROUP BY q.vec_id, t.vec_id
+             |),
+             |scored AS (
+             |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+             |  FROM dot JOIN norm nq ON nq.vec_id = qid
+             |           JOIN norm nt ON nt.vec_id = tid
+             |),
+             |ranked AS (
+             |  SELECT qid, tid, cosine,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+             |  FROM scored
+             |)
+             |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
+             |ORDER BY qid, rnk""".stripMargin)),
+
+    // --- Per-document text statistics + quality bucket.
+    QueryDef(
+      "q36_text_stats",
+      (s, dir) => TextAnalysis.stats(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |agg AS (
+             |  SELECT doc_id, lang, n_chars, COUNT(*) AS n_tokens,
+             |         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct,
+             |         SUM(LENGTH(t)) AS sum_token_len
+             |  FROM tok GROUP BY doc_id, lang, n_chars
+             |),
+             |bpe AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(lower(text),
+             |              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+             |  FROM documents
+             |)
+             |SELECT a.doc_id, lang, n_chars, n_tokens, n_distinct, n_bpe_tokens,
+             |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+             |       CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+             |       CASE WHEN n_tokens BETWEEN 20 AND 200
+             |                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.4
+             |            THEN 'good' ELSE 'poor' END AS quality
+             |FROM agg a JOIN bpe b ON a.doc_id = b.doc_id
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // --- Language-ID heuristic scored as a confusion matrix.
+    QueryDef(
+      "q37_lang_id",
+      (s, dir) => TextAnalysis.langIdConfusion(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |scores AS (
+             |  SELECT doc_id, lang,
+             |    SUM(CASE WHEN t IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS en_score,
+             |    SUM(CASE WHEN t IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS de_score,
+             |    SUM(CASE WHEN t IN ('le','la','et','les','un') THEN 1 ELSE 0 END) AS fr_score,
+             |    SUM(CASE WHEN t IN ('el','los','que','de','y') THEN 1 ELSE 0 END) AS es_score
+             |  FROM tok GROUP BY doc_id, lang
+             |),
+             |pred AS (
+             |  SELECT lang, CASE
+             |    WHEN en_score >= de_score AND en_score >= fr_score
+             |         AND en_score >= es_score AND en_score > 0 THEN 'en'
+             |    WHEN de_score >= fr_score AND de_score >= es_score
+             |         AND de_score > 0 THEN 'de'
+             |    WHEN fr_score >= es_score AND fr_score > 0 THEN 'fr'
+             |    WHEN es_score > 0 THEN 'es'
+             |    ELSE 'unknown' END AS predicted
+             |  FROM scores
+             |)
+             |SELECT lang, predicted, COUNT(*) AS n FROM pred
+             |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
+
+    // --- Min-k shingle-hash document fingerprints.
+    QueryDef(
+      "q38_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+             |ranked AS (
+             |  SELECT doc_id, md5(shingle) AS h,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id
+             |           ORDER BY md5(shingle)) AS r
+             |  FROM sh
+             |)
+             |SELECT doc_id, string_agg(h, '' ORDER BY r) AS fingerprint
+             |FROM ranked WHERE r <= 4 GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Multimodal: binary-column decode → feature extraction. The
+    //     decode is a deterministic stub (no codecs in-container), so
+    //     this is a rows-only gate entry — no SQL oracle by design.
+    QueryDef(
+      "q39_media_features",
+      (s, dir) => MediaPipeline.featureTable(Tables(s, dir, "documents")),
+      None)
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.engine.SparkSpec
+
+/** Unit pins for the LLM-data-pipeline operators on small literal data
+  * (the sf0.01 oracle gate covers them at table scale; these pin the
+  * algorithmic semantics on inputs small enough to eyeball).
+  */
+class DataPipelineSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exactGroups: identical texts collapse to one group") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val g = Dedup.exactGroups(d).orderBy("representative").collect()
+    assert(g.length == 2)
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L), (1L, 3L))) // (n_docs, representative)
+  }
+
+  test("shingles: word 3-grams, distinct, <3-token docs drop") {
+    val d = docs(1L -> "a b c d", 2L -> "a b")
+    val sh = Dedup.shingles(d).orderBy("doc_id", "shingle").collect()
+    assert(sh.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("lshBuckets: near-identical docs share buckets, disjoint docs don't") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "completely different words entirely unrelated content here now")
+    val buckets = Dedup.lshBuckets(d).collect()
+    assert(buckets.nonEmpty)
+    // every multi-doc bucket contains only the near-dup pair
+    assert(buckets.forall(_.getString(3).split(",").toSet.subsetOf(Set("1", "2"))))
+  }
+
+  test("nearDupPairs: jaccard-verified pair with exact value") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "completely different words entirely unrelated content here now")
+    val pairs = Dedup.nearDupPairs(d).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // 11 tokens each → 9 shingles; 8 shared → J = 8/(9+9-8) = 0.8
+    assert(math.abs(pairs.head.getDouble(3) - 0.8) < 1e-12)
+  }
+
+  test("simhash: 16 hex chars, equal for equal text, stable") {
+    val d = docs(1L -> "spark scala data", 2L -> "spark scala data",
+      3L -> "other words here")
+    val sig = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig.values.forall(_.matches("[0-9a-f]{16}")))
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  private def embs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK: orthogonal/parallel vectors rank correctly") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(2f, 0f, 0f, 0f), 0), // parallel to 0 → cosine 1
+      (2L, Seq(0f, 1f, 0f, 0f), 1), // orthogonal → cosine 0
+      (3L, Seq(1f, 1f, 0f, 0f), 0)) // 45° → ~0.7071
+    val top = Similarity.cosineTopK(e, maxQid = 1, k = 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(top(1).getDouble(2) - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(top(2).getDouble(2)) < 1e-9)
+  }
+
+  test("ivfTopK: probes only the nearest cluster") {
+    val e = embs(
+      (0L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0.1f, 1f, 0f, 0f), 1))
+    val top = Similarity.ivfTopK(e, maxQid = 1, k = 5).collect()
+    // query 0 probes cluster 0 → only vec 1 and 2 can appear
+    assert(top.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
+  test("textStats: token counts and ttr") {
+    val d = docs(1L -> "a b a b c")
+    val r = TextAnalysis.stats(d).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(math.abs(r.getAs[Double]("ttr") - 0.6) < 1e-12)
+    assert(r.getAs[String]("quality") == "poor") // < 20 tokens
+  }
+
+  test("fingerprint: k smallest shingle hashes, stable ordering") {
+    val d = docs(1L -> "a b c d e f g h i j")
+    val fp = TextAnalysis.fingerprint(d, k = 2).collect().head.getString(1)
+    assert(fp.matches("[0-9a-f]{64}")) // 2 × 32-hex md5
+    // recompute expected: two smallest md5s of the 8 shingles
+    val toks = "a b c d e f g h i j".split(" ")
+    val expected = toks.sliding(3).map(_.mkString(" "))
+      .map { sh =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSeq.sorted.take(2).mkString("")
+    assert(fp == expected)
+  }
+
+  test("media pipeline: decode stub inverts the synthetic header") {
+    val d = docs(1L -> "hello world", 2L -> "spark", 3L -> "data")
+    val media = MediaPipeline.fakeMediaFromDocs(d)
+    val decoded = MediaPipeline.decodeStub(media).collect()
+    assert(decoded.length == 3)
+    val d1 = decoded.find(_.media_id == 1L).get
+    assert(d1.n_bytes == "hello world".length)
+    assert(new String(d1.pixels, "UTF-8") == "hello world")
+    val m1 = media.collect().find(_.media_id == 1L).get
+    assert(d1.width == m1.width && d1.height == m1.height)
+  }
+
+  test("media pipeline: features are deterministic and batch-shaped") {
+    val d = docs(1L -> "hello world", 2L -> "spark")
+    val f1 = MediaPipeline.featureTable(d).collect()
+    val f2 = MediaPipeline.featureTable(d).collect()
+    assert(f1.toSeq == f2.toSeq) // deterministic across runs
+    val r = f1.head
+    assert(r.getAs[Long]("media_id") == 1L)
+    assert(r.getAs[Int]("n_bytes") == "hello world".length)
+    val mean = "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toDouble /
+      "hello world".length
+    assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-12)
+  }
+
+  test("media pipeline: resize stub keeps every 4th byte") {
+    val d = docs(1L -> "abcdefgh")
+    val resized = MediaPipeline.resizeStub(
+      MediaPipeline.decodeStub(MediaPipeline.fakeMediaFromDocs(d))).collect()
+    assert(new String(resized.head.pixels, "UTF-8") == "ae")
+  }
+}
