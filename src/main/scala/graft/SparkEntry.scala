@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DataPipeline, QueryDef, Relational}
+import graft.queries.{DataPipeline, PayloadChannel, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All correctness-gate query definitions, in registration order. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ DataPipeline.defs
+    Relational.defs ++ DataPipeline.defs ++ PayloadChannel.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,6 +91,35 @@ final class PayloadTransformer(spark: SparkSession) {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** Set-oriented filter gate for a micro-batch of SAME-WEBHOOK events:
+    * one Spark job evaluates the bare condition over all payloads, with
+    * the event id as a metadata column; returns the ids that pass.
+    * Semantics match per-event applyFilter because the filter contract
+    * is a row-wise WHERE condition (src/app.py:524-579).
+    */
+  def batchFilter(events: Seq[(String, String)],
+      filterQuery: String): Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, from_json}
+    if (events.isEmpty) return Set.empty
+    // Infer a union schema from the batch's payloads, then parse each
+    // payload against it alongside its event id. Known edge vs the
+    // per-event path: an event MISSING a filtered column reads as null
+    // here (filtered out) where the per-event path raises and audits an
+    // "Error:" row — only reachable with mixed-shape batches.
+    val payloadDf = spark.read.json(events.map(_._2).toDS())
+    val schema = payloadDf.schema
+    events.toDF("__eid", "__json")
+      .select(col("__eid"),
+        from_json(col("__json"), schema).as("__p"))
+      .select(col("__eid"), col("__p.*"))
+      .where(expr(filterQuery))
+      .select("__eid")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+  }
+
   /** {{payload}} macro expansion (src/app.py:462) — textual, same as the
     * reference; the substituted text then goes through the full Catalyst
     * analyzer.

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.engine.{SparkSpec, WebhookConfig}
+
+/** Streaming ingestion smoke test: MemoryStream → foreachBatch running
+  * the P11 pipeline (the brief's stated ingestion approach), plus the
+  * set-oriented batch path's semantics.
+  */
+class StreamIngestSpec extends SparkSpec {
+  import SparkSpec._
+
+  test("MemoryStream events flow through filter/transform/audit") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val e = newEngine()
+    e.register(WebhookConfig("/stream-hook", "https://example.com/sink",
+      "SELECT n, n * 2 AS doubled FROM {{payload}}",
+      Some("n >= 2"), None))
+
+    val mem = MemoryStream[(String, String)]
+    val ingest = new StreamIngest(e)
+    val query = ingest.attach(mem.toDS(), "graft-ingest-test")
+    try {
+      mem.addData(
+        "/stream-hook" -> """{"n": 1}""", // filtered out
+        "/stream-hook" -> """{"n": 2}""",
+        "/stream-hook" -> """{"n": 3}""",
+        "/unknown-path" -> """{"n": 9}""") // unroutable → dropped
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val raws = e.adHocQuery(
+      "SELECT COUNT(*) FROM raw_events WHERE source_path = '/stream-hook'")
+      .toOption.get
+    assert(raws == Seq(Seq(2L + 1L))) // 3 routable events audited
+
+    val outcomes = e.adHocQuery(
+      """SELECT success, response_body, transformed_payload
+        |FROM transformed_events ORDER BY transformed_payload""".stripMargin)
+      .toOption.get
+    assert(outcomes.size == 3)
+    val (filtered, delivered) =
+      outcomes.partition(_(1) == "Filtered out by filter_query")
+    assert(filtered.size == 1)
+    assert(delivered.size == 2)
+    assert(delivered.map(_(2).asInstanceOf[String]).exists(j =>
+      jsonEq(j, """{"n":2,"doubled":4}""")))
+    assert(delivered.map(_(2).asInstanceOf[String]).exists(j =>
+      jsonEq(j, """{"n":3,"doubled":6}""")))
+  }
+
+  test("processBatch: set-oriented filter matches per-event semantics") {
+    val e = newEngine()
+    val w = e.register(WebhookConfig("/batch-hook", "https://example.com/x",
+      "SELECT * FROM {{payload}}", Some("keep = true"), None)).toOption.get
+    val raws = Seq(
+      e.audit.logRaw("/batch-hook", """{"keep": true, "v": 1}"""),
+      e.audit.logRaw("/batch-hook", """{"keep": false, "v": 2}"""),
+      e.audit.logRaw("/batch-hook", """{"keep": true, "v": 3}"""))
+    val results = e.processBatch(w, raws)
+    assert(results.map(_.filtered) == Seq(false, true, false))
+    assert(results.map(_.success) == Seq(true, false, true))
+    // per-event path agrees on the same payloads
+    val perEvent = raws.map(r => e.process(w, r.id, r.payload))
+    assert(perEvent.map(_.filtered) == Seq(false, true, false))
+  }
+
+  test("processBatch: broken filter falls back to Error audit rows") {
+    val e = newEngine()
+    val w = e.register(WebhookConfig("/bad-filter", "https://example.com/x",
+      "SELECT * FROM {{payload}}", Some("no_such_fn(x) ==="), None))
+      .toOption.get
+    val raws = Seq(e.audit.logRaw("/bad-filter", """{"x": 1}"""))
+    val results = e.processBatch(w, raws)
+    assert(!results.head.success)
+    assert(results.head.responseBody.startsWith("Error: "))
+  }
+}
