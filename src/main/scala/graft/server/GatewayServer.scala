@@ -171,11 +171,16 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
     send(ex, 200, o)
   }
 
+  /** Flat shape with an `active` flag, matching src/app.py:1355-1365
+    * (NOT the register endpoint's {"status","webhook"} wrapper).
+    */
   private def getWebhook(ex: HttpExchange, id: String): Unit =
     engine.catalog.byIdOpt(id) match {
       case None => send(ex, 404, obj("detail" -> "Webhook not found"))
       case Some(w) =>
-        send(ex, 200, obj("status" -> "success", "webhook" -> webhookNode(w)))
+        val o = webhookNode(w)
+        o.put("active", w.isActive)
+        send(ex, 200, o)
     }
 
   private def putWebhook(ex: HttpExchange, id: String): Unit =
