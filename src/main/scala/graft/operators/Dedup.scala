@@ -55,14 +55,24 @@ object Dedup {
   /** Per-document per-band MinHash signature: minimum md5 over
     * band-seeded shingles. One hash per band (r=1, b=`bands`) — the
     * bucket key IS the signature.
+    *
+    * Computed as ONE wide aggregate (`bands` min-columns in a single
+    * groupBy pass, then `stack`ed to long form) rather than a
+    * shingles×bands cross join: at 100 TB the cross join multiplies the
+    * shuffle by `bands`; the wide aggregate shuffles each shingle row
+    * exactly once with map-side partial mins.
     */
   def minhash(docs: DataFrame, bands: Int = 8): DataFrame = {
     val sh = shingles(docs)
-    val b = docs.sparkSession.range(bands).select(col("id").as("band"))
-    sh.crossJoin(b)
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band"), lit("|"), col("shingle"))
-        .cast("binary"))).as("minhash"))
+    val minCols = (0 until bands).map(b =>
+      min(md5(concat(lit(b.toLong), lit("|"), col("shingle"))
+        .cast("binary"))).as(s"mh_$b"))
+    val stackArgs = (0 until bands)
+      .map(b => s"${b}L, mh_$b").mkString(", ")
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .selectExpr("doc_id",
+        s"stack($bands, $stackArgs) AS (band, minhash)")
   }
 
   /** LSH candidate buckets: (band, minhash) keys shared by >1 document,

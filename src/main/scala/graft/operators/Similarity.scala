@@ -33,7 +33,10 @@ object Similarity {
 
   /** Exact integer-quantized dot product of two float-array columns
     * (sum of 64 pico-scaled longs — fits a long with 5 orders of
-    * headroom for unit-ish vectors).
+    * headroom for unit-ish vectors). Higher-order-function reference
+    * formulation; the operators below use the codegen'd native
+    * expression [[graft.functions.CosineSimQ]], which computes the
+    * identical formula in one fused loop.
     */
   def dotQ(a: Column, b: Column): Column =
     aggregate(
@@ -43,9 +46,16 @@ object Similarity {
       (acc, x) => acc + x)
 
   /** Cosine similarity from quantized dot/norms (single deterministic
-    * double ops at the end).
+    * double ops at the end) — native-expression form; requires
+    * [[graft.functions.GraftFunctions.install]] on the session.
     */
   def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim_q", a, b)
+
+  /** HOF formulation of [[cosine]] — kept as the executable spec the
+    * native expression is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     (dotQ(a, b).cast("double") / Q) /
       (sqrt(dotQ(a, a).cast("double") / Q) *
         sqrt(dotQ(b, b).cast("double") / Q))
@@ -60,6 +70,7 @@ object Similarity {
     * (self excluded). Ground-truth baseline; O(|Q|·N).
     */
   def cosineTopK(emb: DataFrame, maxQid: Long = 10, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
     val q = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"))
@@ -94,6 +105,7 @@ object Similarity {
     * the oracle replays the identical algorithm.
     */
   def ivfTopK(emb: DataFrame, maxQid: Long = 10, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
     val cent = centroids(emb)
     val q = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -95,6 +95,32 @@ class DataPipelineSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("native cosine_sim_q expression matches the HOF spec bit-for-bit") {
+    graft.functions.GraftFunctions.install(spark)
+    val e = embs(
+      (0L, Seq(0.3f, -0.7f, 0.21f, 0.001f), 0),
+      (1L, Seq(-0.11f, 0.55f, 0.9f, -0.33f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.5f), 1))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+  }
+
+  test("cosine_sim_q accepts mixed float/double arrays without casting") {
+    graft.functions.GraftFunctions.install(spark)
+    val e = embs((0L, Seq(0.6f, 0.8f), 0))
+      .withColumn("dbl", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val r = e.select(
+      Similarity.cosine(col("embedding"), col("dbl")).as("c")).collect()
+    assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("textStats: token counts and ttr") {
     val d = docs(1L -> "a b a b c")
     val r = TextAnalysis.stats(d).collect().head
