@@ -18,9 +18,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on a cluster these would additionally be persisted parquet for
   * executor-local rehydration.
   */
-final class ReferenceTables(spark: SparkSession) {
+final class ReferenceTables(spark: SparkSession,
+    store: Option[JsonStore] = None, contentDir: Option[String] = None) {
 
   private val meta = new TrieMap[String, RefTableMeta]() // qualified → meta
+
+  // rehydrate persisted tables: metadata from the JSON snapshot,
+  // content from the per-table parquet written at upload time
+  store.foreach(_.load().foreach { n =>
+    val m = RefTableMeta(n.get("id").asText(), n.get("webhook_id").asText(),
+      n.get("table_name").asText(), n.get("qualified_name").asText(),
+      n.get("description").asText(), java.time.Instant.now(),
+      java.time.Instant.now())
+    contentDir.foreach { dir =>
+      val path = s"$dir/${m.qualifiedName}"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val df = spark.read.parquet(path).cache()
+        df.createOrReplaceTempView(m.qualifiedName)
+        meta.put(m.qualifiedName, m)
+      }
+    }
+  })
+
+  private def persist(): Unit = store.foreach { s =>
+    s.save(meta.values.toSeq.sortBy(_.qualifiedName).map { m =>
+      val n = s.newNode()
+      n.put("id", m.id)
+      n.put("webhook_id", m.webhookId)
+      n.put("table_name", m.tableName)
+      n.put("qualified_name", m.qualifiedName)
+      n.put("description", m.description)
+      n
+    })
+  }
 
   def qualifiedName(webhookId: String, tableName: String): String = {
     // sanitize like src/app.py:605-607: non-alphanumerics → _
@@ -55,6 +85,8 @@ final class ReferenceTables(spark: SparkSession) {
     val cached = df.cache()
     cached.count() // materialize now: upload-time errors surface at upload
     cached.createOrReplaceTempView(qname)
+    contentDir.foreach(dir => cached.write.mode("overwrite")
+      .parquet(s"$dir/$qname"))
     val now = Instant.now()
     val row = meta.get(qname) match {
       case Some(m) => m.copy(description = description, updatedAt = now)
@@ -62,6 +94,7 @@ final class ReferenceTables(spark: SparkSession) {
         tableName, qname, description, now, now)
     }
     meta.put(qname, row)
+    persist()
     row
   }
 
@@ -78,6 +111,7 @@ final class ReferenceTables(spark: SparkSession) {
       spark.catalog.dropTempView(m.qualifiedName)
       meta.remove(m.qualifiedName)
     }
+    persist()
     doomed.size
   }
 }

@@ -32,10 +32,29 @@ import org.apache.spark.sql.types._
   * Scale note: the compiled closure is serialized to executors like any
   * Spark UDF; compilation happens once on the driver per distinct source.
   */
-final class UdfRegistry(spark: SparkSession) {
+final class UdfRegistry(spark: SparkSession,
+    store: Option[JsonStore] = None) {
   import UdfCompiler.toolbox
 
   private val meta = new TrieMap[String, UdfMeta]() // qualifiedName → meta
+
+  // rehydrate persisted UDFs from source (the only durable form —
+  // matching the reference's python_udfs table, src/app.py:157-167)
+  store.foreach(_.load().foreach { n =>
+    register(n.get("webhook_id").asText(), n.get("function_name").asText(),
+      n.get("function_code").asText())
+  })
+
+  private def persist(): Unit = store.foreach { s =>
+    s.save(meta.values.toSeq.sortBy(_.qualifiedName).map { m =>
+      val n = s.newNode()
+      n.put("id", m.id)
+      n.put("webhook_id", m.webhookId)
+      n.put("function_name", m.functionName)
+      n.put("function_code", m.functionCode)
+      n
+    })
+  }
 
   def qualifiedName(webhookId: String, functionName: String): String =
     s"udf_${webhookId.replace("-", "_")}_$functionName"
@@ -89,6 +108,7 @@ final class UdfRegistry(spark: SparkSession) {
             functionName, qname, functionCode, now, now)
         }
         meta.put(qname, row)
+        persist()
         row
       }
     }
@@ -110,6 +130,7 @@ final class UdfRegistry(spark: SparkSession) {
   def delete(webhookId: String): Int = {
     val doomed = forWebhook(webhookId)
     doomed.foreach(m => meta.remove(m.qualifiedName))
+    persist()
     doomed.size
   }
 

@@ -7,12 +7,44 @@ import scala.collection.concurrent.TrieMap
   * semantics (src/app.py:253-348, 1600-1763). The catalog is tiny
   * (thousands of rows at most) and driver-resident by design — it is
   * control-plane state, not data — so a concurrent map + lock beats any
-  * distributed representation. Durability is a snapshot concern
-  * (see AuditLog for the data plane).
+  * distributed representation. With a `store`, every mutation snapshots
+  * atomically and a restart reloads the catalog (the reference's
+  * webhooks table durability, src/app.py:103-114).
   */
-final class WebhookCatalog {
+final class WebhookCatalog(store: Option[JsonStore] = None) {
 
   private val byId = new TrieMap[String, Webhook]()
+
+  store.foreach(_.load().foreach { n =>
+    val w = Webhook(n.get("id").asText(), n.get("source_path").asText(),
+      n.get("destination_url").asText(), n.get("transform_query").asText(),
+      Option(n.get("filter_query")).filterNot(_.isNull).map(_.asText()),
+      Option(n.get("owner")).filterNot(_.isNull).map(_.asText()),
+      Instant.ofEpochMilli(n.get("created_at").asLong()),
+      Instant.ofEpochMilli(n.get("updated_at").asLong()))
+    byId.put(w.id, w)
+  })
+
+  private def persist(): Unit = store.foreach { s =>
+    s.save(byId.values.toSeq.sortBy(_.id).map { w =>
+      val n = s.newNode()
+      n.put("id", w.id)
+      n.put("source_path", w.sourcePath)
+      n.put("destination_url", w.destinationUrl)
+      n.put("transform_query", w.transformQuery)
+      w.filterQuery match {
+        case Some(f) => n.put("filter_query", f)
+        case None => n.putNull("filter_query")
+      }
+      w.owner match {
+        case Some(o) => n.put("owner", o)
+        case None => n.putNull("owner")
+      }
+      n.put("created_at", w.createdAt.toEpochMilli)
+      n.put("updated_at", w.updatedAt.toEpochMilli)
+      n
+    })
+  }
 
   /** Register-or-update keyed on source_path — id is preserved on update
     * (src/app.py:253-317, pinned tests/test_webhook_management.py:44-80).
@@ -33,6 +65,7 @@ final class WebhookCatalog {
           config.transformQuery, config.filterQuery, config.owner, now, now)
       }
       byId.put(row.id, row)
+      persist()
       row
     }
   }
@@ -66,6 +99,7 @@ final class WebhookCatalog {
             updatedAt = Instant.now())
         else w
       byId.put(id, updated)
+      persist()
       updated
     }
   }
@@ -82,9 +116,11 @@ final class WebhookCatalog {
             updatedAt = Instant.now())
         else w
         byId.put(id, renamed)
+        persist()
         renamed
       } else {
         byId.remove(id)
+        persist()
         w
       }
     }

@@ -23,9 +23,11 @@ final class WebhookEngine(
     workDir: String,
     deliverFn: (String, String) => Delivery.Result = Delivery.deliver) {
 
-  val catalog = new WebhookCatalog
-  val udfs = new UdfRegistry(spark)
-  val refTables = new ReferenceTables(spark)
+  val catalog = new WebhookCatalog(Some(JsonStore(workDir, "webhooks.json")))
+  val udfs = new UdfRegistry(spark, Some(JsonStore(workDir, "udfs.json")))
+  val refTables = new ReferenceTables(spark,
+    Some(JsonStore(workDir, "reference_tables.json")),
+    Some(s"$workDir/reference_tables"))
   val audit = new AuditLog(spark, workDir)
   val transformer = new PayloadTransformer(spark)
 

@@ -124,38 +124,17 @@ object Dedup {
     * Pure integer arithmetic over md5 hex digits so any engine computes
     * the identical signature; near-dup detection is then hamming
     * distance over these (bucketable by 16-bit blocks at scale).
+    *
+    * One hash-aggregate pass via the typed [[graft.functions.SimHashAgg]]
+    * aggregator (64 signed counters per doc, map-side partials) — no
+    * tokens × bit-positions row blowup; the DuckDB oracle replays the
+    * identical arithmetic with its explode formulation.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val tok = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("t"))
-    val th = tok.select(col("doc_id"), md5(col("t").cast("binary")).as("h"))
-    val bits = spark.range(64).select(col("id").as("b"))
-    // value 0..15 of the hex digit this bit lives in, integer-divided by
-    // the bit's weight (8/4/2/1) — the parity is the md5 bit itself
-    val contrib = th.crossJoin(bits)
-      .select(col("doc_id"), col("b"),
-        expr("""CASE WHEN ((instr('0123456789abcdef',
-                            substr(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1)
-                       DIV (CASE CAST(b % 4 AS INT)
-                            WHEN 0 THEN 8 WHEN 1 THEN 4
-                            WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-                THEN 1 ELSE -1 END""").as("c"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("c")).as("s"))
-    val obits = contrib.select(col("doc_id"), col("b"),
-      when(col("s") >= 0, 1L).otherwise(0L).as("bit"))
-    val digits = obits
-      .groupBy(col("doc_id"), expr("b DIV 4").as("d"))
-      .agg(sum(col("bit") *
-        expr("CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
-        .as("dv"))
-    digits
-      .select(col("doc_id"), col("d"),
-        expr("substr('0123456789abcdef', CAST(dv AS INT) + 1, 1)").as("ch"))
+    val sim = udaf(graft.functions.SimHashAgg)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), md5(col("t").cast("binary")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("d"), col("ch")))),
-        s => s.getField("ch")), "").as("simhash"))
+      .agg(sim(col("h")).as("simhash"))
   }
 }
