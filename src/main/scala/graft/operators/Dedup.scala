@@ -120,6 +120,41 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SimHash near-duplicate pairs: candidates from 4×16-bit block
+    * bucketing (pigeonhole: hamming ≤ 3 ⇒ at least one of the four
+    * blocks is identical, so the blocked join is COMPLETE for the
+    * threshold — never all-pairs), verified by exact hamming distance
+    * over the hex signatures.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block bucketing is only complete for <= 3")
+    val sim = simhash(docs)
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), bk -> struct(bk AS bk, substr(simhash, 1 + bk * 4, 4) AS block))"))
+        .as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.bk"), col("b.block"))
+    val cand = blocks.as("b1")
+      .join(blocks.as("b2"),
+        col("b1.bk") === col("b2.bk") && col("b1.block") === col("b2.block") &&
+          col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("a"), col("b2.doc_id").as("b"),
+        col("b1.simhash").as("sa"), col("b2.simhash").as("sb"))
+      .distinct()
+    // hamming via per-hex-digit xor popcount (lookup-string trick)
+    val pos = docs.sparkSession.range(16).select(col("id").as("i"))
+    cand.crossJoin(pos)
+      .select(col("a"), col("b"),
+        expr("""CAST(substr('0112122312232334',
+                  CAST((instr('0123456789abcdef', substr(sa, CAST(i AS INT) + 1, 1)) - 1)
+                     ^ (instr('0123456789abcdef', substr(sb, CAST(i AS INT) + 1, 1)) - 1)
+                   AS INT) + 1, 1) AS BIGINT)""").as("d"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("d")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** 64-bit SimHash per document, rendered as a 16-hex-char signature.
     * Pure integer arithmetic over md5 hex digits so any engine computes
     * the identical signature; near-dup detection is then hamming

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, MediaPipeline, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, MediaPipeline, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator battery over the provided
   * `documents` / `embeddings` tables: dedup (exact, MinHash-LSH,
@@ -39,6 +39,42 @@ object DataPipeline {
        |  FROM sh s CROSS JOIN bands b
        |  GROUP BY s.doc_id, b.band
        |)""".stripMargin
+
+  /** DuckDB spelling of the SimHash signature computation (explode
+    * formulation; the Spark side computes the identical arithmetic in
+    * one pass via the SimHashAgg typed aggregator).
+    */
+  private val SimhashCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |                 t -> t <> '')) AS t
+      |  FROM documents
+      |),
+      |th AS (SELECT doc_id, md5(t) AS h FROM tok),
+      |bits AS (SELECT unnest(range(64)) AS b),
+      |contrib AS (
+      |  SELECT th.doc_id, bits.b,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                    substr(th.h, CAST(bits.b // 4 AS INT) + 1, 1)) - 1)
+      |             // (CASE bits.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN bits
+      |  GROUP BY th.doc_id, bits.b
+      |),
+      |digits AS (
+      |  SELECT doc_id, b // 4 AS d,
+      |    SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END
+      |        * CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |          WHEN 2 THEN 2 ELSE 1 END) AS dv
+      |  FROM contrib GROUP BY doc_id, b // 4
+      |),
+      |sim AS (
+      |  SELECT doc_id,
+      |         string_agg(substr('0123456789abcdef', CAST(dv AS INT) + 1, 1),
+      |                    '' ORDER BY d) AS simhash
+      |  FROM digits GROUP BY doc_id
+      |)""".stripMargin
 
   /** DuckDB spelling of per-dimension vector expansion + pico-quantized
     * norms (`FLOOR(x*1e12 + 0.5)` longs — mirrors Similarity.dotQ).
@@ -111,34 +147,72 @@ object DataPipeline {
       "q33_simhash",
       (s, dir) => Dedup.simhash(Tables(s, dir, "documents"))
         .orderBy("doc_id"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-             |                 t -> t <> '')) AS t
-             |  FROM documents
+      Some(s"""WITH $SimhashCte
+             |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
+
+    // --- SimHash near-dup pairs: 4×16-bit block buckets (complete for
+    //     hamming ≤ 3 by pigeonhole) + exact hamming verify.
+    QueryDef(
+      "q46_simhash_near_dup",
+      (s, dir) => Dedup.simhashNearDup(Tables(s, dir, "documents")),
+      Some(s"""WITH $SimhashCte,
+             |blocks AS (
+             |  SELECT s.doc_id, s.simhash, bl.bk,
+             |         substr(s.simhash, 1 + CAST(bl.bk AS INT) * 4, 4) AS block
+             |  FROM sim s CROSS JOIN (SELECT unnest(range(4)) AS bk) bl
              |),
-             |th AS (SELECT doc_id, md5(t) AS h FROM tok),
-             |bits AS (SELECT unnest(range(64)) AS b),
-             |contrib AS (
-             |  SELECT th.doc_id, bits.b,
-             |    SUM(CASE WHEN ((strpos('0123456789abcdef',
-             |                    substr(th.h, CAST(bits.b // 4 AS INT) + 1, 1)) - 1)
-             |             // (CASE bits.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-             |                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-             |        THEN 1 ELSE -1 END) AS s
-             |  FROM th CROSS JOIN bits
-             |  GROUP BY th.doc_id, bits.b
+             |cand AS (
+             |  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b,
+             |         b1.simhash AS sa, b2.simhash AS sb
+             |  FROM blocks b1 JOIN blocks b2
+             |    ON b1.bk = b2.bk AND b1.block = b2.block
+             |   AND b1.doc_id < b2.doc_id
              |),
-             |digits AS (
-             |  SELECT doc_id, b // 4 AS d,
-             |    SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END
-             |        * CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-             |          WHEN 2 THEN 2 ELSE 1 END) AS dv
-             |  FROM contrib GROUP BY doc_id, b // 4
+             |pos AS (SELECT unnest(range(16)) AS i),
+             |ham AS (
+             |  SELECT a, b,
+             |    SUM(CAST(substr('0112122312232334',
+             |      CAST(xor(strpos('0123456789abcdef', substr(sa, CAST(i AS INT) + 1, 1)) - 1,
+             |               strpos('0123456789abcdef', substr(sb, CAST(i AS INT) + 1, 1)) - 1)
+             |           AS INT) + 1, 1) AS BIGINT)) AS hamming
+             |  FROM cand CROSS JOIN pos GROUP BY a, b
              |)
-             |SELECT doc_id,
-             |       string_agg(substr('0123456789abcdef', CAST(dv AS INT) + 1, 1),
-             |                  '' ORDER BY d) AS simhash
-             |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |SELECT a, b, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- Backward as-of join (DuckDB-native ASOF as the oracle): each
+    //     click matched to the latest same-user error at or before it.
+    QueryDef(
+      "q47_asof_join",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000000000").as("sec"), col("event_type"))
+        val clicks = e.where(col("event_type") === "click")
+          .select("event_id", "user_id", "sec")
+        val errs = e.where(col("event_type") === "error")
+          .groupBy("user_id", "sec")
+          .agg(max("event_id").as("err_event_id"))
+          .withColumn("err_sec", col("sec"))
+        AsOfJoin.backward(clicks, errs, keys = Seq("user_id"),
+          leftTs = "sec", rightTs = "sec",
+          payloadCols = Seq("err_event_id", "err_sec"))
+          .select("event_id", "user_id", "sec", "err_event_id", "err_sec")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |           FROM events),
+             |clicks AS (SELECT event_id, user_id, sec FROM e
+             |           WHERE event_type = 'click'),
+             |errs AS (SELECT user_id, sec, MAX(event_id) AS err_event_id
+             |         FROM e WHERE event_type = 'error' GROUP BY user_id, sec)
+             |SELECT c.event_id, c.user_id, c.sec, r.err_event_id,
+             |       r.sec AS err_sec
+             |FROM clicks c ASOF LEFT JOIN errs r
+             |  ON c.user_id = r.user_id AND r.sec <= c.sec
+             |ORDER BY c.event_id""".stripMargin)),
 
     // --- Brute-force exact cosine top-5 for queries vec_id < 10.
     QueryDef(
