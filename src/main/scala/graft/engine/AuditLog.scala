@@ -34,10 +34,11 @@ final class AuditLog(spark: SparkSession, workDir: String,
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
-  def logRaw(sourcePath: String, payloadJson: String): RawEvent =
+  def logRaw(sourcePath: String, payloadJson: String,
+      id: Option[String] = None): RawEvent =
     synchronized {
-      val e = RawEvent(UUID.randomUUID().toString, nowMicros(), sourcePath,
-        payloadJson)
+      val e = RawEvent(id.getOrElse(UUID.randomUUID().toString), nowMicros(),
+        sourcePath, payloadJson)
       rawBuf += e
       if (rawBuf.size >= flushEvery) flushRaw()
       e
@@ -77,14 +78,19 @@ final class AuditLog(spark: SparkSession, workDir: String,
   def flush(): Unit = synchronized { flushRaw(); flushTransformed() }
 
   private def readDir(dir: String, bufDf: => DataFrame): DataFrame = {
-    // Only a genuinely-absent directory means "nothing flushed yet";
-    // any other read failure (corruption, permissions) must propagate —
-    // silently treating it as empty would drop audit history from
-    // query results.
+    // An absent directory, or one a crashed flush left with no
+    // committed parquet yet (schema inference fails), means "nothing
+    // flushed" — degrade to buffer-only. Any OTHER read failure
+    // (corruption, permissions) propagates: silently treating it as
+    // empty would drop audit history from query results.
     val onDisk =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-        Some(spark.read.parquet(dir))
-      else None
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
+      else try Some(spark.read.parquet(dir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema") => None
+      }
     onDisk match {
       case Some(d) => d.unionByName(bufDf, allowMissingColumns = true)
       case None => bufDf

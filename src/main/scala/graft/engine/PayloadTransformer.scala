@@ -100,21 +100,29 @@ final class PayloadTransformer(spark: SparkSession) {
   def batchFilter(events: Seq[(String, String)],
       filterQuery: String): Set[String] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, expr, from_json}
+    import org.apache.spark.sql.functions.{array, col, explode, expr, from_json, ltrim, when}
+    import org.apache.spark.sql.types.ArrayType
     if (events.isEmpty) return Set.empty
-    // Infer a union schema from the batch's payloads, then parse each
-    // payload against it alongside its event id. Known edge vs the
-    // per-event path: an event MISSING a filtered column reads as null
-    // here (filtered out) where the per-event path raises and audits an
-    // "Error:" row — only reachable with mixed-shape batches.
+    // Infer a union schema from the batch's payloads (spark.read.json
+    // flattens top-level arrays into rows, so the inferred struct covers
+    // array elements too), then parse each payload against it alongside
+    // its event id. Array payloads parse as ArrayType(schema) and
+    // explode — keep = at least one row matches, exactly the per-event
+    // COUNT(*)>0 gate. Known edge vs the per-event path: an event
+    // MISSING a filtered column reads as null here (filtered out) where
+    // the per-event path raises and audits an "Error:" row — only
+    // reachable with mixed-shape batches.
     val payloadDf = spark.read.json(events.map(_._2).toDS())
     val schema = payloadDf.schema
     events.toDF("__eid", "__json")
       .select(col("__eid"),
-        from_json(col("__json"), schema).as("__p"))
+        explode(when(ltrim(col("__json")).startsWith("["),
+          from_json(col("__json"), ArrayType(schema)))
+          .otherwise(array(from_json(col("__json"), schema)))).as("__p"))
       .select(col("__eid"), col("__p.*"))
       .where(expr(filterQuery))
       .select("__eid")
+      .distinct()
       .collect()
       .map(_.getString(0))
       .toSet

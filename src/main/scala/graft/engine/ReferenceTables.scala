@@ -28,8 +28,9 @@ final class ReferenceTables(spark: SparkSession,
   store.foreach(_.load().foreach { n =>
     val m = RefTableMeta(n.get("id").asText(), n.get("webhook_id").asText(),
       n.get("table_name").asText(), n.get("qualified_name").asText(),
-      n.get("description").asText(), java.time.Instant.now(),
-      java.time.Instant.now())
+      n.get("description").asText(),
+      java.time.Instant.ofEpochMilli(n.get("created_at").asLong()),
+      java.time.Instant.ofEpochMilli(n.get("updated_at").asLong()))
     contentDir.foreach { dir =>
       val path = s"$dir/${m.qualifiedName}"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
@@ -48,6 +49,8 @@ final class ReferenceTables(spark: SparkSession,
       n.put("table_name", m.tableName)
       n.put("qualified_name", m.qualifiedName)
       n.put("description", m.description)
+      n.put("created_at", m.createdAt.toEpochMilli)
+      n.put("updated_at", m.updatedAt.toEpochMilli)
       n
     })
   }
@@ -105,7 +108,7 @@ final class ReferenceTables(spark: SparkSession,
 
   def table(qname: String): DataFrame = spark.table(qname)
 
-  def delete(webhookId: String): Int = {
+  def delete(webhookId: String): Int = synchronized {
     val doomed = forWebhook(webhookId)
     doomed.foreach { m =>
       spark.catalog.dropTempView(m.qualifiedName)

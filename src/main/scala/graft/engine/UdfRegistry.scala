@@ -34,15 +34,32 @@ import org.apache.spark.sql.types._
   */
 final class UdfRegistry(spark: SparkSession,
     store: Option[JsonStore] = None) {
-  import UdfCompiler.toolbox
 
   private val meta = new TrieMap[String, UdfMeta]() // qualifiedName → meta
+  // qnames currently registered in the session FunctionRegistry — makes
+  // per-event rehydration a cheap set check, not a recompile/re-persist
+  private val sparkRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // rehydrate persisted UDFs from source (the only durable form —
-  // matching the reference's python_udfs table, src/app.py:157-167)
+  // matching the reference's python_udfs table, src/app.py:157-167),
+  // preserving persisted ids and timestamps so clients keyed on the
+  // UDF id survive restarts
   store.foreach(_.load().foreach { n =>
-    register(n.get("webhook_id").asText(), n.get("function_name").asText(),
-      n.get("function_code").asText())
+    val code = n.get("function_code").asText()
+    val fnName = n.get("function_name").asText()
+    parseSignature(code, fnName).foreach { case (paramTypes, ret) =>
+      try {
+        UdfCompiler.compile(code, fnName)
+        val qname = qualifiedName(n.get("webhook_id").asText(), fnName)
+        registerWithSpark(qname, paramTypes, ret, code, fnName)
+        meta.put(qname, UdfMeta(n.get("id").asText(), n.get("webhook_id").asText(),
+          fnName, qname, code,
+          Instant.ofEpochMilli(n.get("created_at").asLong()),
+          Instant.ofEpochMilli(n.get("updated_at").asLong())))
+        sparkRegistered.add(qname)
+      } catch { case _: Throwable => } // unloadable source: skip, keep rest
+    }
   })
 
   private def persist(): Unit = store.foreach { s =>
@@ -52,6 +69,8 @@ final class UdfRegistry(spark: SparkSession,
       n.put("webhook_id", m.webhookId)
       n.put("function_name", m.functionName)
       n.put("function_code", m.functionCode)
+      n.put("created_at", m.createdAt.toEpochMilli)
+      n.put("updated_at", m.updatedAt.toEpochMilli)
       n
     })
   }
@@ -69,7 +88,7 @@ final class UdfRegistry(spark: SparkSession,
       fnName: String): Either[String, (Seq[String], String)] =
     try {
       import scala.reflect.runtime.universe._
-      val tree = toolbox.parse(code)
+      val tree = UdfCompiler.parse(code)
       val defs = (tree match {
         case b: Block => b.stats :+ b.expr
         case single => List(single)
@@ -108,6 +127,7 @@ final class UdfRegistry(spark: SparkSession,
             functionName, qname, functionCode, now, now)
         }
         meta.put(qname, row)
+        sparkRegistered.add(qname)
         persist()
         row
       }
@@ -115,21 +135,35 @@ final class UdfRegistry(spark: SparkSession,
   }
 
   /** Rehydrate every UDF belonging to a webhook from stored source
-    * (reference P6, src/app.py:787-834) — cheap here because of the
-    * compile cache; exists so function definitions survive restarts.
+    * (reference P6, src/app.py:787-834). Runs on the per-event hot path,
+    * so it is a no-op set check for already-registered functions — no
+    * re-parse, no persist, no timestamp churn; only functions missing
+    * from the session registry (dropped externally) re-register.
     */
   def loadWebhookUdfs(webhookId: String): Seq[UdfMeta] =
-    forWebhook(webhookId).flatMap(m =>
-      register(m.webhookId, m.functionName, m.functionCode).toOption)
+    forWebhook(webhookId).map { m =>
+      if (!sparkRegistered.contains(m.qualifiedName)) synchronized {
+        parseSignature(m.functionCode, m.functionName).foreach {
+          case (paramTypes, ret) =>
+            registerWithSpark(m.qualifiedName, paramTypes, ret,
+              m.functionCode, m.functionName)
+            sparkRegistered.add(m.qualifiedName)
+        }
+      }
+      m
+    }
 
   def forWebhook(webhookId: String): Seq[UdfMeta] =
     meta.values.filter(_.webhookId == webhookId).toSeq.sortBy(_.functionName)
 
   def list(): Seq[UdfMeta] = meta.values.toSeq.sortBy(_.qualifiedName)
 
-  def delete(webhookId: String): Int = {
+  def delete(webhookId: String): Int = synchronized {
     val doomed = forWebhook(webhookId)
-    doomed.foreach(m => meta.remove(m.qualifiedName))
+    doomed.foreach { m =>
+      meta.remove(m.qualifiedName)
+      sparkRegistered.remove(m.qualifiedName)
+    }
     persist()
     doomed.size
   }
@@ -171,7 +205,7 @@ final class UdfRegistry(spark: SparkSession,
   */
 object UdfCompiler {
 
-  lazy val toolbox = {
+  private lazy val toolbox = {
     import scala.tools.reflect.ToolBox
     scala.reflect.runtime.currentMirror.mkToolBox()
   }
@@ -181,6 +215,13 @@ object UdfCompiler {
   private def sha(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  /** Parse under the shared ToolBox lock (the ToolBox is not
+    * thread-safe, and executor task threads compile lazily under the
+    * same lock).
+    */
+  def parse(code: String): scala.reflect.runtime.universe.Tree =
+    synchronized { toolbox.parse(code) }
 
   /** Compile `code` and return `fnName` as a function object; cached by
     * content hash, synchronized (ToolBox eval is not thread-safe).

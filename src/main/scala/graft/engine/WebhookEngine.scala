@@ -232,13 +232,6 @@ final class WebhookEngine(
     import spark.implicits._
     SqlCompat.install(spark)
     audit.registerViews()
-    // sqlite_master catalog shim (test_db_manager.py:24-26 probes it):
-    // every registered relation listed DuckDB/SQLite-style
-    spark.catalog.listTables().collect()
-      .map(t => ("table", t.name, t.name, s"CREATE TABLE ${t.name} (...)"))
-      .toSeq
-      .toDF("type", "name", "tbl_name", "sql")
-      .createOrReplaceTempView("sqlite_master")
     catalog.list()
       .map(w => (w.id, w.sourcePath, w.destinationUrl, w.transformQuery,
         w.filterQuery.orNull, w.owner.orNull,
@@ -261,6 +254,14 @@ final class WebhookEngine(
       .toDF("id", "webhook_id", "function_name", "function_code",
         "created_at", "updated_at")
       .createOrReplaceTempView("python_udfs")
+    // sqlite_master catalog shim (test_db_manager.py:24-26 probes it) —
+    // built LAST so it lists the views registered above
+    spark.catalog.listTables().collect()
+      .filter(_.name != "sqlite_master")
+      .map(t => ("table", t.name, t.name, s"CREATE TABLE ${t.name} (...)"))
+      .toSeq
+      .toDF("type", "name", "tbl_name", "sql")
+      .createOrReplaceTempView("sqlite_master")
   }
 
   // ---- read surfaces over the audit tables ----

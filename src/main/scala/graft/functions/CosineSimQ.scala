@@ -57,7 +57,10 @@ case class CosineSimQ(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensionality is malformed input: surface as NULL
+    // rather than a plausible-looking truncated similarity
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0L; var nx = 0L; var ny = 0L
     var i = 0
     while (i < n) {
@@ -85,17 +88,21 @@ case class CosineSimQ(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |long $dot = 0L; long $nx = 0L; long $ny = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.$lGet($i);
-         |  double $yi = (double) $y.$rGet($i);
-         |  $dot += (long) Math.floor($xi * $yi * 1e12 + 0.5);
-         |  $nx += (long) Math.floor($xi * $xi * 1e12 + 0.5);
-         |  $ny += (long) Math.floor($yi * $yi * 1e12 + 0.5);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $dot = 0L; long $nx = 0L; long $ny = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.$lGet($i);
+         |    double $yi = (double) $y.$rGet($i);
+         |    $dot += (long) Math.floor($xi * $yi * 1e12 + 0.5);
+         |    $nx += (long) Math.floor($xi * $xi * 1e12 + 0.5);
+         |    $ny += (long) Math.floor($yi * $yi * 1e12 + 0.5);
+         |  }
+         |  ${ev.value} = ($dot / 1e12) /
+         |    (Math.sqrt($nx / 1e12) * Math.sqrt($ny / 1e12));
          |}
-         |${ev.value} = ($dot / 1e12) /
-         |  (Math.sqrt($nx / 1e12) * Math.sqrt($ny / 1e12));
        """.stripMargin
     })
   }

@@ -207,7 +207,14 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
     }
 
   private def events(ex: HttpExchange): Unit = {
-    val limit = queryParams(ex).get("limit").map(_.toInt).getOrElse(5)
+    val limit = queryParams(ex).get("limit") match {
+      case None => 5
+      case Some(v) => v.toIntOption match {
+        case Some(n) => n
+        case None =>
+          send(ex, 422, obj("detail" -> s"invalid limit: $v")); return
+      }
+    }
     val arr = mapper.createArrayNode()
     engine.recentEvents(limit).collect().foreach { r =>
       val o = mapper.createObjectNode()

@@ -22,12 +22,13 @@ import graft.engine.{RawEvent, WebhookEngine}
   *  - unroutable events (no webhook for the path) are dropped after
   *    counting, mirroring the reference's 404.
   *
-  * Exactly-once notes: audit appends are idempotent per (event id), and
-  * the raw-event id is assigned inside the batch, so checkpoint replays
-  * re-deliver but audit rows deduplicate on id downstream. A production
-  * deployment would put the delivery call behind an idempotency key —
-  * delivery semantics are at-least-once, same as the reference's
-  * fire-and-forget background task.
+  * Exactly-once notes: raw-event ids are DETERMINISTIC —
+  * name-UUIDs of (batchId, path, index-within-group, payload) — so a
+  * checkpoint replay of a micro-batch reproduces the same ids and
+  * downstream consumers (and audit compaction) can deduplicate on id.
+  * Delivery itself is at-least-once, same as the reference's
+  * fire-and-forget background task; a production deployment would put
+  * the delivery call behind an idempotency key.
   */
 final class StreamIngest(engine: WebhookEngine) {
 
@@ -42,21 +43,27 @@ final class StreamIngest(engine: WebhookEngine) {
     events.writeStream
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime(0L))
-      .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>
-        processMicroBatch(batch.collect().toSeq)
+      .foreachBatch { (batch: Dataset[(String, String)], batchId: Long) =>
+        processMicroBatch(batch.collect().toSeq, batchId)
       }
       .start()
 
   /** Process one micro-batch: group by path, route once per group,
-    * batch-audit, set-oriented filter + transform + deliver.
+    * batch-audit (deterministic ids), set-oriented filter + transform +
+    * deliver.
     */
-  def processMicroBatch(events: Seq[(String, String)]): Unit =
+  def processMicroBatch(events: Seq[(String, String)],
+      batchId: Long = 0L): Unit =
     events.groupBy(_._1).foreach { case (path, group) =>
       engine.catalog.byPath(path) match {
         case None => // unroutable: reference 404s; streaming drops
         case Some(webhook) =>
-          val raws: Seq[RawEvent] =
-            group.map { case (p, payload) => engine.audit.logRaw(p, payload) }
+          val raws: Seq[RawEvent] = group.zipWithIndex.map {
+            case ((p, payload), idx) =>
+              val id = java.util.UUID.nameUUIDFromBytes(
+                s"$batchId|$p|$idx|$payload".getBytes("UTF-8")).toString
+              engine.audit.logRaw(p, payload, Some(id))
+          }
           engine.processBatch(webhook, raws)
       }
     }

@@ -69,6 +69,22 @@ class StreamIngestSpec extends SparkSpec {
     assert(perEvent.map(_.filtered) == Seq(false, true, false))
   }
 
+  test("processBatch: JSON-array payloads filter like the per-event path") {
+    val e = newEngine()
+    val w = e.register(WebhookConfig("/array-hook", "https://example.com/x",
+      "SELECT * FROM {{payload}}", Some("amount > 100"), None)).toOption.get
+    val raws = Seq(
+      // any element matching keeps the event (COUNT(*)>0 gate)
+      e.audit.logRaw("/array-hook", """[{"amount": 50}, {"amount": 200}]"""),
+      e.audit.logRaw("/array-hook", """[{"amount": 1}, {"amount": 2}]"""),
+      e.audit.logRaw("/array-hook", """{"amount": 150}"""))
+    val results = e.processBatch(w, raws)
+    assert(results.map(_.filtered) == Seq(false, true, false))
+    // agrees with the per-event gate on the same payloads
+    val perEvent = raws.map(r => e.process(w, r.id, r.payload))
+    assert(perEvent.map(_.filtered) == Seq(false, true, false))
+  }
+
   test("processBatch: broken filter falls back to Error audit rows") {
     val e = newEngine()
     val w = e.register(WebhookConfig("/bad-filter", "https://example.com/x",
