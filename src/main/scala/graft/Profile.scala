@@ -2,14 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiling harness: runs each headline query N times and prints
+/** Dev profiling harness: runs each selected query N times and prints
   * per-iteration wall times, so cold (JIT + footer-cache) vs steady-state
-  * cost is visible. Usage: sbt "runMain graft.Profile [sfDir] [iters]".
+  * cost is visible. Usage:
+  * sbt "runMain graft.Profile [sfDir] [iters] [nameRegex]".
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val nameFilter = args.lift(2).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +21,12 @@ object Profile {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (name <- SparkEntry.benchNames) {
+    val names = nameFilter match {
+      case None => SparkEntry.benchNames
+      case Some(re) =>
+        SparkEntry.allDefs.map(_.name).filter(re.findFirstIn(_).isDefined)
+    }
+    for (name <- names) {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)

@@ -30,14 +30,23 @@ object DataPipeline {
       |  FROM toks
       |)""".stripMargin
 
-  /** DuckDB spelling of the shared MinHash CTE (8 bands, r=1). */
+  /** DuckDB spelling of the shared MinHash CTE (8 bands, r=1,
+    * Kirsch-Mitzenmacher mixing over two 32-bit md5 halves — mirrors
+    * Dedup.minhash exactly, including the hex parsing arithmetic).
+    */
   private val MinhashCte =
     s"""$ShinglesCte,
+       |hh AS (
+       |  SELECT doc_id,
+       |         ${Dedup.hexToLongSql("md5(shingle)", 1, "strpos")} AS h1,
+       |         ${Dedup.hexToLongSql("md5(shingle)", 9, "strpos")} AS h2
+       |  FROM sh
+       |),
        |bands AS (SELECT unnest(range(8)) AS band),
        |mh AS (
-       |  SELECT s.doc_id, b.band, MIN(md5(b.band || '|' || s.shingle)) AS minhash
-       |  FROM sh s CROSS JOIN bands b
-       |  GROUP BY s.doc_id, b.band
+       |  SELECT doc_id, band, MIN((h1 + band * h2) % 4294967296) AS minhash
+       |  FROM hh CROSS JOIN bands
+       |  GROUP BY doc_id, band
        |)""".stripMargin
 
   /** DuckDB spelling of the SimHash signature computation (explode

@@ -521,6 +521,45 @@ object Relational {
              |WHERE c_acctbal > nation_avg
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --- CUBE grouping sets over two dimensions (all 4 combinations in
+    //     one aggregate pass; nulls coalesced so null-ordering semantics
+    //     can't differ between engines).
+    QueryDef(
+      "q24_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sumMoney(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority")
+      },
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |       ${sumMoneySql("o_totalprice")} AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // --- HLL sketch (approx_count_distinct): estimator internals are
+    //     engine-specific, so this is a rows-only gate entry — the exact
+    //     counterpart is q15.
+    QueryDef(
+      "q25_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // --- Range (interval) join: equi key + band predicate. The equi
     //     part (user_id) drives the join strategy, so this plans as a
     //     hash/sort-merge join with the range as a join-time filter —
