@@ -455,6 +455,38 @@ object Relational {
              |GROUP BY 1, 2, 3
              |ORDER BY o_year, o_month""".stripMargin)),
 
+    // --- TPC-H Q18-shaped large-volume orders: aggregate-derived semi
+    //     join (IN over a HAVING subquery) + 3-way join + re-aggregate.
+    //     The HAVING subquery output is small, so its join side is
+    //     broadcast by AQE at runtime; the fact table never shuffles
+    //     before the final per-order aggregate.
+    QueryDef(
+      "q18_large_volume_orders",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("q"))
+          .where(col("q") > 250)
+          .select("l_orderkey")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"))
+          .agg(sum("l_quantity").as("total_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |       SUM(l_quantity) AS total_qty
+             |FROM customer, orders, lineitem
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+             |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // --- GROUP BY + HAVING.
     QueryDef(
       "q19_having",

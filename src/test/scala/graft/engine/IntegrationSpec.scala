@@ -136,6 +136,24 @@ class IntegrationSpec extends SparkSpec {
     assert(e.ingest("/known", """{"a": 1}""").isRight)
   }
 
+  test("concurrent ingest from multiple threads is safe and fully audited") {
+    val e = newEngine()
+    e.register(WebhookConfig("/concurrent", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val acks = Await.result(
+      Future.sequence((1 to 4).map(t => Future {
+        (1 to 5).map(i => e.ingest("/concurrent", s"""{"t": $t, "i": $i}"""))
+      })), 120.seconds).flatten
+    assert(acks.forall(_.isRight))
+    assert(acks.flatMap(_.toOption).map(_.eventId).distinct.size == 20)
+    val rows = e.adHocQuery(
+      "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
+    assert(rows == Seq(Seq(20L)))
+  }
+
   test("audit survives flush: buffered + on-disk rows union (AuditLog)") {
     val e = newEngine()
     e.register(WebhookConfig("/flush-test", "https://example.com/x",
