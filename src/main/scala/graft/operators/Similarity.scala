@@ -100,6 +100,57 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("centroid"))
 
+  /** Embedding near-duplicate pairs via random-hyperplane LSH: 16
+    * deterministic ±1 hyperplanes (signs derived from md5(plane|dim),
+    * so any engine regenerates the identical planes), each vector's
+    * 16-bit sign-of-projection bucket key, candidate pairs within a
+    * bucket only, then exact quantized-cosine verification ≥
+    * `threshold`.
+    *
+    * 100 TB notes: the plane matrix is 16×64 constants (broadcast); the
+    * projection pass is one narrow join + aggregate; candidates come
+    * from a bucket-key equi-join — never all-pairs. Collision
+    * probability per plane is 1-θ/π, so 16 bits concentrate candidates
+    * at cosine ≈ 1 — exactly the near-dup regime.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.99,
+      planes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val spark = emb.sparkSession
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("vf").cast("double").as("v"))
+    val planeTab = spark.range(planes).select(col("id").as("p"))
+      .crossJoin(spark.range(1, 65).select(col("id").as("i")))
+      .select(col("p"), col("i"),
+        when(expr("(instr('0123456789abcdef', substr(md5(CAST(concat(p, '|', i) AS BINARY)), 1, 1)) - 1) % 2 = 1"),
+          1).otherwise(-1).as("s"))
+    val proj = dims.join(broadcast(planeTab), "i")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(floor(col("s") * col("v") * 1e12 + 0.5)).as("pr"))
+    val keys = proj
+      .select(col("vec_id"), col("p"),
+        when(col("pr") >= 0, "1").otherwise("0").as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("bit")))),
+        s => s.getField("bit")), "").as("bucket"))
+    val cand = keys.as("k1")
+      .join(keys.as("k2"),
+        col("k1.bucket") === col("k2.bucket") &&
+          col("k1.vec_id") < col("k2.vec_id"))
+      .select(col("k1.vec_id").as("a"), col("k2.vec_id").as("b"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.as("va"), col("va.vec_id") === col("a"))
+      .join(vecs.as("vb"), col("vb.vec_id") === col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("va.embedding"), col("vb.embedding")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** IVF top-k: assign each query to its nearest centroid (1-probe),
     * then brute-force only within that cluster. Approximate by design;
     * the oracle replays the identical algorithm.

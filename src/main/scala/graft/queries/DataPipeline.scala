@@ -312,6 +312,78 @@ object DataPipeline {
              |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
              |ORDER BY qid, rnk""".stripMargin)),
 
+    // --- Embedding near-dup via deterministic random-hyperplane LSH.
+    //     Demonstrated over the provided vectors unioned with an
+    //     id-shifted copy of themselves, so the planted ground truth is
+    //     exactly the 1:1 self-pairs — the gate checks the operator
+    //     finds all of them (100% recall at cosine ≥ 0.99) and nothing
+    //     else, bucketed (never all-pairs).
+    QueryDef(
+      "q48_embedding_near_dup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+        val base = e.unionByName(e.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Similarity.embeddingNearDup(base)
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, embedding FROM embeddings
+             |),
+             |dims AS (
+             |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |),
+             |planes AS (
+             |  SELECT p.p, d.i,
+             |    CASE WHEN (strpos('0123456789abcdef',
+             |           substr(md5(p.p || '|' || d.i), 1, 1)) - 1) % 2 = 1
+             |      THEN 1 ELSE -1 END AS s
+             |  FROM (SELECT unnest(range(16)) AS p) p
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+             |),
+             |proj AS (
+             |  SELECT d.vec_id, pl.p,
+             |    SUM(CAST(FLOOR(pl.s * d.v * 1000000000000 + 0.5) AS BIGINT)) AS pr
+             |  FROM dims d JOIN planes pl ON pl.i = d.i
+             |  GROUP BY d.vec_id, pl.p
+             |),
+             |keys AS (
+             |  SELECT vec_id,
+             |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+             |               ORDER BY p) AS bucket
+             |  FROM proj GROUP BY vec_id
+             |),
+             |cand AS (
+             |  SELECT k1.vec_id AS a, k2.vec_id AS b
+             |  FROM keys k1 JOIN keys k2
+             |    ON k1.bucket = k2.bucket AND k1.vec_id < k2.vec_id
+             |),
+             |norm AS (
+             |  SELECT vec_id,
+             |         SUM(CAST(FLOOR(v * v * 1000000000000 + 0.5) AS BIGINT)) AS n2
+             |  FROM dims GROUP BY vec_id
+             |),
+             |dot AS (
+             |  SELECT c.a, c.b,
+             |    SUM(CAST(FLOOR(x.v * y.v * 1000000000000 + 0.5) AS BIGINT)) AS d
+             |  FROM cand c JOIN dims x ON x.vec_id = c.a
+             |              JOIN dims y ON y.vec_id = c.b AND y.i = x.i
+             |  GROUP BY c.a, c.b
+             |),
+             |scored AS (
+             |  SELECT a, b,
+             |    (CAST(d AS DOUBLE) / 1000000000000)
+             |      / (sqrt(CAST(na.n2 AS DOUBLE) / 1000000000000)
+             |       * sqrt(CAST(nb.n2 AS DOUBLE) / 1000000000000)) AS cosine
+             |  FROM dot JOIN norm na ON na.vec_id = a
+             |           JOIN norm nb ON nb.vec_id = b
+             |)
+             |SELECT a, b, cosine FROM scored WHERE cosine >= 0.99
+             |ORDER BY a, b""".stripMargin)),
+
     // --- Per-document text statistics + quality bucket.
     QueryDef(
       "q36_text_stats",

@@ -121,6 +121,18 @@ class DataPipelineSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("embeddingNearDup: finds exact duplicates, skips unrelated vectors") {
+    val e = embs(
+      (0L, Seq(0.3f, -0.7f, 0.2f, 0.1f), 0),
+      (1L, Seq(0.3f, -0.7f, 0.2f, 0.1f), 0), // exact dup of 0
+      (2L, Seq(-0.5f, 0.5f, 0.5f, -0.5f), 1))
+      .withColumn("embedding",
+        expr("concat(embedding, array_repeat(CAST(0.0 AS FLOAT), 60))"))
+    val pairs = Similarity.embeddingNearDup(e).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("textStats: token counts and ttr") {
     val d = docs(1L -> "a b a b c")
     val r = TextAnalysis.stats(d).collect().head
