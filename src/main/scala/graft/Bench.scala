@@ -38,10 +38,14 @@ object Bench {
     // so steady-state is the comparable number.
     SparkEntry.benchNames.foreach(run)
 
-    // Timed: best of 2 steady-state runs per query.
+    // Timed: best of 3 steady-state runs per query (a GC between
+    // queries keeps one query's garbage from being charged to the
+    // next — single-JVM local mode shares the heap across them).
     val results = SparkEntry.benchNames.map { n =>
-      val a = run(n); val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      System.gc()
+      val ts = (1 to 3).map(_ => run(n))
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
