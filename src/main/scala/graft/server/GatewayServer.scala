@@ -35,8 +35,12 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
 
   def start(): GatewayServer = {
     server.createContext("/", handle _)
-    server.setExecutor(null) // single-threaded, matching the reference's
-    server.start() //          globally-serialized executor (SURVEY §4)
+    // A small pool rather than the reference's globally-serialized
+    // executor: the engine is thread-safe (SparkSession concurrent SQL,
+    // synchronized catalog mutations, locked UDF compiles), so slow
+    // analytics queries don't block ingestion.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
     this
   }
 
