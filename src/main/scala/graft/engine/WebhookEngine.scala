@@ -31,6 +31,10 @@ final class WebhookEngine(
   val audit = new AuditLog(spark, workDir)
   val transformer = new PayloadTransformer(spark)
 
+  // dialect shims must exist before the FIRST transform runs (webhook
+  // transform queries may use json_extract), not first ad-hoc query
+  SqlCompat.install(spark)
+
   // ---- registration surface (src/app.py:934-953) ----
 
   def register(config: WebhookConfig): Either[String, Webhook] =
