@@ -100,7 +100,7 @@ final class PayloadTransformer(spark: SparkSession) {
   def batchFilter(events: Seq[(String, String)],
       filterQuery: String): Set[String] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{array, col, explode, expr, from_json, ltrim, when}
+    import org.apache.spark.sql.functions.{array, col, explode, expr, from_json, when}
     import org.apache.spark.sql.types.ArrayType
     if (events.isEmpty) return Set.empty
     // Infer a union schema from the batch's payloads (spark.read.json
@@ -116,7 +116,7 @@ final class PayloadTransformer(spark: SparkSession) {
     val schema = payloadDf.schema
     events.toDF("__eid", "__json")
       .select(col("__eid"),
-        explode(when(ltrim(col("__json")).startsWith("["),
+        explode(when(expr("__json RLIKE '^\\\\s*\\\\['"),
           from_json(col("__json"), ArrayType(schema)))
           .otherwise(array(from_json(col("__json"), schema)))).as("__p"))
       .select(col("__eid"), col("__p.*"))

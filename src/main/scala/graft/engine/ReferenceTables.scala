@@ -29,8 +29,10 @@ final class ReferenceTables(spark: SparkSession,
     val m = RefTableMeta(n.get("id").asText(), n.get("webhook_id").asText(),
       n.get("table_name").asText(), n.get("qualified_name").asText(),
       n.get("description").asText(),
-      java.time.Instant.ofEpochMilli(n.get("created_at").asLong()),
-      java.time.Instant.ofEpochMilli(n.get("updated_at").asLong()))
+      java.time.Instant.ofEpochMilli(
+        n.path("created_at").asLong(System.currentTimeMillis())),
+      java.time.Instant.ofEpochMilli(
+        n.path("updated_at").asLong(System.currentTimeMillis())))
     contentDir.foreach { dir =>
       val path = s"$dir/${m.qualifiedName}"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {

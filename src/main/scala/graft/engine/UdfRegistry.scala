@@ -55,8 +55,10 @@ final class UdfRegistry(spark: SparkSession,
         registerWithSpark(qname, paramTypes, ret, code, fnName)
         meta.put(qname, UdfMeta(n.get("id").asText(), n.get("webhook_id").asText(),
           fnName, qname, code,
-          Instant.ofEpochMilli(n.get("created_at").asLong()),
-          Instant.ofEpochMilli(n.get("updated_at").asLong())))
+          Instant.ofEpochMilli(
+            n.path("created_at").asLong(System.currentTimeMillis())),
+          Instant.ofEpochMilli(
+            n.path("updated_at").asLong(System.currentTimeMillis()))))
         sparkRegistered.add(qname)
       } catch { case _: Throwable => } // unloadable source: skip, keep rest
     }

@@ -30,6 +30,7 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -39,12 +40,15 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
     // executor: the engine is thread-safe (SparkSession concurrent SQL,
     // synchronized catalog mutations, locked UDF compiles), so slow
     // analytics queries don't block ingestion.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown() // non-daemon threads would otherwise pin the JVM
+  }
 
   // ---- routing ----
 
@@ -214,8 +218,8 @@ final class GatewayServer(engine: WebhookEngine, port: Int = 0,
     val limit = queryParams(ex).get("limit") match {
       case None => 5
       case Some(v) => v.toIntOption match {
-        case Some(n) => n
-        case None =>
+        case Some(n) if n >= 0 => n
+        case _ =>
           send(ex, 422, obj("detail" -> s"invalid limit: $v")); return
       }
     }

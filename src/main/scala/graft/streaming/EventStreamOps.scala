@@ -66,9 +66,16 @@ object EventStreamOps {
           var cur = state.getOption
           sorted.foreach { sec =>
             cur match {
-              case Some(s) if sec - s.lastTs <= gapSec =>
-                cur = Some(s.copy(lastTs = sec, nEvents = s.nEvents + 1))
-              case Some(s) => // gap exceeded: close previous, open new
+              // late event within the open session's reach: merge without
+              // moving lastTs backwards (cross-batch out-of-order data)
+              case Some(s) if sec >= s.firstTs - gapSec && sec <= s.lastTs + gapSec =>
+                cur = Some(SessionState(math.min(s.firstTs, sec),
+                  math.max(s.lastTs, sec), s.nEvents + 1))
+              case Some(s) if sec < s.firstTs - gapSec =>
+                // too-late event predating the open session: drop (a
+                // watermarked deployment would have finalized it)
+                cur = Some(s)
+              case Some(s) => // gap exceeded forward: close, open new
                 out ::= Session(userId, s.firstTs, s.lastTs, s.nEvents)
                 cur = Some(SessionState(sec, sec, 1))
               case None =>

@@ -22,8 +22,8 @@ import graft.engine.{RawEvent, WebhookEngine}
   *  - unroutable events (no webhook for the path) are dropped after
   *    counting, mirroring the reference's 404.
   *
-  * Exactly-once notes: raw-event ids are DETERMINISTIC —
-  * name-UUIDs of (batchId, path, index-within-group, payload) — so a
+  * Exactly-once notes: raw-event ids are DETERMINISTIC per stream —
+  * name-UUIDs of (queryName|batchId, path, index, payload) — so a
   * checkpoint replay of a micro-batch reproduces the same ids and
   * downstream consumers (and audit compaction) can deduplicate on id.
   * Delivery itself is at-least-once, same as the reference's
@@ -44,7 +44,7 @@ final class StreamIngest(engine: WebhookEngine) {
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[(String, String)], batchId: Long) =>
-        processMicroBatch(batch.collect().toSeq, batchId)
+        processMicroBatch(batch.collect().toSeq, s"$queryName|$batchId")
       }
       .start()
 
@@ -53,7 +53,7 @@ final class StreamIngest(engine: WebhookEngine) {
     * deliver.
     */
   def processMicroBatch(events: Seq[(String, String)],
-      batchId: Long = 0L): Unit =
+      replayKey: String = java.util.UUID.randomUUID().toString): Unit =
     events.groupBy(_._1).foreach { case (path, group) =>
       engine.catalog.byPath(path) match {
         case None => // unroutable: reference 404s; streaming drops
@@ -61,7 +61,7 @@ final class StreamIngest(engine: WebhookEngine) {
           val raws: Seq[RawEvent] = group.zipWithIndex.map {
             case ((p, payload), idx) =>
               val id = java.util.UUID.nameUUIDFromBytes(
-                s"$batchId|$p|$idx|$payload".getBytes("UTF-8")).toString
+                s"$replayKey|$p|$idx|$payload".getBytes("UTF-8")).toString
               engine.audit.logRaw(p, payload, Some(id))
           }
           engine.processBatch(webhook, raws)

@@ -75,7 +75,8 @@ class StreamIngestSpec extends SparkSpec {
       "SELECT * FROM {{payload}}", Some("amount > 100"), None)).toOption.get
     val raws = Seq(
       // any element matching keeps the event (COUNT(*)>0 gate)
-      e.audit.logRaw("/array-hook", """[{"amount": 50}, {"amount": 200}]"""),
+      // leading whitespace before the array bracket must not change parsing
+      e.audit.logRaw("/array-hook", "\n [{\"amount\": 50}, {\"amount\": 200}]"),
       e.audit.logRaw("/array-hook", """[{"amount": 1}, {"amount": 2}]"""),
       e.audit.logRaw("/array-hook", """{"amount": 150}"""))
     val results = e.processBatch(w, raws)
