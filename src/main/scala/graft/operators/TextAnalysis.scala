@@ -78,6 +78,41 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Materialized deduplicated corpus: exactly one representative row
+    * (minimum doc_id) per distinct text. The keep-one counterpart of
+    * Dedup.exactGroups — what a training pipeline actually writes out.
+    * One window over the fingerprint (hash-partitioned, no skew).
+    */
+  def dedupedCorpus(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment: md5(doc_id)-derived
+    * bucket in 0..99 → 90/5/5 split. Content-stable (the same document
+    * lands in the same split on any engine, any cluster, any run) —
+    * the property a training pipeline needs so eval sets never leak
+    * across reruns. Emitted as per-split counts plus min/max ids for
+    * spot-checking.
+    */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        expr(s"${graft.operators.Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

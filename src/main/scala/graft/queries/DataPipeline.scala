@@ -462,6 +462,34 @@ object DataPipeline {
              |FROM ranked WHERE r <= 4 GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- Materialized deduplicated corpus (keep-one representative).
+    QueryDef(
+      "q49_dedup_corpus",
+      (s, dir) => TextAnalysis.dedupedCorpus(Tables(s, dir, "documents")),
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+             |  SELECT doc_id, lang, source, n_chars,
+             |         ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |           ORDER BY doc_id) AS rn
+             |  FROM documents) x
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // --- Deterministic content-stable train/val/test split (90/5/5 by
+    //     md5(doc_id) bucket).
+    QueryDef(
+      "q50_train_split",
+      (s, dir) => TextAnalysis.trainSplit(Tables(s, dir, "documents")),
+      Some(s"""WITH b AS (
+             |  SELECT doc_id,
+             |         ${graft.operators.Dedup.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, "strpos")} % 100 AS bucket
+             |  FROM documents
+             |)
+             |SELECT CASE WHEN bucket < 90 THEN 'train'
+             |            WHEN bucket < 95 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |       COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+             |       MAX(doc_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // --- Multimodal: binary-column decode → feature extraction. The
     //     decode is a deterministic stub (no codecs in-container), so
     //     this is a rows-only gate entry — no SQL oracle by design.
