@@ -65,19 +65,23 @@ object Dedup {
       s"($posFn('0123456789abcdef', substr($h, ${start + k}, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
 
-  /** Per-document per-band MinHash signature (r=1, b=`bands`) — the
-    * bucket key IS the signature.
+  /** Per-document per-band MinHash signature (b=`bands` bands of r=2
+    * hashes; the band key is the pair "h_{2b}|h_{2b+1}").
     *
-    * One md5 per shingle, with the per-band hash family derived by
-    * Kirsch-Mitzenmacher mixing `(h1 + band·h2) mod 2^32` over two
-    * 32-bit halves of the digest — `bands`× fewer digest computations
-    * than hashing per band (measured 4x end-to-end), with the standard
-    * guarantee that the mixed family behaves as independent hashes for
-    * min-wise sketching. Computed as ONE wide aggregate (`bands`
-    * min-columns in a single groupBy pass, then `stack`ed to long form)
-    * rather than a shingles×bands cross join: at 100 TB the cross join
-    * multiplies the shuffle by `bands`; the wide aggregate shuffles
-    * each shingle row exactly once with map-side partial mins.
+    * r=2 makes bucket collision probability J² instead of J, which is
+    * what keeps candidate sets tight on corpora whose documents share
+    * common shingles (r=1 buckets on a single popular min-shingle and
+    * explodes quadratically) while still catching true near-dups with
+    * probability 1-(1-J²)^b ≈ 1 at J ≥ 0.8.
+    *
+    * One md5 per shingle, with the 2·bands hash family derived by
+    * Kirsch-Mitzenmacher mixing `(h1 + i·h2) mod 2^32` over two 32-bit
+    * halves of the digest — 2·bands× fewer digest computations than
+    * hashing per function. Computed as ONE wide aggregate (min-columns
+    * in a single groupBy pass, then `stack`ed to long form) rather than
+    * a shingles×functions cross join: at 100 TB the cross join
+    * multiplies the shuffle; the wide aggregate shuffles each shingle
+    * row exactly once with map-side partial mins.
     */
   def minhash(docs: DataFrame, bands: Int = 8): DataFrame = {
     val sh = shingles(docs)
@@ -86,10 +90,11 @@ object Dedup {
       .select(col("doc_id"),
         expr(hexToLongSql("h", 1, "instr")).as("h1"),
         expr(hexToLongSql("h", 9, "instr")).as("h2"))
-    val minCols = (0 until bands).map(b =>
-      min((col("h1") + lit(b.toLong) * col("h2")) % 4294967296L).as(s"mh_$b"))
+    val minCols = (0 until bands * 2).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % 4294967296L).as(s"mh_$i"))
     val stackArgs = (0 until bands)
-      .map(b => s"${b}L, mh_$b").mkString(", ")
+      .map(b => s"${b}L, concat(mh_${2 * b}, '|', mh_${2 * b + 1})")
+      .mkString(", ")
     hh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .selectExpr("doc_id",

@@ -30,9 +30,10 @@ object DataPipeline {
       |  FROM toks
       |)""".stripMargin
 
-  /** DuckDB spelling of the shared MinHash CTE (8 bands, r=1,
+  /** DuckDB spelling of the shared MinHash CTE (8 bands × r=2,
     * Kirsch-Mitzenmacher mixing over two 32-bit md5 halves — mirrors
-    * Dedup.minhash exactly, including the hex parsing arithmetic).
+    * Dedup.minhash exactly, including the hex parsing arithmetic and
+    * the paired band keys).
     */
   private val MinhashCte =
     s"""$ShinglesCte,
@@ -42,11 +43,16 @@ object DataPipeline {
        |         ${Dedup.hexToLongSql("md5(shingle)", 9, "strpos")} AS h2
        |  FROM sh
        |),
-       |bands AS (SELECT unnest(range(8)) AS band),
+       |fns AS (SELECT unnest(range(16)) AS f),
+       |mins AS (
+       |  SELECT doc_id, f, MIN((h1 + f * h2) % 4294967296) AS mh
+       |  FROM hh CROSS JOIN fns
+       |  GROUP BY doc_id, f
+       |),
        |mh AS (
-       |  SELECT doc_id, band, MIN((h1 + band * h2) % 4294967296) AS minhash
-       |  FROM hh CROSS JOIN bands
-       |  GROUP BY doc_id, band
+       |  SELECT a.doc_id, a.f // 2 AS band, a.mh || '|' || b.mh AS minhash
+       |  FROM mins a JOIN mins b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND a.f % 2 = 0
        |)""".stripMargin
 
   /** DuckDB spelling of the SimHash signature computation (explode
