@@ -30,9 +30,9 @@ final class ReferenceTables(spark: SparkSession,
       n.get("table_name").asText(), n.get("qualified_name").asText(),
       n.get("description").asText(),
       java.time.Instant.ofEpochMilli(
-        n.path("created_at").asLong(System.currentTimeMillis())),
+        n.path("created_at").asLong(0L)),
       java.time.Instant.ofEpochMilli(
-        n.path("updated_at").asLong(System.currentTimeMillis())))
+        n.path("updated_at").asLong(0L)))
     contentDir.foreach { dir =>
       val path = s"$dir/${m.qualifiedName}"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {

@@ -56,9 +56,9 @@ final class UdfRegistry(spark: SparkSession,
         meta.put(qname, UdfMeta(n.get("id").asText(), n.get("webhook_id").asText(),
           fnName, qname, code,
           Instant.ofEpochMilli(
-            n.path("created_at").asLong(System.currentTimeMillis())),
+            n.path("created_at").asLong(0L)),
           Instant.ofEpochMilli(
-            n.path("updated_at").asLong(System.currentTimeMillis()))))
+            n.path("updated_at").asLong(0L))))
         sparkRegistered.add(qname)
       } catch { case _: Throwable => } // unloadable source: skip, keep rest
     }

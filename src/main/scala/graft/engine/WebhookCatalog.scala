@@ -20,8 +20,8 @@ final class WebhookCatalog(store: Option[JsonStore] = None) {
       n.get("destination_url").asText(), n.get("transform_query").asText(),
       Option(n.get("filter_query")).filterNot(_.isNull).map(_.asText()),
       Option(n.get("owner")).filterNot(_.isNull).map(_.asText()),
-      Instant.ofEpochMilli(n.get("created_at").asLong()),
-      Instant.ofEpochMilli(n.get("updated_at").asLong()))
+      Instant.ofEpochMilli(n.path("created_at").asLong(0L)),
+      Instant.ofEpochMilli(n.path("updated_at").asLong(0L)))
     byId.put(w.id, w)
   })
 

@@ -117,8 +117,14 @@ object Dedup {
     * Jaccard ≥ `threshold`. The Jaccard join runs only over candidate
     * pairs (bucket-bounded), with intersection counts from a shingle
     * equi-join.
+    *
+    * Recall note: with b=8, r=2 banding a candidate surfaces with
+    * probability 1-(1-J²)^8 — ≈100% at J ≥ 0.8, ~53% at J = 0.3. The
+    * default threshold is therefore 0.5; lowering it without also
+    * raising `bands` advertises pairs the banding won't reliably
+    * surface.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.2,
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       bands: Int = 8): DataFrame = {
     val mh = minhash(docs, bands)
     val cand = mh.as("m1")
@@ -154,7 +160,11 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block bucketing is only complete for <= 3")
-    val sim = simhash(docs).localCheckpoint() // referenced twice below
+    // referenced twice below; lazy persist (NOT eager localCheckpoint —
+    // that would execute the job at plan-construction time and pin
+    // non-recoverable executor blocks)
+    val sim = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), bk -> struct(bk AS bk, substr(simhash, 1 + bk * 4, 4) AS block))"))

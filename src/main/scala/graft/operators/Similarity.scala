@@ -114,15 +114,18 @@ object Similarity {
     * at cosine ≈ 1 — exactly the near-dup regime.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.99,
-      planes: Int = 16): DataFrame = {
+      planes: Int = 16, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
     val spark = emb.sparkSession
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
         col("vf").cast("double").as("v"))
+    // `dim` must equal the embedding width: the plane join keeps only
+    // dimensions 1..dim, so a wider vector would silently project on a
+    // prefix while the cosine verify below uses the full vector
     val planeTab = spark.range(planes).select(col("id").as("p"))
-      .crossJoin(spark.range(1, 65).select(col("id").as("i")))
+      .crossJoin(spark.range(1, dim + 1).select(col("id").as("i")))
       .select(col("p"), col("i"),
         when(expr("(instr('0123456789abcdef', substr(md5(CAST(concat(p, '|', i) AS BINARY)), 1, 1)) - 1) % 2 = 1"),
           1).otherwise(-1).as("s"))

@@ -132,7 +132,8 @@ object DataPipeline {
              |ORDER BY band, minhash""".stripMargin)),
 
     // --- Verified near-duplicate pairs: LSH candidates with exact
-    //     shingle-Jaccard >= 0.2 (intersection via bucket-bounded join).
+    //     shingle-Jaccard >= 0.5 (intersection via bucket-bounded join;
+    //     r=2 banding surfaces J >= 0.8 pairs with ~certainty).
     QueryDef(
       "q32_minhash_near_dup",
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir, "documents")),
@@ -154,7 +155,7 @@ object DataPipeline {
              |       CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
              |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
              |             JOIN cnt cb ON cb.doc_id = i.b
-             |WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.2
+             |WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
     // --- 64-bit SimHash signatures (hex), pure integer arithmetic.

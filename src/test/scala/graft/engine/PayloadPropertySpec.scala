@@ -21,11 +21,16 @@ class PayloadPropertySpec extends AnyFunSuite {
   /** Drive a generator with fixed seeds (deterministic, replayable;
     * scalacheck's scalatest bridge is not in the offline dep set).
     */
-  private def forAll[T](gen: Gen[T], cases: Int = 10)(body: T => Unit): Unit =
+  private def forAll[T](gen: Gen[T], cases: Int = 10)(body: T => Unit): Unit = {
+    var executed = 0
     (0 until cases).foreach { i =>
-      gen(Gen.Parameters.default.withSize(8), Seed(42L + i))
-        .foreach(body)
+      gen(Gen.Parameters.default.withSize(8), Seed(42L + i)).foreach { v =>
+        executed += 1
+        body(v)
+      }
     }
+    assert(executed > 0, "generator produced no cases")
+  }
 
   private val keyGen: Gen[String] =
     Gen.choose(1, 6).flatMap(n =>
@@ -82,7 +87,7 @@ class PayloadPropertySpec extends AnyFunSuite {
       val nested = payload("nested").asInstanceOf[Map[String, Any]]
       val key = nested.keys.min // deterministic pick
       val out = transformer.transform("prop-w",
-        s"SELECT nested.$key AS x FROM {{payload}}", toJson(payload))
+        s"SELECT nested.`$key` AS x FROM {{payload}}", toJson(payload))
       val expected = toJson(Map("x" -> nested(key)))
       assert(SparkSpec.jsonEq(out, expected),
         s"dot access mismatch: payload=${toJson(payload)} out=$out")
