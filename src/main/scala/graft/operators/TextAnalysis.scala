@@ -78,6 +78,51 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Character-trigram Jaccard near-dup pairs with BLOCKING (the
+    * classic non-LSH scalable dedup technique): candidate pairs are
+    * bounded to the same (lang, length-band) block, so the quadratic
+    * comparison never crosses blocks; exact char-3-gram Jaccard
+    * verifies. Complements the MinHash (probabilistic, word-level) and
+    * SimHash (hamming, token-level) variants with an exact
+    * character-level one.
+    *
+    * 100 TB note: blocking keys shuffle-partition the corpus; the
+    * within-block quadratic is the operator's contract (choose finer
+    * bands for bigger corpora — the key is just a column expression).
+    */
+  def charGramJaccardPairs(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        expr("n_chars DIV 100").as("len_band"),
+        explode(when(length(col("text")) < 3, array())
+          .otherwise(expr(
+            "transform(sequence(1, length(text) - 2), i -> substr(lower(text), i, 3))")))
+          .as("g"))
+      .distinct()
+    val cnt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val blocks = grams.select("doc_id", "lang", "len_band").distinct()
+    val cand = blocks.as("b1")
+      .join(blocks.as("b2"),
+        col("b1.lang") === col("b2.lang") &&
+          col("b1.len_band") === col("b2.len_band") &&
+          col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("a"), col("b2.doc_id").as("b"))
+    val inter = cand
+      .join(grams.as("g1"), col("g1.doc_id") === col("a"))
+      .join(grams.as("g2"),
+        col("g2.doc_id") === col("b") && col("g2.g") === col("g1.g"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("b"))
+      .select(col("a"), col("b"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** Materialized deduplicated corpus: exactly one representative row
     * (minimum doc_id) per distinct text. The keep-one counterpart of
     * Dedup.exactGroups — what a training pipeline actually writes out.

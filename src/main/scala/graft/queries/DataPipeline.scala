@@ -469,6 +469,39 @@ object DataPipeline {
              |FROM ranked WHERE r <= 4 GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- Character-trigram Jaccard near-dups with (lang, length-band)
+    //     blocking — the exact character-level dedup variant.
+    QueryDef(
+      "q51_chargram_jaccard",
+      (s, dir) => TextAnalysis.charGramJaccardPairs(Tables(s, dir, "documents")),
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id, lang, n_chars // 100 AS len_band,
+             |         substr(lower(text), CAST(i AS INT), 3) AS g
+             |  FROM documents
+             |  CROSS JOIN (SELECT unnest(range(1, 2000)) AS i)
+             |  WHERE i <= length(text) - 2
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+             |blocks AS (SELECT DISTINCT doc_id, lang, len_band FROM grams),
+             |cand AS (
+             |  SELECT b1.doc_id AS a, b2.doc_id AS b
+             |  FROM blocks b1 JOIN blocks b2
+             |    ON b1.lang = b2.lang AND b1.len_band = b2.len_band
+             |   AND b1.doc_id < b2.doc_id
+             |),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN grams g1 ON g1.doc_id = c.a
+             |  JOIN grams g2 ON g2.doc_id = c.b AND g2.g = g1.g
+             |  GROUP BY c.a, c.b
+             |)
+             |SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+             |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |             JOIN cnt cb ON cb.doc_id = i.b
+             |WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.7
+             |ORDER BY a, b""".stripMargin)),
+
     // --- Materialized deduplicated corpus (keep-one representative).
     QueryDef(
       "q49_dedup_corpus",
