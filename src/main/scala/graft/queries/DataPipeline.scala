@@ -187,10 +187,10 @@ object DataPipeline {
              |pos AS (SELECT unnest(range(16)) AS i),
              |ham AS (
              |  SELECT a, b,
-             |    SUM(CAST(substr('0112122312232334',
+             |    CAST(SUM(CAST(substr('0112122312232334',
              |      CAST(xor(strpos('0123456789abcdef', substr(sa, CAST(i AS INT) + 1, 1)) - 1,
              |               strpos('0123456789abcdef', substr(sb, CAST(i AS INT) + 1, 1)) - 1)
-             |           AS INT) + 1, 1) AS BIGINT)) AS hamming
+             |           AS INT) + 1, 1) AS BIGINT)) AS BIGINT) AS hamming
              |  FROM cand CROSS JOIN pos GROUP BY a, b
              |)
              |SELECT a, b, hamming FROM ham WHERE hamming <= 3
