@@ -142,8 +142,11 @@ final class WebhookEngine(
     }
   }
 
-  /** Transform → deliver → audit for an event that passed the filter. */
-  private def processKept(webhook: Webhook, rawEventId: String,
+  /** Transform → deliver → audit for an event that passed the filter
+    * (also the delivery step of the distributed streaming path, which
+    * hands over only filter-passing rows).
+    */
+  private[graft] def processKept(webhook: Webhook, rawEventId: String,
       payloadJson: String): ProcessResult =
     try {
       val transformed =

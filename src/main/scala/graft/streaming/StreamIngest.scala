@@ -1,39 +1,62 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.engine.{RawEvent, WebhookEngine}
+import graft.engine.{Webhook, WebhookEngine}
 
 /** Structured Streaming ingestion wrapper (the brief's stated approach:
   * readStream → foreachBatch running the P11 pipeline).
   *
   * An upstream receiver (HTTP endpoint, Kafka topic, file drop) lands
   * `(source_path, payload_json)` pairs into any streaming source; this
-  * wrapper attaches the engine to that stream:
+  * wrapper attaches the engine to that stream.
   *
-  *  - each micro-batch is grouped by source path → webhook (one catalog
-  *    lookup per distinct path, not per event);
-  *  - raw-event audit rows append batched;
+  * 100 TB design — the batch NEVER collects to the driver:
+  *
+  *  - routing is a broadcast inner-join of the batch against the webhook
+  *    catalog on `source_path` (exact, case-sensitive — the same match as
+  *    WebhookCatalog.byPath; inactive hooks carry the /inactive_ prefix
+  *    so they fall out naturally). Unroutable events drop, mirroring the
+  *    reference's 404 (src/app.py:1068-1083);
+  *  - raw-event audit rows append DISTRIBUTED straight to the
+  *    date-partitioned parquet (AuditLog.logRawBatch) — payloads stay on
+  *    the executors;
   *  - per webhook, the filter gate evaluates SET-ORIENTED over the whole
-  *    group (one Spark job per webhook per batch; see
-  *    WebhookEngine.processBatch) — at 100 TB this is the difference
-  *    between per-event query latency and columnar throughput;
-  *  - unroutable events (no webhook for the path) are dropped after
-  *    counting, mirroring the reference's 404.
+  *    group as one distributed plan (PayloadTransformer.batchFilterPlan);
+  *    filtered-out audit rows are built and appended distributed via an
+  *    anti-join — they never touch the driver either;
+  *  - ONLY delivery-bound rows (filter survivors) are collected, because
+  *    delivery is per-event HTTP plus an arbitrary per-event transform
+  *    SQL — both driver/edge-bound by contract. The filter gate is the
+  *    volume reducer: at 100 TB of ingest the collected slice is the
+  *    (tiny) fraction that actually leaves the system as webhooks.
+  *    [[driverCollectedEvents]] counts exactly these rows so tests pin
+  *    the invariant collected == delivery-bound, not batch size.
   *
   * Exactly-once notes: raw-event ids are DETERMINISTIC per stream —
-  * name-UUIDs of (queryName|batchId, path, index, payload) — so a
-  * checkpoint replay of a micro-batch reproduces the same ids and
-  * downstream consumers (and audit compaction) can deduplicate on id.
-  * Delivery itself is at-least-once, same as the reference's
-  * fire-and-forget background task; a production deployment would put
-  * the delivery call behind an idempotency key.
+  * uuid-shaped md5 of (queryName|batchId, path, occurrence#, payload),
+  * occurrence# numbering duplicate (path, payload) pairs within the
+  * batch — so a checkpoint replay of a micro-batch reproduces the same
+  * id SET and downstream consumers (and audit compaction) can
+  * deduplicate on id. Delivery itself is at-least-once, same as the
+  * reference's fire-and-forget background task; a production deployment
+  * would put the delivery call behind an idempotency key.
   */
 final class StreamIngest(engine: WebhookEngine) {
 
   /** One ingested event: routing path + raw JSON payload. */
   final case class IngestEvent(source_path: String, payload: String)
+
+  /** Rows materialized on the driver across all batches — by design only
+    * filter-passing, delivery-bound events (plus the broken-filter
+    * fallback group). Tests pin this stays < batch size.
+    */
+  val driverCollectedEvents = new AtomicLong(0L)
 
   /** Attach the engine to a stream of (source_path, payload) pairs.
     * Returns the running query; callers own its lifecycle.
@@ -44,27 +67,98 @@ final class StreamIngest(engine: WebhookEngine) {
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: Dataset[(String, String)], batchId: Long) =>
-        processMicroBatch(batch.collect().toSeq, s"$queryName|$batchId")
+        processMicroBatch(batch.toDF("source_path", "payload"),
+          s"$queryName|$batchId")
       }
       .start()
 
-  /** Process one micro-batch: group by path, route once per group,
-    * batch-audit (deterministic ids), set-oriented filter + transform +
-    * deliver.
+  /** Process one micro-batch DataFrame (`source_path`, `payload`):
+    * broadcast-route, audit raw distributed, filter distributed, collect
+    * only delivery-bound rows.
     */
-  def processMicroBatch(events: Seq[(String, String)],
-      replayKey: String = java.util.UUID.randomUUID().toString): Unit =
-    events.groupBy(_._1).foreach { case (path, group) =>
-      engine.catalog.byPath(path) match {
-        case None => // unroutable: reference 404s; streaming drops
-        case Some(webhook) =>
-          val raws: Seq[RawEvent] = group.zipWithIndex.map {
-            case ((p, payload), idx) =>
-              val id = java.util.UUID.nameUUIDFromBytes(
-                s"$replayKey|$p|$idx|$payload".getBytes("UTF-8")).toString
-              engine.audit.logRaw(p, payload, Some(id))
-          }
-          engine.processBatch(webhook, raws)
+  def processMicroBatch(batch: DataFrame, replayKey: String): Unit = {
+    val hooks = engine.catalog.list()
+    if (hooks.isEmpty) return
+    val spark = engine.spark
+    val hooksDf = spark.createDataFrame(
+      hooks.map(w => (w.id, w.sourcePath))).toDF("__wid", "source_path")
+
+    // Deterministic replay-stable ids: within a (path, payload) tie-group
+    // every row is identical, so row_number's arbitrary order still
+    // yields the same id SET on replay.
+    val occ = Window.partitionBy("source_path", "payload").orderBy(lit(1))
+    val routed = batch
+      .join(broadcast(hooksDf), Seq("source_path")) // unroutable → dropped
+      .withColumn("__h", md5(concat_ws("|", lit(replayKey),
+        col("source_path"), row_number().over(occ), col("payload"))))
+      .withColumn("__eid", concat_ws("-",
+        substring(col("__h"), 1, 8), substring(col("__h"), 9, 4),
+        substring(col("__h"), 13, 4), substring(col("__h"), 17, 4),
+        substring(col("__h"), 21, 12)))
+      .select("__wid", "__eid", "source_path", "payload")
+      .persist()
+    try {
+      val tsMicros = engine.audit.nowMicros()
+      engine.audit.logRawBatch(
+        routed.select(col("__eid").as("id"), col("source_path"),
+          col("payload")), tsMicros)
+
+      // tiny: ≤ one row per webhook present in the batch
+      val widsPresent =
+        routed.select("__wid").distinct().collect().map(_.getString(0)).toSet
+      hooks.filter(w => widsPresent(w.id)).foreach { w =>
+        processWebhookGroup(w,
+          routed.where(col("__wid") === w.id).select("__eid", "payload"),
+          tsMicros)
       }
+    } finally routed.unpersist()
+  }
+
+  /** One webhook's slice of the batch: distributed filter gate, filtered
+    * audit rows written executor-side, survivors collected for per-event
+    * transform + deliver.
+    */
+  private def processWebhookGroup(webhook: Webhook,
+      group: DataFrame, tsMicros: Long): Unit = {
+    engine.udfs.loadWebhookUdfs(webhook.id)
+    val keptPlan: Option[DataFrame] = webhook.filterQuery match {
+      case Some(f) if f.nonEmpty =>
+        // a broken filter (analysis error) falls back to the per-event
+        // path, which reproduces the reference's "Error: ..." audit rows
+        try {
+          val plan = engine.transformer.batchFilterPlan(
+            group.withColumnRenamed("payload", "__json"), f)
+          plan.queryExecution.assertAnalyzed()
+          Some(plan)
+        } catch { case _: Throwable => None }
+      case _ => Some(group.select(col("__eid")))
     }
+    keptPlan match {
+      case None =>
+        val rows = group.collect()
+        driverCollectedEvents.addAndGet(rows.length.toLong)
+        rows.foreach(r =>
+          engine.process(webhook, r.getString(0), r.getString(1)))
+      case Some(kept) =>
+        val filteredOut = group
+          .join(kept, group("__eid") === kept("__eid"), "left_anti")
+        engine.audit.logTransformedBatch(
+          filteredOut.select(
+            md5(concat_ws("|", lit("tr"), col("__eid"))).as("id"),
+            col("__eid").as("raw_event_id"),
+            lit(webhook.id).as("webhook_id"),
+            lit("{}").as("transformed_payload"),
+            lit(webhook.destinationUrl).as("destination_url"),
+            lit(false).as("success"),
+            lit(null).cast("int").as("response_code"),
+            lit("Filtered out by filter_query").as("response_body")),
+          tsMicros)
+        val survivors = group
+          .join(kept, group("__eid") === kept("__eid"), "left_semi")
+          .collect()
+        driverCollectedEvents.addAndGet(survivors.length.toLong)
+        survivors.foreach(r =>
+          engine.processKept(webhook, r.getString(0), r.getString(1)))
+    }
+  }
 }

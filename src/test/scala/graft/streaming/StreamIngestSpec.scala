@@ -86,6 +86,82 @@ class StreamIngestSpec extends SparkSpec {
     assert(perEvent.map(_.filtered) == Seq(false, true, false))
   }
 
+  test("mixed-path micro-batch audits identically to the per-event path") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      "/mix-a" -> """{"n": 1}""", // filtered out by a's gate
+      "/mix-a" -> """{"n": 5}""",
+      "/mix-a" -> """{"n": 5}""", // duplicate payload: distinct ids
+      "/mix-b" -> """{"tag": "x"}""", // b has no filter
+      "/nowhere" -> """{"n": 9}""") // unroutable → dropped
+    def registerBoth(e: graft.engine.WebhookEngine): Unit = {
+      e.register(WebhookConfig("/mix-a", "https://example.com/a",
+        "SELECT n, n + 1 AS next FROM {{payload}}", Some("n >= 2"), None))
+      e.register(WebhookConfig("/mix-b", "https://example.com/b",
+        "SELECT upper(tag) AS tag FROM {{payload}}", None, None))
+    }
+    def auditSnapshot(e: graft.engine.WebhookEngine): Seq[Seq[Any]] =
+      e.adHocQuery(
+        """SELECT r.source_path, t.success, t.response_body,
+          |       t.transformed_payload, t.destination_url
+          |FROM raw_events r LEFT JOIN transformed_events t
+          |  ON t.raw_event_id = r.id
+          |ORDER BY r.source_path, t.transformed_payload, t.response_body"""
+          .stripMargin).toOption.get
+
+    val distributed = newEngine()
+    registerBoth(distributed)
+    new StreamIngest(distributed)
+      .processMicroBatch(events.toDF("source_path", "payload"), "mix|0")
+
+    val perEvent = newEngine()
+    registerBoth(perEvent)
+    events.foreach { case (p, j) => perEvent.ingest(p, j) }
+
+    assert(auditSnapshot(distributed) == auditSnapshot(perEvent))
+  }
+
+  test("micro-batch collects only delivery-bound rows to the driver") {
+    val s = spark
+    import s.implicits._
+    val e = newEngine()
+    e.register(WebhookConfig("/narrow", "https://example.com/sink",
+      "SELECT v FROM {{payload}}", Some("v > 100"), None))
+    val events = (1 to 10).map(i => "/narrow" -> s"""{"v": ${i * 25}}""")
+    val ingest = new StreamIngest(e)
+    ingest.processMicroBatch(events.toDF("source_path", "payload"), "pin|0")
+    // 6 of 10 events pass v > 100 (125..250); the other 4 are audited as
+    // filtered WITHOUT ever reaching the driver
+    assert(ingest.driverCollectedEvents.get() == 6L)
+    val filtered = e.adHocQuery(
+      """SELECT COUNT(*) FROM transformed_events
+        |WHERE response_body = 'Filtered out by filter_query'""".stripMargin)
+      .toOption.get
+    assert(filtered == Seq(Seq(4L)))
+  }
+
+  test("micro-batch raw-event ids are replay-deterministic") {
+    val s = spark
+    import s.implicits._
+    val e = newEngine()
+    e.register(WebhookConfig("/replay", "https://example.com/sink",
+      "SELECT * FROM {{payload}}", Some("false"), None)) // audit-only
+    val events = Seq(
+      "/replay" -> """{"a": 1}""",
+      "/replay" -> """{"a": 1}""", // duplicate payload
+      "/replay" -> """{"a": 2}""")
+    val ingest = new StreamIngest(e)
+    def ids(): Set[String] = {
+      ingest.processMicroBatch(events.toDF("source_path", "payload"), "rk|7")
+      e.adHocQuery("SELECT DISTINCT id FROM raw_events").toOption.get
+        .map(_.head.asInstanceOf[String]).toSet
+    }
+    val first = ids()
+    assert(first.size == 3) // duplicates get distinct occurrence ids
+    assert(ids() == first) // replaying the batch reproduces the same id set
+  }
+
   test("processBatch: broken filter falls back to Error audit rows") {
     val e = newEngine()
     val w = e.register(WebhookConfig("/bad-filter", "https://example.com/x",
