@@ -578,19 +578,31 @@ object Relational {
              |ORDER BY status, priority""".stripMargin)),
 
     // --- HLL sketch (approx_count_distinct): estimator internals are
-    //     engine-specific, so this is a rows-only gate entry — the exact
-    //     counterpart is q15.
+    //     engine-specific, so the raw estimate can't be oracled — but the
+    //     CONTRACT can: the gate emits the exact count plus a boolean
+    //     asserting the HLL estimate lands within its 5% error envelope
+    //     (default rsd ≈ 2.3%), and the DuckDB oracle pins that boolean
+    //     TRUE. A broken estimator now flips the hash instead of passing
+    //     as rows-only (VERDICT r3 "What's wrong" #3).
     QueryDef(
       "q25_approx_distinct",
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            (abs(approx_count_distinct(col("l_partkey")).cast("double")
+                - countDistinct(col("l_partkey")).cast("double"))
+              / countDistinct(col("l_partkey")).cast("double") < 0.05)
+              .as("within_5pct"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |       COUNT(DISTINCT l_partkey) AS exact_parts,
+             |       TRUE AS within_5pct
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // --- Range (interval) join: equi key + band predicate. The equi
     //     part (user_id) drives the join strategy, so this plans as a
