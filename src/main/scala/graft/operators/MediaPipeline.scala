@@ -151,4 +151,92 @@ object MediaPipeline {
       .toDF()
       .withColumn("histogram", col("histogram").cast("string"))
       .orderBy("media_id")
+
+  // ==== REAL image decode path (no stub) ====================================
+
+  /** Exact per-image features — all-integer so the gate hash-matches the
+    * oracle bit-for-bit (no doubles anywhere).
+    */
+  final case class PngFeatures(media_id: Long, width: Long, height: Long,
+      n_pixels: Long, sum_byte: Long, hist: String)
+
+  /** Real PNG bytes, one image per document: an 8-bit grayscale image
+    * whose pixels follow the analytically-known formula
+    * `gray(i) = (doc_id*31 + i*7) mod 256`, encoded with the pure-JDK
+    * `javax.imageio` PNG writer (no external codec dependencies). The
+    * formula makes the decoded features SQL-recomputable, so the DuckDB
+    * oracle can verify the REAL encode→decode round trip.
+    */
+  def pngMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { id =>
+        val width = (16 + (id % 4) * 8).toInt
+        val height = (16 + (id % 3) * 8).toInt
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < width * height) {
+          raster.setSample(i % width, i / width, 0,
+            ((id * 31 + i * 7) % 256).toInt)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", "image/png", width, height, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL byte decode via `javax.imageio` — the production contract
+    * `decodeStub` stands in for on formats this container lacks codecs
+    * for. Per-partition init (`setUseCache`), batch-shaped iteration;
+    * reads any ImageIO-supported format (PNG/BMP/GIF ship with the JDK).
+    */
+  def decodeImage(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.data))
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val pixels = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          pixels(i) = raster.getSample(i % w, i / w, 0).toByte
+          i += 1
+        }
+        DecodedMedia(m.media_id, m.kind, w, h, pixels.length, pixels)
+      }
+    }
+  }
+
+  /** Gate query: documents → real PNG encode → real ImageIO decode →
+    * exact integer features (pixel sum + 16-bucket histogram packed as a
+    * '|'-joined string, identical spelling on the DuckDB side).
+    */
+  def pngFeatureTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeImage(pngMediaFromDocs(docs)).map { d =>
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < d.pixels.length) {
+        val b = d.pixels(i) & 0xff
+        hist(b / 16) += 1
+        sum += b
+        i += 1
+      }
+      PngFeatures(d.media_id, d.width.toLong, d.height.toLong,
+        d.pixels.length.toLong, sum, hist.mkString("|"))
+    }.toDF().orderBy("media_id")
+  }
 }

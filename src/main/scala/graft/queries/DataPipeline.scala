@@ -530,12 +530,34 @@ object DataPipeline {
              |       MAX(doc_id) AS max_id
              |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
 
-    // --- Multimodal: binary-column decode → feature extraction. The
-    //     decode is a deterministic stub (no codecs in-container), so
-    //     this is a rows-only gate entry — no SQL oracle by design.
+    // --- Multimodal: binary-column decode → feature extraction over a
+    //     REAL format: per doc, pixels with a known generating formula
+    //     are encoded to actual PNG bytes and decoded back through the
+    //     pure-JDK javax.imageio codec; the oracle recomputes the
+    //     features from the formula, so a broken encode/decode flips the
+    //     hash (stub decode remains only for audio/video, which have no
+    //     in-JDK codec).
     QueryDef(
       "q39_media_features",
-      (s, dir) => MediaPipeline.featureTable(Tables(s, dir, "documents")),
-      None)
+      (s, dir) => MediaPipeline.pngFeatureTable(Tables(s, dir, "documents")),
+      Some {
+        val buckets = (0 until 16).map(k =>
+          s"CAST(CAST(SUM(CASE WHEN b // 16 = $k THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
+          .mkString(",\n             |         ")
+        s"""WITH px AS (
+           |  SELECT d.doc_id,
+           |         CAST(16 + (d.doc_id % 4) * 8 AS BIGINT) AS width,
+           |         CAST(16 + (d.doc_id % 3) * 8 AS BIGINT) AS height,
+           |         (d.doc_id * 31 + g.i * 7) % 256 AS b
+           |  FROM documents d, generate_series(0, 1279) AS g(i)
+           |  WHERE g.i < (16 + (d.doc_id % 4) * 8) * (16 + (d.doc_id % 3) * 8)
+           |)
+           |SELECT doc_id AS media_id, width, height,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           |       CAST(SUM(b) AS BIGINT) AS sum_byte,
+           |       CONCAT_WS('|',
+           |         $buckets) AS hist
+           |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin
+      })
   )
 }

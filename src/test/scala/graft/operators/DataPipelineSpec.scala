@@ -187,4 +187,26 @@ class DataPipelineSpec extends SparkSpec {
       MediaPipeline.decodeStub(MediaPipeline.fakeMediaFromDocs(d))).collect()
     assert(new String(resized.head.pixels, "UTF-8") == "ae")
   }
+
+  test("media pipeline: real PNG encode/decode round-trips pixel values") {
+    val d = docs(0L -> "x", 5L -> "y")
+    val media = MediaPipeline.pngMediaFromDocs(d).collect()
+    // the bytes are genuinely PNG (magic number), not a synthetic header
+    val m0 = media.find(_.media_id == 0L).get
+    assert(m0.data.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val decoded = MediaPipeline.decodeImage(
+      MediaPipeline.pngMediaFromDocs(d)).collect()
+    val d0 = decoded.find(_.media_id == 0L).get
+    assert(d0.width == 16 && d0.height == 16 && d0.n_bytes == 256)
+    // doc 0: gray(i) = (7i) mod 256 — check decode recovered the formula
+    assert(d0.pixels.zipWithIndex.forall { case (p, i) =>
+      (p & 0xff) == (i * 7) % 256
+    })
+    // doc 5: width 16+8=24, height 16+16=32
+    val d5 = decoded.find(_.media_id == 5L).get
+    assert(d5.width == 24 && d5.height == 32)
+    assert(d5.pixels.zipWithIndex.forall { case (p, i) =>
+      (p & 0xff) == ((5 * 31 + i * 7) % 256)
+    })
+  }
 }
