@@ -44,9 +44,29 @@ final class WebhookEngine(
 
   import WebhookEngine._
 
+  /** Deferred-ack processing queue — the reference acks right after the
+    * raw-event insert and runs the pipeline as a background task
+    * (src/app.py:1104-1111); this is its bounded equivalent. One worker
+    * preserves arrival order; when ingestion outruns processing the
+    * bounded queue applies BACKPRESSURE by running the task on the
+    * caller (degrading that one ack to synchronous) rather than dropping
+    * or buffering unboundedly. Daemon thread so a forgotten engine never
+    * pins the JVM; [[close]] drains gracefully.
+    */
+  private val processPool = new java.util.concurrent.ThreadPoolExecutor(
+    1, 1, 0L, java.util.concurrent.TimeUnit.MILLISECONDS,
+    new java.util.concurrent.LinkedBlockingQueue[Runnable](10000),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-ingest-worker"); t.setDaemon(true); t
+    },
+    new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy)
+
   /** Receive one event: normalize path → route → validate JSON → audit
-    * raw → process (filter/transform/deliver/audit). Returns the same
-    * `{"status":"accepted","event_id":…}` ack the reference returns.
+    * raw → ACK, with the pipeline (filter/transform/deliver/audit)
+    * scheduled in the background. Returns the same
+    * `{"status":"accepted","event_id":…}` ack the reference returns,
+    * BEFORE delivery happens — ack latency is decoupled from Spark job
+    * time, matching the reference's deferred contract.
     */
   def ingest(path: String, payloadJson: String): Either[IngestError, Ack] = {
     val normalized = WebhookConfig.normalizePath(path)
@@ -56,10 +76,25 @@ final class WebhookEngine(
         if (!Json.isValid(payloadJson)) Left(InvalidJson)
         else {
           val raw = audit.logRaw(normalized, payloadJson)
-          process(webhook, raw.id, payloadJson)
+          processPool.execute(() => process(webhook, raw.id, payloadJson))
           Right(Ack("accepted", raw.id))
         }
     }
+  }
+
+  /** Block until every event acked so far has finished processing —
+    * read-your-writes for callers that need the audit trail (tests, the
+    * reference's "processed within 1 s" expectation).
+    */
+  def drain(): Unit = {
+    processPool.submit(new Runnable { def run(): Unit = () }).get()
+  }
+
+  /** Drain the in-flight queue and stop the background worker. */
+  def close(): Unit = {
+    processPool.shutdown()
+    processPool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    ()
   }
 
   // ---- the pipeline driver (P11) ----

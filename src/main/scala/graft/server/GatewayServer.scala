@@ -24,7 +24,7 @@ import graft.engine._
   * (tests/test_api_endpoints.py:20-64). The ingestion endpoint
   * `POST /{path}` is deliberately unauthenticated (src/app.py:1068).
   */
-final class GatewayServer(engine: WebhookEngine, port: Int = 0,
+final class GatewayServer(val engine: WebhookEngine, port: Int = 0,
     apiKey: String =
       sys.env.getOrElse("WEBHOOK_GATEWAY_API_KEY", "default_key")) {
 

@@ -29,6 +29,7 @@ class IntegrationSpec extends SparkSpec {
 
     val ack = e.ingest("/test-integration", payload).toOption.get
     assert(ack.status == "accepted")
+    e.drain()
 
     val rows = e.adHocQuery(
       s"""SELECT success, response_code, transformed_payload
@@ -57,6 +58,7 @@ class IntegrationSpec extends SparkSpec {
       """{"type": "blocked", "data": "test"}""").toOption.get
     val passed = e.ingest("/test-integration-filter",
       """{"type": "allowed", "data": "test"}""").toOption.get
+    e.drain()
 
     val blockedRows = e.adHocQuery(
       s"""SELECT success, response_body FROM transformed_events
@@ -95,6 +97,7 @@ class IntegrationSpec extends SparkSpec {
 
     val ack = e.ingest("/test-integration-reference",
       """{"username": "jdoe", "action": "login"}""").toOption.get
+    e.drain()
     val rows = e.adHocQuery(
       s"""SELECT transformed_payload FROM transformed_events
          |WHERE raw_event_id = '${ack.eventId}'""".stripMargin).toOption.get
@@ -119,6 +122,7 @@ class IntegrationSpec extends SparkSpec {
 
     val ack = e.ingest("/test-integration-udf",
       """{"email": "user@company.com"}""").toOption.get
+    e.drain()
     val rows = e.adHocQuery(
       s"""SELECT transformed_payload FROM transformed_events
          |WHERE raw_event_id = '${ack.eventId}'""".stripMargin).toOption.get
@@ -149,6 +153,7 @@ class IntegrationSpec extends SparkSpec {
       })), 120.seconds).flatten
     assert(acks.forall(_.isRight))
     assert(acks.flatMap(_.toOption).map(_.eventId).distinct.size == 20)
+    e.drain()
     val rows = e.adHocQuery(
       "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
     assert(rows == Seq(Seq(20L)))
@@ -177,6 +182,29 @@ class IntegrationSpec extends SparkSpec {
     assert(finalCount == 10L)
   }
 
+  test("deferred ack: ingest returns before delivery runs (src/app.py:1104-1111)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    val gate = new CountDownLatch(1)
+    val delivered = new AtomicInteger(0)
+    val e = newEngine((_, _) => {
+      gate.await(30, TimeUnit.SECONDS)
+      delivered.incrementAndGet()
+      Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
+    })
+    e.register(WebhookConfig("/deferred", "http://dest:9/webhook",
+      "SELECT * FROM {{payload}}", None, None))
+    val ack = e.ingest("/deferred", """{"a": 1}""").toOption.get
+    // the ack came back while delivery is still parked on the latch —
+    // ack latency is decoupled from pipeline time, the reference contract
+    assert(ack.status == "accepted")
+    assert(delivered.get() == 0)
+    gate.countDown()
+    e.drain()
+    assert(delivered.get() == 1)
+    assert(e.transformedFor(ack.eventId).get._2.exists(_.success))
+  }
+
   test("audit survives flush: buffered + on-disk rows union (AuditLog)") {
     val e = newEngine()
     e.register(WebhookConfig("/flush-test", "https://example.com/x",
@@ -185,6 +213,7 @@ class IntegrationSpec extends SparkSpec {
       e.ingest("/flush-test", s"""{"n": $i}""").toOption.get)
     e.audit.flush() // everything to parquet
     val ack4 = e.ingest("/flush-test", """{"n": 4}""").toOption.get // buffered
+    e.drain()
     val rows = e.adHocQuery(
       "SELECT COUNT(*) FROM raw_events WHERE source_path = '/flush-test'")
       .toOption.get

@@ -21,6 +21,7 @@ class PersistenceSpec extends SparkSpec {
       "def shout(s: String): String = s.toUpperCase")
     e1.refTables.uploadCsv(w.id, "dims", "lookup", "k,v\n1,one\n2,two")
     val ack = e1.ingest("/durable", """{"keep": true, "n": 5}""").toOption.get
+    e1.drain() // deferred processing must land before the durability flush
     e1.audit.flush() // audit durability is parquet-flush-based
 
     // --- second engine instance over the same workDir

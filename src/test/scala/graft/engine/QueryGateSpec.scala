@@ -70,6 +70,7 @@ class QueryGateSpec extends SparkSpec {
     e.ingest("/stats-hook", """{"keep": true}""")
     e.ingest("/stats-hook", """{"keep": true}""")
     e.ingest("/stats-hook", """{"keep": false}""") // filtered → success=false
+    e.drain()
     val s = e.stats()
     assert(s.webhookCount == 1)
     assert(s.rawEventCount == 3)
@@ -84,6 +85,7 @@ class QueryGateSpec extends SparkSpec {
     e.register(WebhookConfig("/recent", "https://example.com/x",
       "SELECT * FROM {{payload}}", None, None))
     (1 to 7).foreach(i => e.ingest("/recent", s"""{"n": $i}"""))
+    e.drain()
     val df = e.recentEvents(limit = 5)
     val rows = df.collect()
     assert(rows.length == 5)
@@ -97,6 +99,7 @@ class QueryGateSpec extends SparkSpec {
     e.register(WebhookConfig("/detail", "https://example.com/x",
       "SELECT n, n * 2 AS doubled FROM {{payload}}", None, None))
     val ack = e.ingest("/detail", """{"n": 21}""").toOption.get
+    e.drain()
     val (raw, tr) = e.transformedFor(ack.eventId).get
     assert(raw.sourcePath == "/detail")
     assert(jsonEq(raw.payloadJson, """{"n": 21}"""))

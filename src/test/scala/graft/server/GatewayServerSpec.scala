@@ -75,7 +75,7 @@ class GatewayServerSpec extends SparkSpec {
   }
 
   test("ingest end-to-end through HTTP: 200/404/400 + audit (test_api_endpoints.py:321-409)") {
-    withServer { (_, base) =>
+    withServer { (server, base) =>
       req(s"$base/register", "POST",
         """{"source_path": "/http-hook", "destination_url": "https://example.com/x",
           | "transform_query": "SELECT n, n + 1 AS m FROM {{payload}}"}""".stripMargin)
@@ -89,6 +89,7 @@ class GatewayServerSpec extends SparkSpec {
         .statusCode() == 404)
       assert(req(s"$base/http-hook", "POST", "{oops", key = None)
         .statusCode() == 400)
+      server.engine.drain() // ack precedes processing; settle before reads
 
       // /query sees the audit trail (test_integration shape)
       val q = req(s"$base/query", "POST",

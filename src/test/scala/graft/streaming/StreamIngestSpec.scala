@@ -118,6 +118,7 @@ class StreamIngestSpec extends SparkSpec {
     val perEvent = newEngine()
     registerBoth(perEvent)
     events.foreach { case (p, j) => perEvent.ingest(p, j) }
+    perEvent.drain() // ack is deferred; wait for background processing
 
     assert(auditSnapshot(distributed) == auditSnapshot(perEvent))
   }
