@@ -6,7 +6,7 @@ package graft.engine
 class SqlCompatSpec extends SparkSpec {
   import SparkSpec._
 
-  test("json_extract alias unquotes like json_extract_string") {
+  test("json_extract keeps DuckDB's quoted-JSON semantics on the SQL channel") {
     val e = newEngine()
     e.register(WebhookConfig("/je", "https://example.com/x",
       "SELECT * FROM {{payload}}", None, None))
@@ -15,7 +15,37 @@ class SqlCompatSpec extends SparkSpec {
       """SELECT json_extract(payload, '$.type') AS t,
         |       json_extract(payload, '$.n') AS n
         |FROM raw_events""".stripMargin).toOption.get
-    assert(rows == Seq(Seq("user_created", "7")))
+    // DuckDB 1.0.0: json_extract returns JSON text — strings QUOTED,
+    // numbers bare — so a ported comparison against '"user_created"'
+    // keeps working
+    assert(rows == Seq(Seq("\"user_created\"", "7")))
+  }
+
+  test("json_extract / json_extract_string match DuckDB for every JSON type") {
+    val e = newEngine()
+    e.refreshSqlViews()
+    val j = """{"t":"x","n":7,"f":7.5,"b":true,"z":null,""" +
+      """"o":{"k":1},"arr":[1,{"a":"b"}]}"""
+    // expected pairs verified against DuckDB 1.0.0:
+    //   (path, json_extract CAST VARCHAR, json_extract_string)
+    val expected = Seq(
+      ("$.t", "\"x\"", "x"), // string: quoted vs unquoted
+      ("$.n", "7", "7"), // integer: bare both ways
+      ("$.f", "7.5", "7.5"), // float
+      ("$.b", "true", "true"), // boolean
+      ("$.z", null, null), // JSON null → SQL NULL in BOTH variants
+      ("$.o", """{"k":1}""", """{"k":1}"""), // object: compact JSON
+      ("$.arr", """[1,{"a":"b"}]""", """[1,{"a":"b"}]"""), // array
+      ("$.arr[1].a", "\"b\"", "b"), // nested array step
+      ("$.missing", null, null)) // absent path → SQL NULL
+    for ((path, quoted, unquoted) <- expected) {
+      val row = e.adHocQuery(
+        s"""SELECT json_extract('$j', '$path'),
+           |       json_extract_string('$j', '$path')""".stripMargin)
+        .toOption.get.head
+      assert(row(0) == quoted, s"json_extract($path)")
+      assert(row(1) == unquoted, s"json_extract_string($path)")
+    }
   }
 
   test("sqlite_master shim lists the catalog tables (test_db_manager.py:21-33)") {
