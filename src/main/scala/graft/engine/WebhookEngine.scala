@@ -205,13 +205,31 @@ final class WebhookEngine(
   private val WriteKeywords =
     Seq("DROP", "DELETE", "TRUNCATE", "INSERT", "UPDATE")
 
-  /** Reference-parity substring denylist (src/app.py:971) PLUS a
+  /** Word-boundary keyword scan over the statement with string literals
+    * and comments stripped first. `_` counts as a word character, so
+    * identifiers like `updated_at` (a column the catalog itself
+    * exposes!) never false-positive.
+    */
+  private val WritePattern =
+    ("(?i)\\b(" + WriteKeywords.mkString("|") + ")\\b").r
+  private val StripPattern = // '…' literals, -- line and /* */ block comments
+    "(?s)'(?:[^']|'')*'|--[^\n]*|/\\*.*?\\*/".r
+
+  /** The reference's write denylist (src/app.py:971) hardened, PLUS a
     * parser-level check that the statement is a pure query — strictly
-    * stronger, per SURVEY §7.3 (catches e.g. CREATE TABLE, SET).
+    * stronger overall, per SURVEY §7.3 (catches e.g. CREATE TABLE, SET).
+    *
+    * Deliberate deviation from the reference's bare substring scan
+    * (documented in COVERAGE.md): the reference rejects any query
+    * CONTAINING a write keyword, which false-positives on its own
+    * catalog columns (`SELECT updated_at FROM webhooks` is rejected
+    * there) and on comments/string literals. Here the scan is
+    * word-boundary over comment/literal-stripped text, and the Catalyst
+    * parser — which cannot be fooled by spelling — remains the
+    * authoritative gate against every write/DDL form.
     */
   def validateAdHoc(sql: String): Either[String, Unit] = {
-    val upper = sql.toUpperCase
-    if (WriteKeywords.exists(upper.contains))
+    if (WritePattern.findFirstIn(StripPattern.replaceAllIn(sql, " ")).isDefined)
       Left("Write operations not allowed in ad-hoc queries")
     else {
       try {

@@ -23,12 +23,31 @@ class QueryGateSpec extends SparkSpec {
       "INSERT INTO raw_events VALUES (1)",
       "UPDATE webhooks SET owner = 'x'",
       "TRUNCATE TABLE raw_events",
-      // substring semantics: even a SELECT containing the word is blocked
-      "SELECT * FROM updates")) {
+      // keyword as a standalone word anywhere still blocks
+      "SELECT 1 WHERE EXISTS (SELECT 1) OR 'a' = 'b' AND 1=1 -- x\nUPDATE t SET a=1")) {
       val res = e.adHocQuery(q)
       assert(res == Left("Write operations not allowed in ad-hoc queries"),
         s"should reject: $q")
     }
+  }
+
+  test("denylist ignores identifiers, comments and literals (COVERAGE.md deviation)") {
+    val e = newEngine()
+    // the reference's substring scan rejects ALL of these — including its
+    // own catalog column updated_at; the word-boundary + stripped scan
+    // passes them and the Catalyst parser stays the authoritative gate
+    assert(e.validateAdHoc("SELECT updated_at FROM webhooks").isRight)
+    assert(e.validateAdHoc("SELECT 1 -- update this later").isRight)
+    assert(e.validateAdHoc("SELECT /* don't DELETE me */ 1").isRight)
+    assert(e.validateAdHoc("SELECT 'UPDATE' AS word").isRight)
+    assert(e.validateAdHoc("SELECT * FROM updates").isRight)
+    // and it actually executes against the live catalog view
+    e.register(WebhookConfig("/wb", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    assert(e.adHocQuery("SELECT updated_at FROM webhooks").toOption
+      .exists(_.size == 1))
+    // keyword hidden in a comment cannot smuggle a write past the parser
+    assert(e.validateAdHoc("/* SELECT */ DROP TABLE webhooks").isLeft)
   }
 
   test("parser-level rejection of non-query statements (SURVEY §7.3)") {
