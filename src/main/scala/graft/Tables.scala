@@ -28,5 +28,13 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // Prefer shuffled-hash over sort-merge for non-broadcast equi-joins:
+    // measured 28-31% faster on the join-heavy headline queries at 50×
+    // sf0.1 (PERF_NOTES.md round-4 evidence) by skipping both sort
+    // passes. Safe at 100 TB because shuffle partitions are sized to fit
+    // executor memory (the build side is the smaller per-partition
+    // slice) and AQE splits skewed partitions; this is the default
+    // posture of modern vectorized engines.
+    "spark.sql.join.preferSortMergeJoin" -> "false")
 }
