@@ -26,7 +26,8 @@ import graft.engine._
   */
 final class GatewayServer(val engine: WebhookEngine, port: Int = 0,
     apiKey: String =
-      sys.env.getOrElse("WEBHOOK_GATEWAY_API_KEY", "default_key")) {
+      sys.env.getOrElse("WEBHOOK_GATEWAY_API_KEY", "default_key"),
+    staticDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -81,7 +82,52 @@ final class GatewayServer(val engine: WebhookEngine, port: Int = 0,
       case ("PATCH", WebhookStatus(id)) => withAuth(ex)(patchStatus(ex, id))
       case ("DELETE", WebhooksById(id)) => withAuth(ex)(deleteWebhook(ex, id))
       case ("POST", p) => ingest(ex, p)
+      // SPA catch-all, matched LAST like the reference's
+      // `/{full_path:path}` route (src/app.py:1770-1782): static asset
+      // if one exists, index.html for client-side routes, and the
+      // reference's "Frontend not found" JSON when no build is present.
+      case ("GET", p) => serveSpa(ex, p)
       case _ => send(ex, 404, obj("detail" -> "Not found"))
+    }
+  }
+
+  private def serveSpa(ex: HttpExchange, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    staticDir.map(d => Paths.get(d).toAbsolutePath.normalize) match {
+      case None =>
+        send(ex, 200, obj("message" ->
+          ("Frontend not found. Please run 'npm run build' in the " +
+            "frontend directory.")))
+      case Some(root) =>
+        val candidate = root.resolve(path.stripPrefix("/")).normalize
+        // traversal guard: resolved path must stay inside the static root
+        val file =
+          if (candidate.startsWith(root) && Files.isRegularFile(candidate))
+            Some(candidate)
+          else Option(root.resolve("index.html"))
+            .filter(Files.isRegularFile(_))
+        file match {
+          case Some(f) =>
+            val name = f.getFileName.toString
+            val ctype = name.substring(name.lastIndexOf('.') + 1) match {
+              case "html" => "text/html"
+              case "js" => "application/javascript"
+              case "css" => "text/css"
+              case "json" | "map" => "application/json"
+              case "svg" => "image/svg+xml"
+              case "png" => "image/png"
+              case "ico" => "image/x-icon"
+              case _ => "application/octet-stream"
+            }
+            val bytes = Files.readAllBytes(f)
+            ex.getResponseHeaders.set("Content-Type", ctype)
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case None =>
+            send(ex, 200, obj("message" ->
+              ("Frontend not found. Please run 'npm run build' in the " +
+                "frontend directory.")))
+        }
     }
   }
 

@@ -203,4 +203,41 @@ class GatewayServerSpec extends SparkSpec {
       assert(n.get("message").asText().contains("Echo"))
     }
   }
+
+  test("SPA catch-all without a build returns the reference message (src/app.py:1770-1782)") {
+    withServer { (_, base) =>
+      val r = req(s"$base/some/client/route", key = None)
+      assert(r.statusCode() == 200)
+      assert(mapper.readTree(r.body()).get("message").asText()
+        .contains("Frontend not found"))
+    }
+  }
+
+  test("SPA catch-all serves static assets and falls back to index.html") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spa")
+    java.nio.file.Files.writeString(dir.resolve("index.html"),
+      "<html>graft spa</html>")
+    java.nio.file.Files.writeString(dir.resolve("app.js"), "console.log(1)")
+    val server = new GatewayServer(newEngine(), 0, "test_key",
+      Some(dir.toString)).start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val asset = req(s"$base/app.js", key = None)
+      assert(asset.statusCode() == 200)
+      assert(asset.body() == "console.log(1)")
+      assert(asset.headers().firstValue("Content-Type").get ==
+        "application/javascript")
+      // unknown client-side routes get index.html (SPA routing)
+      val route = req(s"$base/webhooks-page/deep/link", key = None)
+      assert(route.statusCode() == 200)
+      assert(route.body().contains("graft spa"))
+      assert(route.headers().firstValue("Content-Type").get == "text/html")
+      // path traversal cannot escape the static root
+      val sneaky = req(s"$base/%2e%2e/%2e%2e/etc/hosts", key = None)
+      assert(sneaky.statusCode() == 200)
+      assert(sneaky.body().contains("graft spa"))
+      // API routes still win over the catch-all
+      assert(req(s"$base/stats").statusCode() == 200)
+    } finally server.stop()
+  }
 }
