@@ -61,6 +61,13 @@ final class WebhookEngine(
     },
     new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy)
 
+  // enqueue/complete counters back [[drain]]: a sentinel task would lie
+  // under CallerRunsPolicy (a saturated queue runs the sentinel on the
+  // caller while earlier events are still queued) and would hang forever
+  // if submitted after shutdown
+  private val ingestEnqueued = new java.util.concurrent.atomic.AtomicLong(0)
+  private val ingestCompleted = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Receive one event: normalize path → route → validate JSON → audit
     * raw → ACK, with the pipeline (filter/transform/deliver/audit)
     * scheduled in the background. Returns the same
@@ -76,7 +83,11 @@ final class WebhookEngine(
         if (!Json.isValid(payloadJson)) Left(InvalidJson)
         else {
           val raw = audit.logRaw(normalized, payloadJson)
-          processPool.execute(() => process(webhook, raw.id, payloadJson))
+          ingestEnqueued.incrementAndGet()
+          processPool.execute { () =>
+            try process(webhook, raw.id, payloadJson)
+            finally ingestCompleted.incrementAndGet()
+          }
           Right(Ack("accepted", raw.id))
         }
     }
@@ -87,7 +98,14 @@ final class WebhookEngine(
     * reference's "processed within 1 s" expectation).
     */
   def drain(): Unit = {
-    processPool.submit(new Runnable { def run(): Unit = () }).get()
+    val target = ingestEnqueued.get()
+    while (ingestCompleted.get() < target) {
+      // after shutdown the queued tasks still run; once the pool is
+      // TERMINATED nothing will increment the counter again, so stop
+      // waiting rather than spin forever
+      if (processPool.isTerminated) return
+      Thread.sleep(2)
+    }
   }
 
   /** Drain the in-flight queue and stop the background worker. */
@@ -212,8 +230,10 @@ final class WebhookEngine(
     */
   private val WritePattern =
     ("(?i)\\b(" + WriteKeywords.mkString("|") + ")\\b").r
-  private val StripPattern = // '…' literals, -- line and /* */ block comments
-    "(?s)'(?:[^']|'')*'|--[^\n]*|/\\*.*?\\*/".r
+  // '…' and "…" literals (Spark accepts double-quoted strings with ANSI
+  // off), `…` quoted identifiers, -- line and /* */ block comments
+  private val StripPattern =
+    "(?s)'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`|--[^\n]*|/\\*.*?\\*/".r
 
   /** The reference's write denylist (src/app.py:971) hardened, PLUS a
     * parser-level check that the statement is a pure query — strictly

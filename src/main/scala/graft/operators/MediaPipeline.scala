@@ -202,8 +202,15 @@ object MediaPipeline {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
+        // ImageIO.read signals "no decoder matched" with null, not an
+        // exception — surface a descriptive per-record error instead of
+        // an opaque NPE killing the task
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.data))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"media_id=${m.media_id}: undecodable image bytes " +
+              s"(${m.data.length} bytes, format=${m.format})")
         val w = img.getWidth
         val h = img.getHeight
         val raster = img.getRaster

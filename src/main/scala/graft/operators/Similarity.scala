@@ -74,7 +74,10 @@ object Similarity {
     val q = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"))
-    val scored = q.join(t, col("tid") =!= col("qid"))
+    // Broadcast the BOUNDED query side (≤ maxQid rows) and stream the
+    // corpus: left as a size-estimate choice the planner would build the
+    // corpus side at small SF and OOM at 100×.
+    val scored = broadcast(q).join(t, col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), col("tid"))
@@ -177,7 +180,7 @@ object Similarity {
       col("label"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), col("tid"))
-    assigned
+    broadcast(assigned)
       .join(t, col("label") === col("probe") && col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
       .select(col("qid"), col("tid"), col("cosine"),

@@ -580,10 +580,13 @@ object Relational {
     // --- HLL sketch (approx_count_distinct): estimator internals are
     //     engine-specific, so the raw estimate can't be oracled — but the
     //     CONTRACT can: the gate emits the exact count plus a boolean
-    //     asserting the HLL estimate lands within its 5% error envelope
-    //     (default rsd ≈ 2.3%), and the DuckDB oracle pins that boolean
-    //     TRUE. A broken estimator now flips the hash instead of passing
-    //     as rows-only (VERDICT r3 "What's wrong" #3).
+    //     asserting the HLL estimate lands within its 5% error envelope,
+    //     and the DuckDB oracle pins that boolean TRUE. A broken
+    //     estimator now flips the hash instead of passing as rows-only
+    //     (VERDICT r3 "What's wrong" #3). rsd is pinned explicitly at
+    //     0.01 (Spark's DEFAULT is 0.05, which would make 5% a 1-sigma
+    //     threshold — a coin flip on regenerated testdata); at rsd=0.01
+    //     the 5% envelope is a 5-sigma margin.
     QueryDef(
       "q25_approx_distinct",
       (s, dir) => {
@@ -591,7 +594,7 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
-            (abs(approx_count_distinct(col("l_partkey")).cast("double")
+            (abs(approx_count_distinct(col("l_partkey"), 0.01).cast("double")
                 - countDistinct(col("l_partkey")).cast("double"))
               / countDistinct(col("l_partkey")).cast("double") < 0.05)
               .as("within_5pct"))

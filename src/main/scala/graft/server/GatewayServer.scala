@@ -49,6 +49,10 @@ final class GatewayServer(val engine: WebhookEngine, port: Int = 0,
   def stop(): Unit = {
     server.stop(0)
     pool.shutdown() // non-daemon threads would otherwise pin the JVM
+    // the ingest worker is a daemon thread: without this flush, events
+    // acked "accepted" but still queued would be dropped at JVM exit
+    // with no transformed_events audit row
+    engine.drain()
   }
 
   // ---- routing ----
