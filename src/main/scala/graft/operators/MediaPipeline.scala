@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing here is real and tested — schema, typed
   * Dataset encoders, per-partition batch processing (`mapPartitions`, so
   * a real decoder would amortize native-library init per partition, not
-  * per row), and feature extraction as columnar aggregates. The byte
-  * decode itself is a clearly-marked DETERMINISTIC STUB (`decodeStub`):
-  * this container has no image/audio codecs, so "decoding" parses the
-  * 12-byte synthetic header and treats the payload bytes as pixels.
-  * Swapping in a real codec changes only that one function.
+  * per row), and feature extraction as columnar aggregates. The image
+  * path decodes REAL PNG bytes through `javax.imageio` and the audio
+  * path REAL WAV bytes through `javax.sound.sampled` (both pure-JDK).
+  * Only video keeps a clearly-marked DETERMINISTIC STUB (`decodeStub`):
+  * no in-JDK video codec exists, so "decoding" parses the 12-byte
+  * synthetic header and treats the payload bytes as pixels. Swapping in
+  * a real codec changes only that one function.
   *
   * 100 TB design notes:
   *  - binary payloads stay columnar in parquet; metadata columns
@@ -244,6 +246,105 @@ object MediaPipeline {
       }
       PngFeatures(d.media_id, d.width.toLong, d.height.toLong,
         d.pixels.length.toLong, sum, hist.mkString("|"))
+    }.toDF().orderBy("media_id")
+  }
+
+  // ---- audio: REAL WAV encode → decode via pure-JDK javax.sound ----
+
+  final case class DecodedAudio(media_id: Long, sample_rate: Long,
+      samples: Array[Int])
+
+  final case class WavFeatures(media_id: Long, sample_rate: Long,
+      n_samples: Long, sum_sample: Long, sum_abs: Long, max_abs: Long,
+      hist: String)
+
+  /** Real WAV bytes, one clip per document: 16-bit signed PCM mono at
+    * 8 kHz whose samples follow the analytically-known formula
+    * `s(i) = ((doc_id*37 + i*11) mod 65536) - 32768`, encoded with the
+    * pure-JDK `javax.sound.sampled` WAV writer (headless-safe file I/O —
+    * no audio device, no external codec). The formula makes the decoded
+    * features SQL-recomputable, so the DuckDB oracle verifies the REAL
+    * encode→decode round trip, mirroring the PNG path above.
+    */
+  def wavMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (512 + (id % 4) * 128).toInt
+        val pcm = new Array[Byte](n * 2) // little-endian int16 frames
+        var i = 0
+        while (i < n) {
+          val s = (((id * 37 + i * 11) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", "audio/wav", n, 1, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL WAV decode: parse the RIFF container + PCM frames back out of
+    * the bytes through `AudioSystem.getAudioInputStream` — the audio
+    * counterpart of [[decodeImage]]; `decodeStub` now stands in for
+    * video only.
+    */
+  def decodeWav(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.data))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian || fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new IllegalArgumentException(
+            s"media_id=${m.media_id}: expected 16-bit signed little-endian " +
+              s"mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          i += 1
+        }
+        DecodedAudio(m.media_id, fmt.getSampleRate.toLong, samples)
+      }
+    }
+  }
+
+  /** Gate query: documents → real WAV encode → real javax.sound decode →
+    * exact integer features (signed sum, abs sum, peak, 16-bucket
+    * amplitude histogram packed '|'-joined — identical spelling on the
+    * DuckDB side, recomputed from the generating formula).
+    */
+  def wavFeatureTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeWav(wavMediaFromDocs(docs)).map { d =>
+      val hist = new Array[Long](16)
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+      var i = 0
+      while (i < d.samples.length) {
+        val s = d.samples(i)
+        val a = math.abs(s.toLong)
+        sum += s; sumAbs += a; if (a > maxAbs) maxAbs = a
+        hist((s + 32768) / 4096) += 1
+        i += 1
+      }
+      WavFeatures(d.media_id, d.sample_rate, d.samples.length.toLong,
+        sum, sumAbs, maxAbs, hist.mkString("|"))
     }.toDF().orderBy("media_id")
   }
 }

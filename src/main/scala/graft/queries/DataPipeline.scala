@@ -558,6 +558,37 @@ object DataPipeline {
            |       CONCAT_WS('|',
            |         $buckets) AS hist
            |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin
+      }),
+
+    // --- Multimodal audio: binary-column decode over a REAL format —
+    //     per doc, 16-bit PCM samples with a known generating formula
+    //     are encoded to actual WAV bytes (RIFF container) and decoded
+    //     back through the pure-JDK javax.sound.sampled codec; the
+    //     oracle recomputes the integer features from the formula, so a
+    //     broken encode/decode flips the hash. Video remains the only
+    //     documented stub (no in-JDK codec exists for it).
+    QueryDef(
+      "q40_audio_features",
+      (s, dir) => MediaPipeline.wavFeatureTable(Tables(s, dir, "documents")),
+      Some {
+        val buckets = (0 until 16).map(k =>
+          s"CAST(CAST(SUM(CASE WHEN (s + 32768) // 4096 = $k THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
+          .mkString(",\n             |         ")
+        s"""WITH sm AS (
+           |  SELECT d.doc_id,
+           |         ((d.doc_id * 37 + g.i * 11) % 65536) - 32768 AS s
+           |  FROM documents d, generate_series(0, 895) AS g(i)
+           |  WHERE g.i < 512 + (d.doc_id % 4) * 128
+           |)
+           |SELECT doc_id AS media_id,
+           |       CAST(8000 AS BIGINT) AS sample_rate,
+           |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+           |       CAST(SUM(s) AS BIGINT) AS sum_sample,
+           |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           |       CAST(MAX(ABS(s)) AS BIGINT) AS max_abs,
+           |       CONCAT_WS('|',
+           |         $buckets) AS hist
+           |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
       })
   )
 }
