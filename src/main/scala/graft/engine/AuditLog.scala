@@ -84,25 +84,39 @@ final class AuditLog(spark: SparkSession, workDir: String,
     * share the batch timestamp so a checkpoint replay is idempotent
     * modulo the audit clock.
     */
-  def logRawBatch(df: DataFrame, tsMicros: Long): Unit = {
-    df.select(col("id"), timestamp_micros(lit(tsMicros)).as("timestamp"),
-        col("source_path"), col("payload"))
-      .withColumn("dt", to_date(col("timestamp")))
-      .write.mode("append").partitionBy("dt").parquet(rawDir)
-  }
+  /** Concurrent webhook groups append distributed from parallel threads;
+    * the default FileOutputCommitter stages every job under the SAME
+    * `<dir>/_temporary` and deletes it on commit, so two simultaneous
+    * appends to one directory can destroy each other's staging. The
+    * compute (filter/transform jobs) stays concurrent — only the final
+    * append commit serializes per table. A cloud deployment with a
+    * staging-free committer (magic committer, Iceberg/Delta) can drop
+    * these locks.
+    */
+  private val rawAppendLock = new Object
+  private val trAppendLock = new Object
+
+  def logRawBatch(df: DataFrame, tsMicros: Long): Unit =
+    rawAppendLock.synchronized {
+      df.select(col("id"), timestamp_micros(lit(tsMicros)).as("timestamp"),
+          col("source_path"), col("payload"))
+        .withColumn("dt", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("dt").parquet(rawDir)
+    }
 
   /** Distributed transformed-event append (same contract as
     * [[logRawBatch]]); the caller supplies every column except the
     * timestamp.
     */
-  def logTransformedBatch(df: DataFrame, tsMicros: Long): Unit = {
-    df.select(col("id"), col("raw_event_id"), col("webhook_id"),
-        timestamp_micros(lit(tsMicros)).as("timestamp"),
-        col("transformed_payload"), col("destination_url"), col("success"),
-        col("response_code").cast("int"), col("response_body"))
-      .withColumn("dt", to_date(col("timestamp")))
-      .write.mode("append").partitionBy("dt").parquet(trDir)
-  }
+  def logTransformedBatch(df: DataFrame, tsMicros: Long): Unit =
+    trAppendLock.synchronized {
+      df.select(col("id"), col("raw_event_id"), col("webhook_id"),
+          timestamp_micros(lit(tsMicros)).as("timestamp"),
+          col("transformed_payload"), col("destination_url"), col("success"),
+          col("response_code").cast("int"), col("response_body"))
+        .withColumn("dt", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("dt").parquet(trDir)
+    }
 
   private def readDir(dir: String, bufDf: => DataFrame): DataFrame = {
     // An absent directory, or one a crashed flush left with no

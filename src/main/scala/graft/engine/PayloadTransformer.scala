@@ -124,19 +124,146 @@ final class PayloadTransformer(spark: SparkSession) {
     * "Error:" row — only reachable with mixed-shape batches.
     */
   def batchFilterPlan(events: DataFrame, filterQuery: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    explodedBatch(events)
+      .where(expr(filterQuery))
+      .select(col("__graft_eid").as("__eid"))
+      .distinct()
+  }
+
+  /** Union-schema exploded relation for a batch of same-webhook events:
+    * one schema inference over the whole batch, then every payload parsed
+    * against it with the event id and the within-payload row index
+    * carried as metadata columns — `(__graft_eid, __graft_idx,
+    * <payload columns>)`. Array payloads explode into one row per
+    * element (index = element position), exactly the per-event
+    * payloadToDf row set.
+    */
+  private def explodedBatch(events: DataFrame): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{array, col, explode, expr, from_json, when}
+    import org.apache.spark.sql.functions.{array, col, expr, from_json, posexplode, when}
     import org.apache.spark.sql.types.ArrayType
     val schema = spark.read.json(events.select("__json").as[String]).schema
     events
       .select(col("__eid"),
-        explode(when(expr("__json RLIKE '^\\\\s*\\\\['"),
+        posexplode(when(expr("__json RLIKE '^\\\\s*\\\\['"),
           from_json(col("__json"), ArrayType(schema)))
-          .otherwise(array(from_json(col("__json"), schema)))).as("__p"))
-      .select(col("__eid"), col("__p.*"))
-      .where(expr(filterQuery))
-      .select("__eid")
-      .distinct()
+          .otherwise(array(from_json(col("__json"), schema))))
+          .as(Seq("__idx", "__p")))
+      .select(col("__eid").as("__graft_eid"), col("__idx").as("__graft_idx"),
+        col("__p.*"))
+  }
+
+  // ---- set-oriented transform channel ----
+
+  /** Generator function names that multiply rows: per-output-row order
+    * within one payload row is generation order per-event, which the
+    * batched sort-by-index can't reproduce — so these fall back.
+    */
+  private val GeneratorFns = Set("explode", "explode_outer", "posexplode",
+    "posexplode_outer", "inline", "inline_outer", "stack", "json_tuple")
+
+  /** True when a substituted transform parses to a ROW-WISE plan — only
+    * Project / Filter / SubqueryAlias over the single payload relation,
+    * with no window functions, subquery expressions, or row-multiplying
+    * generators. Aggregates without GROUP BY parse as Project, but the
+    * injected pass-through columns then fail analysis (non-grouped
+    * reference), so they fall back at the analysis gate instead. Every
+    * other shape (Aggregate, Limit, Sort, Distinct, set ops, WITH,
+    * joins against reference tables) has a node outside the allowlist.
+    */
+  private[graft] def isRowWiseSelect(substitutedSql: String): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+      import org.apache.spark.sql.catalyst.expressions.{SubqueryExpression, WindowExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
+      val plan = spark.sessionState.sqlParser.parsePlan(substitutedSql)
+      val nodesOk = plan.collect { case n: LogicalPlan => n }.forall {
+        case _: Project | _: LFilter | _: SubqueryAlias |
+          _: UnresolvedRelation => true
+        case _ => false
+      }
+      def exprBad(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        e.exists {
+          case _: WindowExpression => true
+          case _: SubqueryExpression => true
+          case f: UnresolvedFunction =>
+            GeneratorFns(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+          case _ => false
+        }
+      nodesOk && !plan.exists(_.expressions.exists(exprBad))
+    } catch { case _: Throwable => false }
+
+  private val SelectHead = "(?i)\\bselect\\b".r
+
+  /** Compile a `{{payload}}` transform ONCE against a batch's union
+    * schema and evaluate every event in ONE set-oriented plan. Input:
+    * (`__eid`, `__json`) rows; output: (`__eid`, `__transformed`) with
+    * the reference's shaping applied per event (1 row → flat object,
+    * N rows → {"results": [...]}; events whose rows all fail the
+    * transform's own WHERE produce no output row — callers coalesce to
+    * "{}"). Returns None when the transform shape requires per-event
+    * semantics: arbitrary SQL may aggregate/sort/limit over the
+    * SINGLE-EVENT relation, which a batch-wide run would evaluate over
+    * the whole batch instead, so only verified row-wise plans batch.
+    *
+    * Mechanics: the event id and row index are injected as pass-through
+    * columns into the outer SELECT (`__graft_eid AS __ge, ...`) — sound
+    * because a row-wise plan commutes with adding a constant-per-row
+    * column; any shape that would change semantics fails the parse
+    * allowlist or the post-injection analysis and falls back. Per-row
+    * JSON uses the same Jackson generator as the per-event `toJSON`
+    * path, so strings match byte-for-byte; multi-row events reassemble
+    * in payload order via the carried index.
+    *
+    * Same union-schema edge as [[batchFilterPlan]]: an event missing a
+    * referenced column reads as null here where the per-event path
+    * errors — only reachable with mixed-shape batches.
+    */
+  def batchTransformPlan(events: DataFrame,
+      transformQuery: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{array_join, array_sort, col, collect_list, concat, count, lit, struct, to_json, when, transform => arrTransform}
+    if (!isRowWiseSelect(substitute(transformQuery, "__graft_probe")))
+      return None
+    val view = tempViewName()
+    explodedBatch(events).createOrReplaceTempView(view)
+    try {
+      val substituted = substitute(transformQuery, view)
+      val injected = SelectHead.replaceFirstIn(substituted,
+        "SELECT __graft_eid AS __ge, __graft_idx AS __gi, ")
+      val res = spark.sql(injected) // analyzes eagerly; throws → fallback
+      val metaCols = Set("__ge", "__gi", "__graft_eid", "__graft_idx")
+      val userCols = res.columns.filterNot(metaCols)
+      Some(res
+        .select(col("__ge"), col("__gi"),
+          to_json(struct(userCols.map(col).toIndexedSeq: _*)).as("__row"))
+        .groupBy(col("__ge").as("__eid"))
+        .agg(count(lit(1)).as("__n"),
+          array_join(arrTransform(
+            array_sort(collect_list(struct(col("__gi"), col("__row")))),
+            s => s.getField("__row")), ", ").as("__rows"))
+        .select(col("__eid"),
+          when(col("__n") === 1, col("__rows"))
+            .otherwise(concat(lit("{\"results\": ["), col("__rows"),
+              lit("]}")))
+            .as("__transformed")))
+    } catch {
+      case _: Throwable => None
+    } finally spark.catalog.dropTempView(view) // plan already resolved
+  }
+
+  /** Driver-side convenience over [[batchTransformPlan]] for
+    * [[WebhookEngine.processBatch]]: Some(eid → shaped JSON) when the
+    * transform batched (missing eids mean zero output rows → "{}"),
+    * None when it requires the per-event path.
+    */
+  def batchTransform(events: Seq[(String, String)],
+      transformQuery: String): Option[Map[String, String]] = {
+    import spark.implicits._
+    if (events.isEmpty) return Some(Map.empty)
+    try batchTransformPlan(events.toDF("__eid", "__json"), transformQuery)
+      .map(_.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    catch { case _: Throwable => None } // runtime failure → per-event path
   }
 
   /** {{payload}} macro expansion (src/app.py:462) — textual, same as the

@@ -184,14 +184,26 @@ final class WebhookEngine(
     }
     kept match {
       case None => events.map(e => process(webhook, e.id, e.payload))
-      case Some(keep) => events.map { e =>
-        if (!keep(e.id)) {
-          audit.logTransformed(e.id, webhook.id, "{}", webhook.destinationUrl,
-            success = false, None, "Filtered out by filter_query")
-          ProcessResult(e.id, filtered = true, success = false, None, None,
-            "Filtered out by filter_query")
-        } else processKept(webhook, e.id, e.payload)
-      }
+      case Some(keep) =>
+        // row-wise transforms compile ONCE and evaluate over all kept
+        // events as one set-oriented job; None = shape needs per-event
+        // semantics (aggregate/limit/sort/...) or the batch run failed
+        val kepts = events.filter(e => keep(e.id))
+        val batched: Option[Map[String, String]] =
+          transformer.batchTransform(
+            kepts.map(e => e.id -> e.payload), webhook.transformQuery)
+        events.map { e =>
+          if (!keep(e.id)) {
+            audit.logTransformed(e.id, webhook.id, "{}", webhook.destinationUrl,
+              success = false, None, "Filtered out by filter_query")
+            ProcessResult(e.id, filtered = true, success = false, None, None,
+              "Filtered out by filter_query")
+          } else batched match {
+            case Some(m) =>
+              deliverPrepared(webhook, e.id, m.getOrElse(e.id, "{}"))
+            case None => processKept(webhook, e.id, e.payload)
+          }
+        }
     }
   }
 
@@ -204,6 +216,23 @@ final class WebhookEngine(
     try {
       val transformed =
         transformer.transform(webhook.id, webhook.transformQuery, payloadJson)
+      deliverPrepared(webhook, rawEventId, transformed)
+    } catch {
+      case e: Throwable =>
+        val msg = s"Error: ${e.getMessage}"
+        audit.logTransformed(rawEventId, webhook.id, "{}",
+          webhook.destinationUrl, success = false, None, msg)
+        ProcessResult(rawEventId, filtered = false, success = false,
+          None, None, msg)
+    }
+
+  /** Deliver + audit an ALREADY-TRANSFORMED payload — the tail of the
+    * pipeline shared by the per-event path and the set-oriented
+    * transform channel (which computes `transformed` in one batch job).
+    */
+  private[graft] def deliverPrepared(webhook: Webhook, rawEventId: String,
+      transformed: String): ProcessResult =
+    try {
       val d = deliverFn(webhook.destinationUrl, transformed)
       audit.logTransformed(rawEventId, webhook.id, transformed,
         webhook.destinationUrl, d.success, d.code, d.body)

@@ -106,13 +106,42 @@ final class StreamIngest(engine: WebhookEngine) {
       // tiny: ≤ one row per webhook present in the batch
       val widsPresent =
         routed.select("__wid").distinct().collect().map(_.getString(0)).toSet
-      hooks.filter(w => widsPresent(w.id)).foreach { w =>
+      val present = hooks.filter(w => widsPresent(w.id))
+      def runGroup(w: Webhook): Unit =
         processWebhookGroup(w,
           routed.where(col("__wid") === w.id).select("__eid", "payload"),
           tsMicros)
+      if (present.sizeIs <= 1) present.foreach(runGroup)
+      else {
+        // webhook groups are independent: submit them concurrently so
+        // batch wall-time ≈ max(group), not Σ(groups). SparkSession is
+        // thread-safe; each thread tags its jobs with a per-webhook
+        // scheduler pool (effective when spark.scheduler.mode=FAIR;
+        // harmless under FIFO). Bounded pool so a 1000-webhook batch
+        // doesn't spawn 1000 driver threads.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(present.size, GroupParallelism),
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-group-worker")
+            t.setDaemon(true); t
+          })
+        try {
+          present.map { w =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                val sc = engine.spark.sparkContext
+                sc.setLocalProperty("spark.scheduler.pool", s"graft-${w.id}")
+                try runGroup(w)
+                finally sc.setLocalProperty("spark.scheduler.pool", null)
+              }
+            })
+          }.foreach(_.get()) // propagate the first group failure
+        } finally pool.shutdown()
       }
     } finally routed.unpersist()
   }
+
+  private val GroupParallelism = 8
 
   /** One webhook's slice of the batch: distributed filter gate, filtered
     * audit rows written executor-side, survivors collected for per-event
@@ -155,9 +184,46 @@ final class StreamIngest(engine: WebhookEngine) {
           tsMicros)
         val survivors = group
           .join(kept, group("__eid") === kept("__eid"), "left_semi")
+        deliverSurvivors(webhook, survivors)
+    }
+  }
+
+  /** Transform + deliver the filter survivors. Row-wise transforms
+    * compile ONCE and evaluate set-oriented — O(1) Spark jobs per
+    * (webhook, batch) instead of one `spark.sql` per event — and the
+    * driver then collects only (event id, shaped JSON) pairs for the
+    * per-event HTTP delivery, which is edge-bound by contract. Shapes
+    * that genuinely need the single-event relation (aggregate / limit /
+    * sort / window / join) fall back to the per-event path, as does any
+    * batch-plan failure (reproducing the reference's per-event "Error:"
+    * audit rows).
+    */
+  private def deliverSurvivors(webhook: Webhook, survivors: DataFrame): Unit = {
+    val batchedPlan = engine.transformer.batchTransformPlan(
+      survivors.withColumnRenamed("payload", "__json"),
+      webhook.transformQuery)
+    val batched: Option[Array[(String, String)]] = batchedPlan.flatMap { p =>
+      try {
+        // left join keeps zero-output-row events ("{}" per the shaping
+        // contract); ONE collect returns exactly the delivery-bound set
+        Some(survivors.select("__eid")
+          .join(p, Seq("__eid"), "left")
+          .select(col("__eid"),
+            coalesce(col("__transformed"), lit("{}")))
           .collect()
-        driverCollectedEvents.addAndGet(survivors.length.toLong)
-        survivors.foreach(r =>
+          .map(r => (r.getString(0), r.getString(1))))
+      } catch { case _: Throwable => None }
+    }
+    batched match {
+      case Some(rows) =>
+        driverCollectedEvents.addAndGet(rows.length.toLong)
+        rows.foreach { case (eid, transformed) =>
+          engine.deliverPrepared(webhook, eid, transformed)
+        }
+      case None =>
+        val rows = survivors.collect()
+        driverCollectedEvents.addAndGet(rows.length.toLong)
+        rows.foreach(r =>
           engine.processKept(webhook, r.getString(0), r.getString(1)))
     }
   }

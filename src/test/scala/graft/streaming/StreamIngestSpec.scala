@@ -94,12 +94,23 @@ class StreamIngestSpec extends SparkSpec {
       "/mix-a" -> """{"n": 5}""",
       "/mix-a" -> """{"n": 5}""", // duplicate payload: distinct ids
       "/mix-b" -> """{"tag": "x"}""", // b has no filter
+      "/mix-b" -> """[{"tag": "a"}, {"tag": "b"}]""", // multi-row → results
+      "/mix-c" -> """[{"v": 2}, {"v": 3}]""", // per-event AGGREGATE transform
+      "/mix-d" -> """{"v": 1}""", // transform's own WHERE drops all rows
       "/nowhere" -> """{"n": 9}""") // unroutable → dropped
     def registerBoth(e: graft.engine.WebhookEngine): Unit = {
       e.register(WebhookConfig("/mix-a", "https://example.com/a",
         "SELECT n, n + 1 AS next FROM {{payload}}", Some("n >= 2"), None))
       e.register(WebhookConfig("/mix-b", "https://example.com/b",
         "SELECT upper(tag) AS tag FROM {{payload}}", None, None))
+      // aggregates over the single-event relation — must FALL BACK to the
+      // per-event path, not aggregate the whole batch
+      e.register(WebhookConfig("/mix-c", "https://example.com/c",
+        "SELECT count(*) AS rows, sum(v) AS total FROM {{payload}}",
+        None, None))
+      // all rows fail the transform's own WHERE → "{}" delivered
+      e.register(WebhookConfig("/mix-d", "https://example.com/d",
+        "SELECT v FROM {{payload}} WHERE v > 100", None, None))
     }
     def auditSnapshot(e: graft.engine.WebhookEngine): Seq[Seq[Any]] =
       e.adHocQuery(
@@ -120,7 +131,78 @@ class StreamIngestSpec extends SparkSpec {
     events.foreach { case (p, j) => perEvent.ingest(p, j) }
     perEvent.drain() // ack is deferred; wait for background processing
 
-    assert(auditSnapshot(distributed) == auditSnapshot(perEvent))
+    val (d, p) = (auditSnapshot(distributed), auditSnapshot(perEvent))
+    assert(d == p)
+    // the pin covers the set-oriented transform shapes explicitly:
+    val payloads = d.map(_(3).asInstanceOf[String])
+    assert(payloads.exists(j => jsonEq(j,
+      """{"results": [{"tag":"A"}, {"tag":"B"}]}"""))) // multi-row shaping
+    assert(payloads.exists(j => jsonEq(j, """{"rows":2,"total":5}"""))) // agg
+    assert(payloads.contains("{}")) // mix-d: zero transform output rows
+  }
+
+  test("row-wise transforms run O(1) Spark jobs per (webhook, batch)") {
+    val s = spark
+    import s.implicits._
+    val e = newEngine()
+    e.register(WebhookConfig("/setwise", "https://example.com/sink",
+      "SELECT v, v * 2 AS dbl FROM {{payload}}", Some("v > 0"), None))
+    val ingest = new StreamIngest(e)
+    def jobsFor(n: Int, key: String): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        ingest.processMicroBatch(
+          (1 to n).map(i => "/setwise" -> s"""{"v": $i}""")
+            .toDF("source_path", "payload"), key)
+        Thread.sleep(1500) // listener bus is async; let it flush
+        counter.get()
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+    val small = jobsFor(3, "jobs|small")
+    val large = jobsFor(24, "jobs|large")
+    // per-event transforms would add ~2 jobs per extra event; the
+    // set-oriented channel's job count is independent of batch size
+    assert(large == small,
+      s"expected O(1) jobs per batch: $small jobs at n=3, $large at n=24")
+    // and the transforms really ran: all 24 delivered with shaped JSON
+    val delivered = e.adHocQuery(
+      """SELECT COUNT(*) FROM transformed_events
+        |WHERE success AND transformed_payload LIKE '%dbl%'""".stripMargin)
+      .toOption.get
+    assert(delivered == Seq(Seq(27L)))
+  }
+
+  test("webhook groups process concurrently: wall ≈ max(group), not Σ") {
+    val s = spark
+    import s.implicits._
+    val sleepMs = 1500L
+    // slow destination: per-event HTTP delivery takes 1.5s
+    val e = newEngine((_, _) => {
+      Thread.sleep(sleepMs)
+      graft.engine.Delivery.Result(success = true, Some(200), "ok")
+    })
+    (1 to 8).foreach(i =>
+      e.register(WebhookConfig(s"/par-$i", "https://example.com/sink",
+        "SELECT v FROM {{payload}}", None, None)))
+    val events = (1 to 8).map(i => s"/par-$i" -> s"""{"v": $i}""")
+    val ingest = new StreamIngest(e)
+    val t0 = System.nanoTime()
+    ingest.processMicroBatch(events.toDF("source_path", "payload"), "par|0")
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    // serial would pay ≥ 8 × 1.5s = 12s of delivery sleeps alone;
+    // concurrent groups overlap them (plus Spark job time on local[4])
+    assert(wallMs < 9000L,
+      s"expected concurrent group processing, batch took ${wallMs}ms")
+    val delivered = e.adHocQuery(
+      "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
+    assert(delivered == Seq(Seq(8L)))
   }
 
   test("micro-batch collects only delivery-bound rows to the driver") {
