@@ -157,4 +157,64 @@ final class AuditLog(spark: SparkSession, workDir: String,
   def countRawFor(sourcePaths: Seq[String]): Long =
     if (sourcePaths.isEmpty) 0L
     else rawEvents().where(col("source_path").isin(sourcePaths: _*)).count()
+
+  // ---- small-file compaction ----
+
+  /** Epoch compaction for the streaming path: every micro-batch appends
+    * one-or-more parquet files per table, so a long-running stream
+    * accumulates millions of small files — the classic streaming-sink
+    * pathology. Each `dt=` partition holding more than
+    * `maxFilesPerPartition` data files is rewritten as one file
+    * (write-new-then-delete-old, so a crash mid-compaction leaves
+    * duplicate rows rather than lost audit history; the deterministic
+    * raw-event ids make duplicates detectable downstream). Buffered
+    * rows are untouched — compaction only touches committed files.
+    *
+    * Returns the number of partitions rewritten.
+    */
+  def compact(maxFilesPerPartition: Int = 8): Int = synchronized {
+    compactDir(rawDir, maxFilesPerPartition) +
+      compactDir(trDir, maxFilesPerPartition)
+  }
+
+  private def compactDir(dir: String, maxFiles: Int): Int = {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!JFiles.exists(root)) return 0
+    def ls(p: Path): Seq[Path] =
+      JFiles.list(p).iterator().asScala.toSeq
+    val partitions = ls(root)
+      .filter(p => JFiles.isDirectory(p) &&
+        p.getFileName.toString.startsWith("dt="))
+    partitions.count { part =>
+      val dataFiles = ls(part).filter(f =>
+        f.getFileName.toString.endsWith(".parquet"))
+      if (dataFiles.size <= maxFiles) false
+      else {
+        // partition-column-free read/write: parquet files under a dt=
+        // leaf never store the dt column, so the rewritten file matches
+        // the survivors' schema exactly
+        val tmp = root.resolve(
+          s".compact-${UUID.randomUUID().toString.take(8)}")
+        spark.read.parquet(part.toString)
+          .coalesce(1)
+          .write.parquet(tmp.toString)
+        val rewritten = ls(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        // new files in first, old files out after — a reader racing the
+        // swap may double-count, never miss (audit is append-only)
+        val moved = rewritten.map { f =>
+          val dest = part.resolve(
+            s"compacted-${UUID.randomUUID().toString}.parquet")
+          JFiles.move(f, dest)
+          dest
+        }
+        dataFiles.foreach(JFiles.delete)
+        ls(tmp).foreach(JFiles.delete) // _SUCCESS etc.
+        JFiles.delete(tmp)
+        moved.nonEmpty
+      }
+    }
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class WebhookEngine(
     val spark: SparkSession,
-    workDir: String,
+    val workDir: String,
     deliverFn: (String, String) => Delivery.Result = Delivery.deliver) {
 
   val catalog = new WebhookCatalog(Some(JsonStore(workDir, "webhooks.json")))

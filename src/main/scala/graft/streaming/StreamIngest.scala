@@ -47,7 +47,8 @@ import graft.engine.{Webhook, WebhookEngine}
   * reference's fire-and-forget background task; a production deployment
   * would put the delivery call behind an idempotency key.
   */
-final class StreamIngest(engine: WebhookEngine) {
+final class StreamIngest(engine: WebhookEngine,
+    compactEveryBatches: Int = 64) {
 
   /** One ingested event: routing path + raw JSON payload. */
   final case class IngestEvent(source_path: String, payload: String)
@@ -139,7 +140,14 @@ final class StreamIngest(engine: WebhookEngine) {
         } finally pool.shutdown()
       }
     } finally routed.unpersist()
+    // epoch maintenance: every micro-batch appends files, so without
+    // this a long-running stream accumulates millions of small files
+    if (compactEveryBatches > 0 &&
+      batchesProcessed.incrementAndGet() % compactEveryBatches == 0)
+      engine.audit.compact()
   }
+
+  private val batchesProcessed = new AtomicLong(0L)
 
   private val GroupParallelism = 8
 

@@ -222,4 +222,38 @@ class IntegrationSpec extends SparkSpec {
       "SELECT id FROM transformed_events").toOption.get.map(_.head).toSet
     assert((acks :+ ack4).forall(a => e.transformedFor(a.eventId).isDefined))
   }
+
+  test("audit compaction merges small files without changing reads") {
+    val e = newEngine()
+    e.register(WebhookConfig("/compact-test", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    // many tiny flushes = the streaming small-file pathology
+    (1 to 12).foreach { i =>
+      e.ingest("/compact-test", s"""{"n": $i}""").toOption.get
+      e.drain()
+      e.audit.flush()
+    }
+    def snapshot(): Seq[Seq[Any]] = e.adHocQuery(
+      """SELECT r.payload, t.success FROM raw_events r
+        |JOIN transformed_events t ON t.raw_event_id = r.id
+        |ORDER BY r.payload""".stripMargin).toOption.get
+    def fileCount(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(e.workDir))
+        .iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = snapshot()
+    val filesBefore = fileCount()
+    assert(filesBefore >= 24) // ≥12 per table
+    val rewritten = e.audit.compact(maxFilesPerPartition = 4)
+    assert(rewritten == 2) // one over-threshold dt partition per table
+    val filesAfter = fileCount()
+    assert(filesAfter <= filesBefore - 22) // each table's dt → 1 file
+    assert(snapshot() == before) // reads unchanged
+    // further appends after compaction still read fine
+    e.ingest("/compact-test", """{"n": 13}""").toOption.get
+    e.drain()
+    assert(snapshot().size == before.size + 1)
+  }
 }
