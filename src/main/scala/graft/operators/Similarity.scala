@@ -157,6 +157,131 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Trained coarse quantizer: deterministic Lloyd k-means over an
+    * md5-ordered sample, fully replayable by any engine.
+    *
+    * Algorithm (the DuckDB oracle replays it statement-for-statement):
+    *  - sample = first `sampleN` vectors ordered by
+    *    `md5(vec_id || '|ivfseed')` — content-stable, no RNG;
+    *  - init: the first `k` of those same ranked vectors are the
+    *    starting centroids (centroid id = rank order);
+    *  - `iters` fixed Lloyd iterations over the sample: assign to the
+    *    best centroid by quantized score `dotQ/1e12/sqrt(cnorm2)`
+    *    (ties → smaller centroid id), then per-dimension mean with the
+    *    floor-quantized integer-sum arithmetic (exact in any engine);
+    *    a cluster that loses all members keeps its previous centroid;
+    *  - emitted exploded as (k, i, c) — the materialized centroid table.
+    *
+    * 100 TB notes: training touches only the fixed-size sample (the
+    * md5 order-by is over narrow (vec_id, hash) pairs; at extreme scale
+    * swap the sort for an md5-threshold filter); each iteration is one
+    * broadcast join + two hash aggregates; the centroid table is k×dim
+    * rows — broadcastable forever.
+    */
+  def trainedCentroids(emb: DataFrame, k: Int = 8, sampleN: Int = 256,
+      iters: Int = 2): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("vf").cast("double").as("v"))
+    val ranked = emb
+      .select(col("vec_id"),
+        md5(concat(col("vec_id"), lit("|ivfseed")).cast("binary")).as("h"))
+      .orderBy("h").limit(sampleN)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy("h")).as("r"))
+    val sampleDims = dims.join(ranked, "vec_id")
+      .select(col("vec_id"), col("i"), col("v"), col("r"))
+      .persist()
+    var cent = sampleDims.where(col("r") <= k)
+      .select((col("r") - 1).as("k"), col("i"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val cn = cent.groupBy("k")
+        .agg((sum(floor(col("c") * col("c") * Q + 0.5)).cast("double") / Q)
+          .as("cn2"))
+      val best = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("score"), col("k"))
+      val assigned = sampleDims.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(floor(col("v") * col("c") * Q + 0.5)).as("dq"))
+        .join(broadcast(cn), "k")
+        .select(col("vec_id"), col("k"),
+          (col("dq").cast("double") / Q / sqrt(col("cn2"))).as("score"))
+        .select(col("vec_id"), col("k"),
+          row_number().over(best).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("k"))
+      val means = sampleDims.join(assigned, "vec_id")
+        .groupBy(col("k"), col("i"))
+        .agg((sum(floor(col("v") * Q + 0.5)).cast("double") / Q
+          / count(lit(1))).as("cnew"))
+      cent = cent.select(col("k"), col("i"), col("c").as("cold"))
+        .join(means, Seq("k", "i"), "left")
+        .select(col("k"), col("i"), coalesce(col("cnew"), col("cold")).as("c"))
+    }
+    cent
+  }
+
+  /** IVF top-k with the TRAINED quantizer and multi-probe: every corpus
+    * vector is assigned to its nearest trained centroid once (the
+    * inverted file); each query probes its `nprobe` best centroids and
+    * brute-forces only those clusters. The oracle replays the identical
+    * training + probe algorithm, so the gate hash pins the whole path.
+    *
+    * 100 TB notes: the centroid table broadcasts (k×dim rows); corpus
+    * assignment is one broadcast join + hash agg and would be written
+    * bucketed by cluster id at scale; the probe join streams only the
+    * probed clusters' vectors — never all-pairs.
+    */
+  def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
+      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val cn = cent.groupBy("k")
+      .agg((sum(floor(col("c") * col("c") * Q + 0.5)).cast("double") / Q)
+        .as("cn2"))
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("vf").cast("double").as("v"))
+    val scores = dims.join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(floor(col("v") * col("c") * Q + 0.5)).as("dq"))
+      .join(broadcast(cn), "k")
+      .select(col("vec_id"), col("k"),
+        (col("dq").cast("double") / Q / sqrt(col("cn2"))).as("score"))
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("score"), col("k"))
+    val assign = scores
+      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id").as("tid"), col("k"))
+    val probes = scores.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("k"),
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(desc("score"), col("k"))).as("crnk"))
+      .where(col("crnk") <= nprobe)
+      .select(col("qid"), col("k"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("tid"))
+    // each tid lives in exactly one cluster and a query's probes are
+    // distinct clusters, so (qid, tid) candidates are already unique
+    broadcast(probes)
+      .join(assign, "k")
+      .where(col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"))
+      .join(vecs.as("vq"), col("vq.vec_id") === col("qid"))
+      .join(vecs.as("vt"), col("vt.vec_id") === col("tid"))
+      .select(col("qid"), col("tid"),
+        cosine(col("vq.embedding"), col("vt.embedding")).as("cosine"))
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= topK)
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF top-k: assign each query to its nearest centroid (1-probe),
     * then brute-force only within that cluster. Approximate by design;
     * the oracle replays the identical algorithm.

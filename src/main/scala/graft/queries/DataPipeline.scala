@@ -589,6 +589,106 @@ object DataPipeline {
            |       CONCAT_WS('|',
            |         $buckets) AS hist
            |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
+      }),
+
+    // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
+    //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
+    //     quantized arithmetic) and nprobe=2 multi-probe search. The
+    //     oracle replays the training statement-for-statement, so the
+    //     hash pins the whole path: sampling, init, both iterations,
+    //     corpus assignment, probing, and the final exact rerank.
+    QueryDef(
+      "q52_ivf_trained",
+      (s, dir) => Similarity.trainedIvfTopK(Tables(s, dir, "embeddings")),
+      Some {
+        // one Lloyd iteration: prev centroids c{n-1} → assignments → c{n}
+        def iter(n: Int): String = {
+          val prev = if (n == 1) "c0" else s"c${n - 1}"
+          s"""cn$n AS (
+             |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
+             |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
+             |  FROM $prev GROUP BY k),
+             |sc$n AS (
+             |  SELECT sd.vec_id, c.k,
+             |         (CAST(SUM(CAST(FLOOR(sd.v * c.c * 1000000000000 + 0.5)
+             |               AS BIGINT)) AS DOUBLE) / 1000000000000)
+             |           / sqrt(cn.cn2) AS score
+             |  FROM sdims sd JOIN $prev c ON c.i = sd.i
+             |  JOIN cn$n cn ON cn.k = c.k
+             |  GROUP BY sd.vec_id, c.k, cn.cn2),
+             |a$n AS (
+             |  SELECT vec_id, k FROM (
+             |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |           ORDER BY score DESC, k) AS rn
+             |    FROM sc$n) x WHERE rn = 1),
+             |m$n AS (
+             |  SELECT a.k, sd.i,
+             |         CAST(SUM(CAST(FLOOR(sd.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*)
+             |           AS cnew
+             |  FROM sdims sd JOIN a$n a ON a.vec_id = sd.vec_id
+             |  GROUP BY a.k, sd.i),
+             |c$n AS (
+             |  SELECT c.k, c.i, COALESCE(m.cnew, c.c) AS c
+             |  FROM $prev c LEFT JOIN m$n m ON m.k = c.k AND m.i = c.i)"""
+        }
+        s"""WITH $DimsCte,
+           |rk AS (
+           |  SELECT vec_id,
+           |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '|ivfseed'))
+           |           AS r
+           |  FROM embeddings),
+           |smp AS (SELECT vec_id, r FROM rk WHERE r <= 256),
+           |sdims AS (
+           |  SELECT d.vec_id, d.i, d.v, s.r
+           |  FROM dims d JOIN smp s ON s.vec_id = d.vec_id),
+           |c0 AS (
+           |  SELECT r - 1 AS k, i, v AS c FROM sdims WHERE r <= 8),
+           |${iter(1)},
+           |${iter(2)},
+           |fcn AS (
+           |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
+           |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
+           |  FROM c2 GROUP BY k),
+           |fsc AS (
+           |  SELECT d.vec_id, c.k,
+           |         (CAST(SUM(CAST(FLOOR(d.v * c.c * 1000000000000 + 0.5)
+           |               AS BIGINT)) AS DOUBLE) / 1000000000000)
+           |           / sqrt(cn.cn2) AS score
+           |  FROM dims d JOIN c2 c ON c.i = d.i
+           |  JOIN fcn cn ON cn.k = c.k
+           |  GROUP BY d.vec_id, c.k, cn.cn2),
+           |assign AS (
+           |  SELECT vec_id AS tid, k FROM (
+           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |           ORDER BY score DESC, k) AS rn
+           |    FROM fsc) x WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS qid, k FROM (
+           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |           ORDER BY score DESC, k) AS crnk
+           |    FROM fsc WHERE vec_id < 10) x WHERE crnk <= 2),
+           |cand AS (
+           |  SELECT p.qid, a.tid
+           |  FROM probes p JOIN assign a ON a.k = p.k AND a.tid <> p.qid),
+           |dot AS (
+           |  SELECT c.qid, c.tid,
+           |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+           |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+           |  FROM cand c JOIN dims q ON q.vec_id = c.qid
+           |              JOIN dims t ON t.vec_id = c.tid AND t.i = q.i
+           |  GROUP BY c.qid, c.tid),
+           |scored AS (
+           |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+           |  FROM dot JOIN norm nq ON nq.vec_id = qid
+           |           JOIN norm nt ON nt.vec_id = tid),
+           |ranked AS (
+           |  SELECT qid, tid, cosine,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+           |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+           |  FROM scored)
+           |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin
       })
   )
 }

@@ -210,6 +210,45 @@ class DataPipelineSpec extends SparkSpec {
     })
   }
 
+  test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
+    // 8 well-separated deterministic clusters (block-one-hot centers +
+    // small formula perturbation), 200 vectors. On clustered data the
+    // trained quantizer must recover the partition, so multi-probe
+    // search finds (almost) every brute-force neighbour. The q52 gate
+    // separately pins the algorithm EXACTLY vs the DuckDB replay; this
+    // pins that the algorithm is a good ANN index where IVF applies.
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 8).toInt
+      val arr = Array.tabulate(64) { d =>
+        val base = if (d / 8 == c) 1.0f else 0.0f
+        base + (((id * 31 + d * 7) % 13).toFloat - 6f) / 100f
+      }
+      (id, arr, c.toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.cosineTopK(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.trainedIvfTopK(vecs, sampleN = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("trainedCentroids: empty clusters keep their previous centroid") {
+    val s = spark
+    import s.implicits._
+    // 10 near-identical vectors: after iteration 1 every sample lands in
+    // one cluster, so 7 of 8 seeds go empty — they must keep coordinates
+    // (not vanish) for the oracle's COALESCE to mirror
+    val vecs = (0L until 10L).map { id =>
+      (id, Array.tabulate(64)(d => 1.0f + (id + d).toFloat * 1e-4f), 0L)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = Similarity.trainedCentroids(vecs, k = 8, sampleN = 10)
+    assert(cent.select("k").distinct().count() == 8)
+    assert(cent.count() == 8 * 64)
+  }
+
   test("media pipeline: real WAV encode/decode round-trips PCM samples") {
     val d = docs(0L -> "x", 3L -> "y")
     val media = MediaPipeline.wavMediaFromDocs(d).collect()
