@@ -53,12 +53,23 @@ object Q {
   /** Exact integer percent of a 2-dp fraction like l_discount/l_tax. */
   def pct(c: Column): Column = floor(c * 100 + 0.5)
 
-  /** Overflow-safe exact sum of a long expression. Per-partition partial
-    * sums stay on Decimal's compact-long fast path; the 128-bit headroom
-    * matters only in the final merge, where a plain long sum genuinely
-    * wraps at ~1e19 (reachable summing cents-cubed over 1e11+ rows).
+  /** Overflow-safe exact sum of a long expression with PRIMITIVE per-row
+    * cost. The r4-measured formulation `sum(c.cast(DecimalType(38,0)))`
+    * pays a per-row long→Decimal cast + Decimal add inside the hash
+    * aggregate — 2.2× the whole q02 runtime at 50× sf0.1, and per-row,
+    * so it never amortizes. Instead split each long into hi/lo words
+    * with primitive bit ops — `c = (c >> 20)·2^20 + (c & (2^20-1))`
+    * exactly, any sign (two's complement) — sum both words as plain
+    * codegen'd longs, and recombine in 128-bit Decimal once per GROUP.
+    * Headroom: |hi| ≤ 2^43 for cents-cubed money values, so the hi sum
+    * wraps only beyond ~1e12 rows PER GROUP; lo < 2^20 wraps beyond
+    * ~8e12 rows per group — both orders of magnitude past any real
+    * partition, and far past where the old per-partition Decimal
+    * compact-long fast path would have degraded anyway.
     */
-  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+  def exactSum(c: Column): Column =
+    sum(shiftright(c, 20)).cast(DecimalType(38, 0)) * (1L << 20) +
+      sum(c.bitwiseAND(lit((1L << 20) - 1))).cast(DecimalType(38, 0))
 
   /** Order-insensitive SUM of a 2-dp money double, returned as DOUBLE. */
   def sumMoney(c: Column): Column =
