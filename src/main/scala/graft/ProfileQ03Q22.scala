@@ -79,6 +79,76 @@ object ProfileQ03Q22 {
         .orderBy("user_id")
     }
 
+    // q07 candidate: push the ASIA semi-reduction (region → nation →
+    // customer / supplier) UPSTREAM of the fact joins, so every
+    // fact-side shuffle carries only ASIA rows (~1/5) and the
+    // c_nation = s_nation equi-condition joins two pre-shrunk sides.
+    def q07Semi: DataFrame = {
+      val asia = t("nation")
+        .join(broadcast(t("region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t("customer")
+        .join(broadcast(asia.select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = t("supplier")
+        .join(broadcast(asia),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val oc = t("orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      t("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg((exactSum(cents(col("l_extendedprice"))
+            * (lit(100) - pct(col("l_discount"))))
+          .cast("double") / 10000).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+
+    // same as q07Semi but the per-row revenue cents (one long) project
+    // BEFORE the fact shuffle, replacing two shuffled doubles
+    def q07SemiEarlyRev: DataFrame = {
+      val asia = t("nation")
+        .join(broadcast(t("region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t("customer")
+        .join(broadcast(asia.select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = t("supplier")
+        .join(broadcast(asia),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val oc = t("orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      t("lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice"))
+            * (lit(100) - pct(col("l_discount")))).as("rev"))
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg((exactSum(col("rev")).cast("double") / 10000).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "q03_current" -> (() =>
         SparkEntry.queries("q03_join_broadcast_dim")(spark, sfDir)),
@@ -86,7 +156,11 @@ object ProfileQ03Q22 {
       "q22_current" -> (() =>
         SparkEntry.queries("q22_sessionize")(spark, sfDir)),
       "q22_array" -> (() => q22Array),
-      "q22_narrow" -> (() => q22Narrow))
+      "q22_narrow" -> (() => q22Narrow),
+      "q07_current" -> (() =>
+        SparkEntry.queries("q07_regional_revenue")(spark, sfDir)),
+      "q07_semi" -> (() => q07Semi),
+      "q07_semi_earlyrev" -> (() => q07SemiEarlyRev))
 
     for ((name, mk) <- variants) {
       mk().write.mode("overwrite").format("noop").save() // warm JIT
@@ -109,6 +183,10 @@ object ProfileQ03Q22 {
       .collect().map(_.toSeq)
     val d = q22Array.collect().map(_.toSeq)
     println(s"[pq] q22 values equal: ${c.sameElements(d)}")
+    val e = SparkEntry.queries("q07_regional_revenue")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val f = q07Semi.collect().map(_.toSeq)
+    println(s"[pq] q07 values equal: ${e.sameElements(f)}")
     spark.stop()
   }
 }

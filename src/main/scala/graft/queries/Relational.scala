@@ -204,32 +204,45 @@ object Relational {
     QueryDef(
       "q07_regional_revenue",
       (s, dir) => {
-        val region = t(s, dir, "region").where(col("r_name") === "ASIA")
-        val nation = t(s, dir, "nation")
-        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-        val orders = t(s, dir, "orders")
+        // Two measured r5 refinements over the left-deep r3 plan (~20%
+        // at 50x sf0.1, ProfileQ03Q22; values identical, gate-verified):
+        //  - the ASIA semi-reduction (region → nation → customer /
+        //    supplier, all broadcast: region/nation are FIXED dims)
+        //    runs UPSTREAM of the fact joins, so every fact-side
+        //    shuffle carries only ASIA rows;
+        //  - the per-row revenue cents (one long) project BEFORE the
+        //    fact shuffle, replacing two shuffled doubles.
+        // The fact side still never broadcasts (r3 trap); an AQE
+        // runtime-broadcast of the reduced orders side measured SLOWER
+        // than SHJ on local[32] (build cost > local shuffle), so the
+        // 10 MB adaptive threshold stays.
+        val asia = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, dir, "customer")
+          .join(broadcast(asia.select(col("n_nationkey").as("cn_key"))),
+            col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("c_nationkey"))
+        val supp = t(s, dir, "supplier")
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val oc = t(s, dir, "orders")
           .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-          .select("o_orderkey", "o_custkey")
-        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-        val li = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-
-        // Join order: fact ⋈ (filtered) orders first, then customer —
-        // left-deep, so the planner always builds the hash side on the
-        // smaller (filtered/dimension) relation and never considers
-        // broadcasting the fact or a fact-side join result.
-        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
           .join(supp,
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg((exactSum(cents(col("l_extendedprice"))
-              * (lit(100) - pct(col("l_discount"))))
-            .cast("double") / 10000).as("revenue"))
+          .agg((exactSum(col("rev")).cast("double") / 10000).as("revenue"))
           .orderBy(desc("revenue"), col("n_name"))
       },
       Some("""SELECT n_name,
