@@ -48,6 +48,10 @@ class QueryGateSpec extends SparkSpec {
       .exists(_.size == 1))
     // keyword hidden in a comment cannot smuggle a write past the parser
     assert(e.validateAdHoc("/* SELECT */ DROP TABLE webhooks").isLeft)
+    // double-quoted literals (Spark accepts them with ANSI off) and
+    // backtick identifiers strip too (ADVICE r4)
+    assert(e.validateAdHoc("SELECT \"UPDATE\" AS word").isRight)
+    assert(e.validateAdHoc("SELECT 1 AS `delete flag`").isRight)
   }
 
   test("parser-level rejection of non-query statements (SURVEY §7.3)") {

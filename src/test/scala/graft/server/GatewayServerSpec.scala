@@ -194,6 +194,30 @@ class GatewayServerSpec extends SparkSpec {
     }
   }
 
+  test("stop() drains the deferred-ack queue before returning (ADVICE r4)") {
+    val slowMs = 400L
+    val delivered = new java.util.concurrent.atomic.AtomicInteger()
+    val engine = newEngine((_, _) => {
+      Thread.sleep(slowMs)
+      delivered.incrementAndGet()
+      graft.engine.Delivery.Result(success = true, Some(200), "ok")
+    })
+    val server = new GatewayServer(engine, 0, "test_key").start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    req(s"$base/register", "POST",
+      """{"source_path": "/drainhook", "destination_url": "https://example.com/x",
+        | "transform_query": "SELECT * FROM {{payload}}"}""".stripMargin)
+    (1 to 3).foreach(i =>
+      req(s"$base/drainhook", "POST", s"""{"n": $i}""", key = None))
+    // acks returned before delivery; a stop() that skipped drain() would
+    // leave queued events undelivered and unaudited at JVM exit
+    server.stop()
+    assert(delivered.get() == 3)
+    val audited = engine.adHocQuery(
+      "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
+    assert(audited == Seq(Seq(3L)))
+  }
+
   test("echo webhook (src/app.py:1674-1703)") {
     withServer { (_, base) =>
       val r = req(s"$base/echo-webhook", "POST", """{"ping": true}""")
