@@ -55,6 +55,25 @@ object ProfileQ02 {
           (sum("l_quantity") / count(lit(1))).as("avg_qty"),
           (splitSum(price).cast("double") / 100 / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+      // 1-char flags packed into one int group key, strings rebuilt
+      // post-agg (6 groups) — isolates the string-key hash-agg cost
+      "full_q02_packed" -> (() => filtered
+        .groupBy((ascii(col("l_returnflag")) * 256 +
+          ascii(col("l_linestatus"))).as("pk"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          (splitSum(price).cast("double") / 100).as("sum_base_price"),
+          (splitSum(price * disc).cast("double") / 10000).as("sum_disc_price"),
+          (splitSum(charge).cast("double") / 1000000).as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (splitSum(price).cast("double") / 100 / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .select(chr(shiftright(col("pk"), 8)).as("l_returnflag"),
+          chr(col("pk").bitwiseAND(lit(255))).as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("sum_charge"), col("avg_qty"), col("avg_price"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")))
 
     for ((name, mk) <- variants) {

@@ -123,27 +123,38 @@ final class PayloadTransformer(spark: SparkSession) {
     * (filtered out) where the per-event path raises and audits an
     * "Error:" row — only reachable with mixed-shape batches.
     */
-  def batchFilterPlan(events: DataFrame, filterQuery: String): DataFrame = {
+  def batchFilterPlan(events: DataFrame, filterQuery: String,
+      schema: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    explodedBatch(events)
+    explodedBatch(events, schema)
       .where(expr(filterQuery))
       .select(col("__graft_eid").as("__eid"))
       .distinct()
   }
 
+  /** Union schema of a batch's payloads — ONE inference job; callers
+    * running both the filter and the transform channel over the same
+    * batch share the result instead of inferring twice.
+    */
+  def inferBatchSchema(events: DataFrame): StructType = {
+    import spark.implicits._
+    spark.read.json(events.select("__json").as[String]).schema
+  }
+
   /** Union-schema exploded relation for a batch of same-webhook events:
-    * one schema inference over the whole batch, then every payload parsed
-    * against it with the event id and the within-payload row index
-    * carried as metadata columns — `(__graft_eid, __graft_idx,
+    * one schema inference over the whole batch (or the caller-provided
+    * [[inferBatchSchema]] result), then every payload parsed against it
+    * with the event id and the within-payload row index carried as
+    * metadata columns — `(__graft_eid, __graft_idx,
     * <payload columns>)`. Array payloads explode into one row per
     * element (index = element position), exactly the per-event
     * payloadToDf row set.
     */
-  private def explodedBatch(events: DataFrame): DataFrame = {
-    import spark.implicits._
+  private def explodedBatch(events: DataFrame,
+      knownSchema: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, expr, from_json, posexplode, when}
     import org.apache.spark.sql.types.ArrayType
-    val schema = spark.read.json(events.select("__json").as[String]).schema
+    val schema = knownSchema.getOrElse(inferBatchSchema(events))
     events
       .select(col("__eid"),
         posexplode(when(expr("__json RLIKE '^\\\\s*\\\\['"),
@@ -220,13 +231,13 @@ final class PayloadTransformer(spark: SparkSession) {
     * referenced column reads as null here where the per-event path
     * errors — only reachable with mixed-shape batches.
     */
-  def batchTransformPlan(events: DataFrame,
-      transformQuery: String): Option[DataFrame] = {
+  def batchTransformPlan(events: DataFrame, transformQuery: String,
+      schema: Option[StructType] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{array_join, array_sort, col, collect_list, concat, count, lit, struct, to_json, when, transform => arrTransform}
     if (!isRowWiseSelect(substitute(transformQuery, "__graft_probe")))
       return None
     val view = tempViewName()
-    explodedBatch(events).createOrReplaceTempView(view)
+    explodedBatch(events, schema).createOrReplaceTempView(view)
     try {
       val substituted = substitute(transformQuery, view)
       val injected = SelectHead.replaceFirstIn(substituted,

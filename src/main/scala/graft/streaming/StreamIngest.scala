@@ -158,13 +158,19 @@ final class StreamIngest(engine: WebhookEngine,
   private def processWebhookGroup(webhook: Webhook,
       group: DataFrame, tsMicros: Long): Unit = {
     engine.udfs.loadWebhookUdfs(webhook.id)
+    // ONE schema-inference job per (webhook, batch), shared by the
+    // filter gate and the set-oriented transform channel
+    val batchSchema =
+      try Some(engine.transformer.inferBatchSchema(
+        group.withColumnRenamed("payload", "__json")))
+      catch { case _: Throwable => None }
     val keptPlan: Option[DataFrame] = webhook.filterQuery match {
       case Some(f) if f.nonEmpty =>
         // a broken filter (analysis error) falls back to the per-event
         // path, which reproduces the reference's "Error: ..." audit rows
         try {
           val plan = engine.transformer.batchFilterPlan(
-            group.withColumnRenamed("payload", "__json"), f)
+            group.withColumnRenamed("payload", "__json"), f, batchSchema)
           plan.queryExecution.assertAnalyzed()
           Some(plan)
         } catch { case _: Throwable => None }
@@ -192,7 +198,7 @@ final class StreamIngest(engine: WebhookEngine,
           tsMicros)
         val survivors = group
           .join(kept, group("__eid") === kept("__eid"), "left_semi")
-        deliverSurvivors(webhook, survivors)
+        deliverSurvivors(webhook, survivors, batchSchema)
     }
   }
 
@@ -206,10 +212,15 @@ final class StreamIngest(engine: WebhookEngine,
     * batch-plan failure (reproducing the reference's per-event "Error:"
     * audit rows).
     */
-  private def deliverSurvivors(webhook: Webhook, survivors: DataFrame): Unit = {
+  private def deliverSurvivors(webhook: Webhook, survivors: DataFrame,
+      batchSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    // the GROUP-wide schema is safe for the survivor subset: fields
+    // present only in filtered-out events parse as null and to_json
+    // drops null fields, so the shaped JSON matches a survivors-only
+    // inference
     val batchedPlan = engine.transformer.batchTransformPlan(
       survivors.withColumnRenamed("payload", "__json"),
-      webhook.transformQuery)
+      webhook.transformQuery, batchSchema)
     val batched: Option[Array[(String, String)]] = batchedPlan.flatMap { p =>
       try {
         // left join keeps zero-output-row events ("{}" per the shaping
