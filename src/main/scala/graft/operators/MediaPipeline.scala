@@ -249,6 +249,60 @@ object MediaPipeline {
     }.toDF().orderBy("media_id")
   }
 
+  /** REAL image downsample: nearest-neighbor by integer stride over the
+    * decoded raster — `out(x, y) = in(x·k, y·k)` — so the result is
+    * deterministic across JVMs (no interpolation kernel) and, for the
+    * formula-generated PNGs, SQL-recomputable by the oracle. Upgrades
+    * `resizeStub` to a real operator for the image path; output dims
+    * are `floor(w/k) × floor(h/k)`.
+    */
+  def resizeImage(decoded: Dataset[DecodedMedia], k: Int = 2):
+      Dataset[DecodedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val w2 = d.width / k
+        val h2 = d.height / k
+        val out = new Array[Byte](w2 * h2)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out(y * w2 + x) = d.pixels(y * k * d.width + x * k)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedMedia(d.media_id, d.kind, w2, h2, out.length, out)
+      }
+    }
+  }
+
+  /** Gate query: documents → real PNG encode → real decode → real
+    * nearest-neighbor ÷2 resize → exact integer features. The oracle
+    * recomputes each resized pixel straight from the generating formula
+    * at the strided source index, so a broken decode OR resize flips
+    * the hash.
+    */
+  def resizedPngFeatureTable(docs: DataFrame, k: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    resizeImage(decodeImage(pngMediaFromDocs(docs)), k).map { d =>
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < d.pixels.length) {
+        val b = d.pixels(i) & 0xff
+        hist(b / 16) += 1
+        sum += b
+        i += 1
+      }
+      PngFeatures(d.media_id, d.width.toLong, d.height.toLong,
+        d.pixels.length.toLong, sum, hist.mkString("|"))
+    }.toDF().orderBy("media_id")
+  }
+
   // ---- audio: REAL WAV encode → decode via pure-JDK javax.sound ----
 
   final case class DecodedAudio(media_id: Long, sample_rate: Long,

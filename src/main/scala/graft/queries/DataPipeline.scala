@@ -591,6 +591,45 @@ object DataPipeline {
            |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
       }),
 
+    // --- Multimodal image resize: real PNG encode → real decode → REAL
+    //     nearest-neighbor ÷2 downsample over the raster → integer
+    //     features. The oracle recomputes each resized pixel from the
+    //     generating formula at the strided source index
+    //     (src = 2y·w + 2x), so a broken decode OR resize flips the
+    //     hash. Upgrades resize from stub to real for the image path.
+    QueryDef(
+      "q53_resize_features",
+      (s, dir) =>
+        MediaPipeline.resizedPngFeatureTable(Tables(s, dir, "documents")),
+      Some {
+        val buckets = (0 until 16).map(j =>
+          s"CAST(CAST(SUM(CASE WHEN b // 16 = $j THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
+          .mkString(",\n             |         ")
+        s"""WITH px AS (
+           |  SELECT d.doc_id,
+           |         (16 + (d.doc_id % 4) * 8) AS w,
+           |         (16 + (d.doc_id % 4) * 8) // 2 AS w2,
+           |         (16 + (d.doc_id % 3) * 8) // 2 AS h2,
+           |         g.i
+           |  FROM documents d, generate_series(0, 319) AS g(i)
+           |  WHERE g.i < ((16 + (d.doc_id % 4) * 8) // 2)
+           |             * ((16 + (d.doc_id % 3) * 8) // 2)
+           |),
+           |pb AS (
+           |  SELECT doc_id, w2, h2,
+           |         (doc_id * 31
+           |          + ((i // w2) * 2 * w + (i % w2) * 2) * 7) % 256 AS b
+           |  FROM px
+           |)
+           |SELECT doc_id AS media_id,
+           |       CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           |       CAST(SUM(b) AS BIGINT) AS sum_byte,
+           |       CONCAT_WS('|',
+           |         $buckets) AS hist
+           |FROM pb GROUP BY doc_id, w2, h2 ORDER BY media_id""".stripMargin
+      }),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

@@ -210,6 +210,21 @@ class DataPipelineSpec extends SparkSpec {
     })
   }
 
+  test("media pipeline: real resize strides the decoded raster") {
+    val d = docs(0L -> "x")
+    val resized = MediaPipeline.resizeImage(
+      MediaPipeline.decodeImage(MediaPipeline.pngMediaFromDocs(d)), 2)
+      .collect()
+    val r0 = resized.head
+    assert(r0.width == 8 && r0.height == 8 && r0.pixels.length == 64)
+    // doc 0 source pixel: gray(i) = (7i) mod 256 on a 16-wide raster;
+    // nearest-neighbor ÷2 keeps src index 2y*16 + 2x
+    assert(r0.pixels.zipWithIndex.forall { case (p, j) =>
+      val (x, y) = (j % 8, j / 8)
+      (p & 0xff) == ((y * 2 * 16 + x * 2) * 7) % 256
+    })
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
