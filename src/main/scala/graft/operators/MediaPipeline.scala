@@ -401,4 +401,158 @@ object MediaPipeline {
         sum, sumAbs, maxAbs, hist.mkString("|"))
     }.toDF().orderBy("media_id")
   }
+
+  // ---- video: REAL container demux + per-frame PNG codec ------------------
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, pixels: Array[Byte])
+
+  final case class VideoFeatures(media_id: Long, width: Long, height: Long,
+      n_frames: Long, n_sampled: Long, sum_byte: Long, hist: String)
+
+  private val GvidMagic = 0x47564944 // "GVID"
+
+  /** Real video bytes, one clip per document: a binary container
+    * (`"GVID"` magic, int32 width/height/frame-count, then length-prefixed
+    * frames — all big-endian) whose frames are REAL PNGs encoded with the
+    * pure-JDK `javax.imageio` writer. Frame pixels follow the
+    * analytically-known formula
+    * `gray(f, i) = (doc_id*31 + f*13 + i*7) mod 256`, so the sampled-frame
+    * features are SQL-recomputable and the DuckDB oracle verifies the
+    * whole demux → per-frame decode round trip. The container itself is
+    * ours (real-world codecs — H.264/VP9 — need native libs this
+    * container lacks), but everything the engine DOES with it is real:
+    * binary demux, frame sampling, per-frame image decode, all
+    * batch-shaped on executors.
+    */
+  def videoMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val width = (8 + (id % 2) * 8).toInt
+        val height = (8 + (id % 3) * 4).toInt
+        val nFrames = (6 + (id % 5)).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        out.writeInt(GvidMagic)
+        out.writeInt(width)
+        out.writeInt(height)
+        out.writeInt(nFrames)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < width * height) {
+            raster.setSample(i % width, i / width, 0,
+              ((id * 31 + f * 13 + i * 7) % 256).toInt)
+            i += 1
+          }
+          val frameBytes = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frameBytes)
+          val png = frameBytes.toByteArray
+          out.writeInt(png.length)
+          out.write(png)
+          f += 1
+        }
+        out.flush()
+        MediaRecord(id, "video", "video/x-graft-gvid", width, height,
+          bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL demux + frame-sample: parse the GVID container and decode every
+    * `stride`-th frame through `javax.imageio`. Sampling happens BEFORE
+    * decode — skipped frames are length-skipped in the byte stream and
+    * never hit the PNG decoder, which is the order that matters at scale
+    * (decode is the expensive step; a stride-10 sample does ~10% of the
+    * decode work). One input row flat-maps to its sampled frames; no
+    * shuffle.
+    */
+  def demuxVideo(media: Dataset[MediaRecord], stride: Int = 2):
+      Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(m.data))
+      val magic = in.readInt()
+      if (magic != GvidMagic)
+        throw new IllegalArgumentException(
+          s"media_id=${m.media_id}: not a GVID container " +
+            f"(magic 0x$magic%08x)")
+      val w = in.readInt()
+      val h = in.readInt()
+      val nFrames = in.readInt()
+      (0 until nFrames).iterator.flatMap { f =>
+        val len = in.readInt()
+        if (f % stride != 0) { in.skipBytes(len); Iterator.empty }
+        else {
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"media_id=${m.media_id} frame=$f: undecodable frame bytes")
+          val raster = img.getRaster
+          val pixels = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            pixels(i) = raster.getSample(i % w, i / w, 0).toByte
+            i += 1
+          }
+          Iterator.single(VideoFrame(m.media_id, f, nFrames, w, h, pixels))
+        }
+      }
+    }
+  }
+
+  /** Gate query: documents → real GVID encode → real demux (stride-2
+    * frame sample, sampled frames PNG-decoded) → exact integer features
+    * over the sampled frames. The oracle recomputes every sampled pixel
+    * from the generating formula, so a broken demux, a wrong sampling
+    * phase, or a broken per-frame decode all flip the hash. Per-video
+    * aggregation is a hash agg on `media_id` — frames of one clip need
+    * no co-location.
+    */
+  def videoFeatureTable(docs: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val frames = demuxVideo(videoMediaFromDocs(docs), stride)
+    // per-frame partial: (media_id, width, height, n_frames, 1 sampled,
+    // pixel sum, 16-bucket histogram) — merged by a hash agg on media_id
+    // (map-side combine; frames of one clip need no co-location)
+    frames.map { fr =>
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < fr.pixels.length) {
+        val b = fr.pixels(i) & 0xff
+        hist(b / 16) += 1
+        sum += b
+        i += 1
+      }
+      (fr.media_id, fr.width.toLong, fr.height.toLong, fr.n_frames.toLong,
+        1L, sum, hist)
+    }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < 16) { hist(i) = a._7(i) + b._7(i); i += 1 }
+        (a._1, a._2, a._3, a._4, a._5 + b._5, a._6 + b._6, hist)
+      }
+      .map { case (_, v) =>
+        VideoFeatures(v._1, v._2, v._3, v._4, v._5, v._6, v._7.mkString("|"))
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
 }

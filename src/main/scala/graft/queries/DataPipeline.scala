@@ -565,8 +565,7 @@ object DataPipeline {
     //     are encoded to actual WAV bytes (RIFF container) and decoded
     //     back through the pure-JDK javax.sound.sampled codec; the
     //     oracle recomputes the integer features from the formula, so a
-    //     broken encode/decode flips the hash. Video remains the only
-    //     documented stub (no in-JDK codec exists for it).
+    //     broken encode/decode flips the hash.
     QueryDef(
       "q40_audio_features",
       (s, dir) => MediaPipeline.wavFeatureTable(Tables(s, dir, "documents")),
@@ -628,6 +627,54 @@ object DataPipeline {
            |       CONCAT_WS('|',
            |         $buckets) AS hist
            |FROM pb GROUP BY doc_id, w2, h2 ORDER BY media_id""".stripMargin
+      }),
+
+    // --- Multimodal video: REAL container demux + frame sampling +
+    //     per-frame PNG decode. Each doc becomes a GVID container
+    //     (magic, dims, frame count, length-prefixed REAL PNG frames);
+    //     the engine demuxes, samples every 2nd frame BEFORE decoding
+    //     (skipped frames never hit the decoder), decodes the sampled
+    //     frames through javax.imageio, and aggregates integer features.
+    //     The oracle recomputes every sampled pixel from the generating
+    //     formula gray(f,i) = (doc_id*31 + f*13 + i*7) % 256, so a broken
+    //     demux, a wrong sampling phase, or a broken frame decode all
+    //     flip the hash. Only the container format is ours (real codecs
+    //     need native libs); demux/sample/decode plumbing is real.
+    QueryDef(
+      "q54_video_frames",
+      (s, dir) =>
+        MediaPipeline.videoFeatureTable(Tables(s, dir, "documents")),
+      Some {
+        val buckets = (0 until 16).map(j =>
+          s"CAST(CAST(SUM(CASE WHEN b // 16 = $j THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
+          .mkString(",\n             |         ")
+        s"""WITH v AS (
+           |  SELECT d.doc_id,
+           |         (8 + (d.doc_id % 2) * 8) AS w,
+           |         (8 + (d.doc_id % 3) * 4) AS h,
+           |         (6 + (d.doc_id % 5)) AS nf
+           |  FROM documents d
+           |),
+           |fr AS (
+           |  SELECT v.doc_id, v.w, v.h, v.nf, g.f
+           |  FROM v, generate_series(0, 9) AS g(f)
+           |  WHERE g.f < v.nf AND g.f % 2 = 0
+           |),
+           |px AS (
+           |  SELECT fr.doc_id, fr.w, fr.h, fr.nf, fr.f,
+           |         (fr.doc_id * 31 + fr.f * 13 + g.i * 7) % 256 AS b
+           |  FROM fr, generate_series(0, 255) AS g(i)
+           |  WHERE g.i < fr.w * fr.h
+           |)
+           |SELECT doc_id AS media_id,
+           |       CAST(w AS BIGINT) AS width,
+           |       CAST(h AS BIGINT) AS height,
+           |       CAST(nf AS BIGINT) AS n_frames,
+           |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+           |       CAST(SUM(b) AS BIGINT) AS sum_byte,
+           |       CONCAT_WS('|',
+           |         $buckets) AS hist
+           |FROM px GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin
       }),
 
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd

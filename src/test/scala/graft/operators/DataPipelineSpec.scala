@@ -225,6 +225,36 @@ class DataPipelineSpec extends SparkSpec {
     })
   }
 
+  test("media pipeline: GVID container demux samples before decoding") {
+    val d = docs(0L -> "x", 1L -> "y")
+    val media = MediaPipeline.videoMediaFromDocs(d).collect()
+    val m0 = media.find(_.media_id == 0L).get
+    // container leads with the GVID magic, then dims + frame count
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(m0.data))
+    assert(in.readInt() == 0x47564944)
+    assert(in.readInt() == 8 && in.readInt() == 8 && in.readInt() == 6)
+    // every stored frame is a REAL PNG (magic number)
+    val len0 = in.readInt()
+    val f0 = new Array[Byte](len0); in.readFully(f0)
+    assert(f0.take(4).map(_ & 0xff).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+
+    val frames = MediaPipeline.demuxVideo(
+      MediaPipeline.videoMediaFromDocs(d), stride = 2).collect()
+    // doc 0: nf=6 -> sampled frames 0,2,4; doc 1: nf=7 -> 0,2,4,6
+    assert(frames.filter(_.media_id == 0L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2, 4))
+    assert(frames.filter(_.media_id == 1L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2, 4, 6))
+    // decoded pixels recover the generating formula for a non-zero frame
+    val fr2 = frames.find(f => f.media_id == 1L && f.frame_idx == 2).get
+    assert(fr2.width == 16 && fr2.height == 12 && fr2.n_frames == 7)
+    assert(fr2.pixels.zipWithIndex.forall { case (p, i) =>
+      (p & 0xff) == ((1 * 31 + 2 * 13 + i * 7) % 256)
+    })
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
