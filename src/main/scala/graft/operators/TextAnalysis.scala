@@ -158,6 +158,43 @@ object TextAnalysis {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split")
 
+  /** Conservative ASCII patterns shared by the redactor and its oracle.
+    * Deliberately restricted to constructs Java's regex engine and RE2
+    * (DuckDB) interpret identically: literal classes, `\d`, ASCII `\b`,
+    * bounded quantifiers — no lookaround, no backrefs, no Unicode
+    * classes. That restriction is also what keeps the expression inside
+    * whole-stage codegen on the Spark side.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern = """\+\d{1,2}-\d{3}-\d{3}-\d{4}"""
+  val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** PII scrub for training corpora: replace emails, E.164-ish phone
+    * numbers, and IPv4 literals with typed placeholder tokens, and count
+    * what was removed (the counts are the audit signal a pipeline
+    * monitors for drift). Pure per-row `regexp_replace`/
+    * `regexp_extract_all` projection — no shuffle, codegen'd, trivially
+    * 100 TB-parallel. Redaction order is fixed (email → phone → IP) so
+    * the output is deterministic even where patterns could overlap.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"),
+        Ipv4Pattern, "[IP]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

@@ -677,6 +677,72 @@ object DataPipeline {
            |FROM px GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin
       }),
 
+    // --- PII redaction: scrub emails / phone numbers / IPv4 literals to
+    //     typed placeholders and count removals. The documents table has
+    //     no natural PII (verified), so the gate appends deterministic
+    //     synthetic PII — identical string construction in both engines —
+    //     then both run the SAME conservative patterns (Java regex and
+    //     RE2 agree on them by construction; see TextAnalysis). A
+    //     divergence in regex semantics, replacement order, or counting
+    //     flips the hash on the full redacted text.
+    QueryDef(
+      "q55_pii_redact",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val aug = docs.withColumn("text2", concat(
+          col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" Contact user"), col("doc_id").cast("string"),
+              lit("@example.com."))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" Call +1-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(((col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+              lit("."))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" From 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), ((col("doc_id") * 3) % 256).cast("string"),
+              lit("."))).otherwise(lit(""))))
+        TextAnalysis.redactPii(aug, "text2")
+      },
+      Some(
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |         text ||
+           |         CASE WHEN doc_id % 3 <> 0
+           |              THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+           |                   || '@example.com.'
+           |              ELSE '' END ||
+           |         CASE WHEN doc_id % 4 = 0
+           |              THEN ' Call +1-'
+           |                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           |                   || '-'
+           |                   || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+           |                   || '-'
+           |                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           |                   || '.'
+           |              ELSE '' END ||
+           |         CASE WHEN doc_id % 5 = 0
+           |              THEN ' From 10.' || CAST(doc_id % 256 AS VARCHAR)
+           |                   || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+           |                   || '.'
+           |              ELSE '' END AS text2
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text2, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(text2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+           |       CAST(len(regexp_extract_all(text2, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+           |       regexp_replace(
+           |         regexp_replace(
+           |           regexp_replace(text2, '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+           |           '${TextAnalysis.PhonePattern}', '[PHONE]', 'g'),
+           |         '${TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS redacted
+           |FROM aug ORDER BY doc_id""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

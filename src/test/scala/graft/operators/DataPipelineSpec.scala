@@ -255,6 +255,26 @@ class DataPipelineSpec extends SparkSpec {
     })
   }
 
+  test("redactPii scrubs emails/phones/ips and counts them") {
+    val d = docs(
+      1L -> "mail a.b+c@sub.example.org then call +1-415-555-0199 via 10.0.0.7 done",
+      2L -> "no pii here, just 1.5 and v2.0.1 and a@b (not an email)")
+    val out = TextAnalysis.redactPii(d).collect()
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 1L)
+    assert(r1.getAs[Long]("n_ips") == 1L)
+    assert(r1.getAs[String]("redacted") ==
+      "mail [EMAIL] then call [PHONE] via [IP] done")
+    val r2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    // version strings and bare a@b must NOT trip the patterns
+    assert(r2.getAs[Long]("n_emails") == 0L)
+    assert(r2.getAs[Long]("n_phones") == 0L)
+    assert(r2.getAs[Long]("n_ips") == 0L)
+    assert(r2.getAs[String]("redacted") ==
+      "no pii here, just 1.5 and v2.0.1 and a@b (not an email)")
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
