@@ -195,6 +195,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing for training: assign documents to fixed-budget
+    * token sequences with the "concatenate-then-chunk" model (a doc
+    * belongs to the chunk its running token offset starts in — the
+    * standard GPT-style token-stream layout, where a document may
+    * straddle a chunk boundary and the consumer reads on). Two-level
+    * layout keeps it 100 TB-parallel: documents shard by a
+    * content-stable md5 bucket (shards are fully independent — at real
+    * scale use 2^16 shards so each is executor-sized), and within a
+    * shard the offset is a partitioned window cumsum ordered by doc_id
+    * (deterministic on any engine, any run). Emits per-sequence
+    * occupancy — the signal a pipeline monitors for packing efficiency.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        expr(s"${Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % $shards")
+          .as("shard"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_in_shard", expr(s"cum_before DIV $budget"))
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "seq_in_shard")
+  }
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

@@ -743,6 +743,39 @@ object DataPipeline {
            |         '${TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS redacted
            |FROM aug ORDER BY doc_id""".stripMargin)),
 
+    // --- Sequence packing: concatenate-then-chunk assignment of docs to
+    //     fixed token budgets, sharded by content-stable md5 bucket so
+    //     shards pack independently (the 100 TB layout), within-shard
+    //     offset via partitioned window cumsum. Oracle mirrors the exact
+    //     same shard arithmetic, token count, window frame, and integer
+    //     division, so any drift in the assignment flips the hash.
+    QueryDef(
+      "q56_seq_pack",
+      (s, dir) =>
+        TextAnalysis.packSequences(Tables(s, dir, "documents"),
+          budget = 512, shards = 8),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |         ${graft.operators.Dedup.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, "strpos")} % 8 AS shard,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |              t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |),
+             |c AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |         CAST(COALESCE(SUM(n_tokens) OVER (
+             |           PARTITION BY shard ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS BIGINT) AS cum_before
+             |  FROM t
+             |)
+             |SELECT shard, cum_before // 512 AS seq_in_shard,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2
+             |ORDER BY shard, seq_in_shard""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

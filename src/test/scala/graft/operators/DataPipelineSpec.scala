@@ -275,6 +275,24 @@ class DataPipelineSpec extends SparkSpec {
       "no pii here, just 1.5 and v2.0.1 and a@b (not an email)")
   }
 
+  test("packSequences chunks the concatenated token stream at the budget") {
+    // one shard so order is pure doc_id; token counts 3,4,2,5, budget 5:
+    // exclusive offsets 0,3,7,9 -> chunks 0,0,1,1 (doc 2 straddles the
+    // boundary and belongs to the chunk it STARTS in)
+    val d = docs(1L -> "a b c", 2L -> "d e f g", 3L -> "h i",
+      4L -> "j k l m n")
+    val out = TextAnalysis.packSequences(d, budget = 5, shards = 1).collect()
+    assert(out.length == 2)
+    val s0 = out.find(_.getAs[Long]("seq_in_shard") == 0L).get
+    assert(s0.getAs[Long]("n_docs") == 2L &&
+      s0.getAs[Long]("seq_tokens") == 7L &&
+      s0.getAs[Long]("first_doc") == 1L && s0.getAs[Long]("last_doc") == 2L)
+    val s1 = out.find(_.getAs[Long]("seq_in_shard") == 1L).get
+    assert(s1.getAs[Long]("n_docs") == 2L &&
+      s1.getAs[Long]("seq_tokens") == 7L &&
+      s1.getAs[Long]("first_doc") == 3L && s1.getAs[Long]("last_doc") == 4L)
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
