@@ -226,6 +226,31 @@ object TextAnalysis {
       .orderBy("shard", "seq_in_shard")
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least one distinct word 3-gram with any benchmark document — the
+    * standard eval-leakage sweep a training pipeline runs before a data
+    * release. Reuses the dedup shingle machinery; the benchmark shingle
+    * set is BROADCAST because real benchmark suites are fixed-size
+    * (thousands of docs) regardless of corpus scale, so at 100 TB this
+    * stays one scan + a map-side hash probe per training shingle — no
+    * corpus-sized shuffle. Emits overlap counts per contaminated doc
+    * (the triage signal: 1 shared trigram is noise, 50 is a leak).
+    */
+  def contaminated(docs: DataFrame, isBenchmark: Column): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val benchIds = docs.where(isBenchmark)
+      .select(col("doc_id").as("bench_id"))
+    val benchSh = sh.join(benchIds, sh("doc_id") === col("bench_id"))
+      .select(col("shingle"), col("bench_id"))
+    val trainSh = sh.join(benchIds, sh("doc_id") === col("bench_id"),
+      "left_anti")
+    trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_benchmarks_hit"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

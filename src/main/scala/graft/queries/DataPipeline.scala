@@ -776,6 +776,34 @@ object DataPipeline {
              |FROM c GROUP BY 1, 2
              |ORDER BY shard, seq_in_shard""".stripMargin)),
 
+    // --- Decontamination: training docs sharing a word 3-gram with the
+    //     benchmark subset (doc_id % 97 = 0 stands in for an external
+    //     eval suite). Benchmark shingles broadcast — real benchmark
+    //     suites are fixed-size regardless of corpus scale, so the sweep
+    //     is one corpus scan + a map-side probe, no corpus-sized
+    //     shuffle.
+    QueryDef(
+      "q57_decontaminate",
+      (s, dir) =>
+        TextAnalysis.contaminated(Tables(s, dir, "documents"),
+          col("doc_id") % 97 === 0),
+      Some(s"""WITH $ShinglesCte,
+             |bench AS (
+             |  SELECT doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0
+             |),
+             |bsh AS (
+             |  SELECT s.shingle, b.bench_id
+             |  FROM sh s JOIN bench b ON s.doc_id = b.bench_id
+             |),
+             |tsh AS (
+             |  SELECT s.doc_id, s.shingle FROM sh s WHERE s.doc_id % 97 <> 0
+             |)
+             |SELECT t.doc_id,
+             |       CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+             |       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmarks_hit
+             |FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

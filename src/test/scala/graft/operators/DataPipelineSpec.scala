@@ -293,6 +293,19 @@ class DataPipelineSpec extends SparkSpec {
       s1.getAs[Long]("first_doc") == 3L && s1.getAs[Long]("last_doc") == 4L)
   }
 
+  test("contaminated flags trigram overlap with the benchmark set only") {
+    val d = docs(
+      10L -> "alpha beta gamma delta",        // benchmark
+      1L -> "x alpha beta gamma y",           // shares "alpha beta gamma"
+      2L -> "p q r s t u")                    // clean
+    val out = TextAnalysis.contaminated(d, col("doc_id") === 10L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 1L)
+    assert(r.getAs[Long]("n_shared_shingles") == 1L)
+    assert(r.getAs[Long]("n_benchmarks_hit") == 1L)
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
