@@ -251,6 +251,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality filter (Gopher-style): per-document duplicate
+    * word-bigram statistics — total vs distinct bigrams, the hottest
+    * bigram's count, and the duplicate fraction, with a flag at the
+    * classic 0.2 threshold. Catches boilerplate/spam that length or
+    * type-token ratio miss. One explode + two hash aggregates, keyed by
+    * doc_id (unique — no skew); the fraction is a single division of
+    * exact integers, so it is bit-identical across engines.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_bigram_n"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+          / col("n_bigrams")).as("dup_bigram_frac"),
+        when((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+          / col("n_bigrams") > 0.2, "repetitive")
+          .otherwise("ok").as("flag"))
+      .orderBy("doc_id")
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

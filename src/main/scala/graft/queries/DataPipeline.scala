@@ -804,6 +804,35 @@ object DataPipeline {
              |FROM tsh t JOIN bsh b ON t.shingle = b.shingle
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // --- Repetition quality filter (Gopher-style): duplicate-bigram
+    //     fraction per doc with the classic 0.2 flag threshold. The
+    //     fraction is one division of exact integers → bit-identical.
+    QueryDef(
+      "q58_repetition",
+      (s, dir) => TextAnalysis.repetition(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |bi AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(w)),
+             |                i -> array_to_string(w[i:i+1], ' '))) AS bigram
+             |  FROM toks WHERE len(w) >= 2
+             |),
+             |cnt AS (
+             |  SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY doc_id, bigram
+             |)
+             |SELECT doc_id,
+             |       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             |       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+             |       CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+             |       CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS dup_bigram_frac,
+             |       CASE WHEN CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) > 0.2
+             |            THEN 'repetitive' ELSE 'ok' END AS flag
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

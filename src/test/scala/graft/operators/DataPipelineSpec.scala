@@ -306,6 +306,21 @@ class DataPipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_benchmarks_hit") == 1L)
   }
 
+  test("repetition flags high duplicate-bigram fraction") {
+    val d = docs(1L -> "a b a b a b", 2L -> "a b c d")
+    val out = TextAnalysis.repetition(d).collect()
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    // bigrams: "a b" x3, "b a" x2 -> 5 total, 2 distinct, dup 3/5
+    assert(r1.getAs[Long]("n_bigrams") == 5L)
+    assert(r1.getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(r1.getAs[Long]("top_bigram_n") == 3L)
+    assert(r1.getAs[Double]("dup_bigram_frac") == 0.6)
+    assert(r1.getAs[String]("flag") == "repetitive")
+    val r2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r2.getAs[String]("flag") == "ok")
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
