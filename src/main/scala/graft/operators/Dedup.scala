@@ -152,6 +152,64 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * pair graph, labeled by the component's minimum doc_id — the form
+    * dedup actually consumes (keep one representative per cluster, not
+    * per pair; pairs alone under-delete transitive groups A~B~C where
+    * A~C never met a bucket). Distributed min-label propagation: each
+    * round every node takes the min label over itself and its
+    * neighbors, converging in graph-diameter rounds — near-dup
+    * components are short chains in practice, so a handful of rounds;
+    * each round is one join + one hash agg over the EDGE set (not the
+    * corpus), and `localCheckpoint` truncates the growing lineage. At
+    * adversarial diameters production would switch to the
+    * large-star/small-star contraction (O(log n) rounds); the
+    * convergence probe is a count over the edge-sized label table, not
+    * a collect.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+      maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      nearDupPairs(docs, threshold).select(col("a"), col("b")), maxIter)
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected pair list `(a, b)`:
+    * returns (doc_id, cluster, cluster_size) with cluster = component
+    * min. Factored from [[nearDupClusters]] so the fixpoint is testable
+    * on a bare graph.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(edges("a").as("nb_node"))
+        .agg(min(col("label")).as("nb_min"))
+      val updated = labels
+        .join(neighborMin, labels("node") === col("nb_node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nb_min"), col("label")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      converged = updated.where(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      it += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        col("cluster_size"))
+  }
+
   /** SimHash near-duplicate pairs: candidates from 4×16-bit block
     * bucketing (pigeonhole: hamming ≤ 3 ⇒ at least one of the four
     * blocks is identical, so the blocked join is COMPLETE for the

@@ -833,6 +833,55 @@ object DataPipeline {
              |            THEN 'repetitive' ELSE 'ok' END AS flag
              |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- Near-dup clusters: connected components over the q32 pair
+    //     graph via distributed min-label propagation, labeled by the
+    //     component min doc_id. The oracle computes the same components
+    //     with a recursive-CTE reachability closure — an entirely
+    //     different algorithm, so agreement pins the clustering itself,
+    //     not the implementation.
+    QueryDef(
+      "q59_near_dup_clusters",
+      (s, dir) => Dedup.nearDupClusters(Tables(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |pairs AS (
+             |  SELECT i.a, i.b
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+             |),
+             |edges AS (
+             |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+             |),
+             |nodes AS (SELECT DISTINCT a AS node FROM edges),
+             |walk(node, r) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+             |),
+             |lab AS (
+             |  SELECT node AS doc_id, MIN(r) AS cluster FROM walk GROUP BY node
+             |),
+             |sz AS (
+             |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             |  FROM lab GROUP BY cluster
+             |)
+             |SELECT l.doc_id, l.cluster, s.cluster_size
+             |FROM lab l JOIN sz s USING (cluster)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

@@ -321,6 +321,22 @@ class DataPipelineSpec extends SparkSpec {
     assert(r2.getAs[String]("flag") == "ok")
   }
 
+  test("connectedComponents labels transitive chains by component min") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (1 and 3 never share an edge) + isolated pair 7-5:
+    // transitivity must still pull 3 into cluster 1, and the min label
+    // wins regardless of pair orientation
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L)).toDF("a", "b")
+    val out = graft.operators.Dedup.connectedComponents(pairs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))))
+      .toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(5L) == (5L, 2L) && out(7L) == (5L, 2L))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
