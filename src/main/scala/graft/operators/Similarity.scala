@@ -313,4 +313,43 @@ object Similarity {
       .where(col("rnk") <= k)
       .orderBy("qid", "rnk")
   }
+
+  /** Int8 symmetric quantization for embedding storage: per-vector
+    * scale = max|x| / 127, codes = round(x / scale) ∈ [-127, 127] —
+    * the standard 4× storage shrink an embedding corpus takes before
+    * ANN serving. Emits per-vector audit stats (code sum/max and the
+    * reconstruction error) rather than the raw code array, which is
+    * what a pipeline monitors for quantization drift. Determinism: the
+    * scale is a single division of a float-derived double (identical
+    * IEEE bits on any engine); codes are `floor(x/scale + 0.5)` over
+    * primitive doubles; the squared reconstruction error is quantized
+    * to exact integer picos per element and summed as integers, so no
+    * order-dependent double sum exists anywhere. Pure per-row
+    * projection + one per-vector aggregate — no shuffle, trivially
+    * parallel at 100 TB.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("max_abs",
+        array_max(expr("transform(embedding, x -> abs(x))")).cast("double"))
+      .withColumn("scale", col("max_abs") / 127)
+      .withColumn("qs", expr(
+        """CASE WHEN max_abs = 0D THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding,
+          |  x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT))
+          |END""".stripMargin))
+      .withColumn("err_pico", expr(
+        """aggregate(
+          |  zip_with(embedding, qs,
+          |    (x, q) -> CAST(FLOOR((CAST(x AS DOUBLE) - q * scale)
+          |                       * (CAST(x AS DOUBLE) - q * scale)
+          |                       * 1e12 + 0.5D) AS BIGINT)),
+          |  0L, (acc, e) -> acc + e)""".stripMargin))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        col("scale"),
+        expr("aggregate(qs, 0L, (acc, q) -> acc + q)").as("sum_q"),
+        array_max(col("qs")).as("max_q"),
+        col("err_pico").as("recon_err_pico"))
+      .orderBy("vec_id")
 }

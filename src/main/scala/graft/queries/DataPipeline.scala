@@ -882,6 +882,42 @@ object DataPipeline {
              |FROM lab l JOIN sz s USING (cluster)
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- Int8 embedding quantization: per-vector symmetric scale,
+    //     round-half-up codes, exact-integer reconstruction error. The
+    //     scale is one float-derived double division and every other
+    //     number is an exact integer, so the hash pins the quantizer
+    //     bit-for-bit across engines.
+    QueryDef(
+      "q60_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(Tables(s, dir, "embeddings")),
+      Some("""WITH b AS (
+             |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+             |         CAST(list_max(list_transform(embedding, x -> abs(x)))
+             |              AS DOUBLE) / 127 AS scale
+             |  FROM embeddings
+             |),
+             |ev AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings
+             |),
+             |q AS (
+             |  SELECT e.vec_id, e.x, b.scale,
+             |         CASE WHEN b.scale = 0 THEN CAST(0 AS BIGINT)
+             |              ELSE CAST(FLOOR(e.x / b.scale + 0.5) AS BIGINT)
+             |         END AS qv
+             |  FROM ev e JOIN b USING (vec_id)
+             |)
+             |SELECT q.vec_id, b.n_dims, b.scale,
+             |       CAST(SUM(q.qv) AS BIGINT) AS sum_q,
+             |       CAST(MAX(q.qv) AS BIGINT) AS max_q,
+             |       CAST(SUM(CAST(FLOOR((q.x - q.qv * q.scale)
+             |                         * (q.x - q.qv * q.scale)
+             |                         * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+             |         AS recon_err_pico
+             |FROM q JOIN b ON b.vec_id = q.vec_id
+             |GROUP BY q.vec_id, b.n_dims, b.scale
+             |ORDER BY q.vec_id""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

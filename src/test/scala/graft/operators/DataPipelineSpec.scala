@@ -337,6 +337,20 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(5L) == (5L, 2L) && out(7L) == (5L, 2L))
   }
 
+  test("quantizeInt8 codes hit the int8 range with round-half-up") {
+    val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
+    val r = Similarity.quantizeInt8(d).collect().head
+    // scale = 1/127; codes: 127, floor(-63.5+0.5) = -63, floor(32.25) = 32, 0
+    assert(r.getAs[Long]("n_dims") == 4L)
+    assert(r.getAs[Double]("scale") == 1.0 / 127)
+    assert(r.getAs[Long]("sum_q") == 127L - 63L + 32L)
+    assert(r.getAs[Long]("max_q") == 127L)
+    // max|x| reconstructs exactly, so the error is strictly below the
+    // half-step bound (scale/2)^2 per element * 1e12 * n
+    assert(r.getAs[Long]("recon_err_pico") >= 0L &&
+      r.getAs[Long]("recon_err_pico") < 4L * 16L * 1000000L)
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
