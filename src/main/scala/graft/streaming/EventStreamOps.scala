@@ -39,6 +39,22 @@ object EventStreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup on event id for at-least-once sources (the
+    * streaming counterpart of `Dedup.exactGroups`): duplicates arriving
+    * within the watermark horizon are dropped; state for an id is
+    * purged once the watermark passes its event time, so state size is
+    * bounded by (arrival rate × watermark) rather than stream history —
+    * the property that makes exactly-once-ish ingest feasible at
+    * 100 TB/day. Pure built-in operator (`dropDuplicatesWithinWatermark`),
+    * state keyed by the id column with map-side pre-filtering.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
 
   final case class SessionState(firstTs: Long, lastTs: Long, nEvents: Long)

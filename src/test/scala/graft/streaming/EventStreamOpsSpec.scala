@@ -70,6 +70,30 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val src = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreamOps.dedupWithinWatermark(src, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(1), "view", 2.0))
+      q.processAllAvailable()
+      // replay of id 1 in a later micro-batch (at-least-once source) and
+      // an in-batch duplicate of id 2 — both must be dropped
+      mem.addData((1L, ts(2), "click", 1.0), (2L, ts(2), "view", 2.0),
+        (3L, ts(3), "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("the same windowed aggregation runs unchanged in batch mode") {
     val s = spark
     import s.implicits._
