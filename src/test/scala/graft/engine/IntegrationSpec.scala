@@ -175,8 +175,11 @@ class IntegrationSpec extends SparkSpec {
     })
     Await.result(Future.sequence(writers), 120.seconds)
     val results = Await.result(Future.sequence(readers), 120.seconds)
-    // every concurrent read succeeded with a monotone-sane count
-    assert(results.flatten.forall(_.isRight))
+    // every concurrent read succeeded with a monotone-sane count; on
+    // failure surface the actual errors (this test flaked once under
+    // heavy machine load with the message swallowed — keep it loud)
+    val lefts = results.flatten.collect { case Left(err) => err }
+    assert(lefts.isEmpty, s"concurrent ad-hoc reads failed: ${lefts.mkString("; ")}")
     val finalCount = e.adHocQuery("SELECT COUNT(*) FROM raw_events")
       .toOption.get.head.head
     assert(finalCount == 10L)

@@ -351,6 +351,19 @@ class DataPipelineSpec extends SparkSpec {
       r.getAs[Long]("recon_err_pico") < 4L * 16L * 1000000L)
   }
 
+  test("demuxVideo rejects non-GVID bytes with a descriptive error") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq(graft.operators.MediaPipeline.MediaRecord(
+      9L, "video", "video/x-graft-gvid", 8, 8,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.MediaPipeline.demuxVideo(bad).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("media_id=9") && msg.contains("not a GVID"))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
