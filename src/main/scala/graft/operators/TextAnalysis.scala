@@ -280,6 +280,36 @@ object TextAnalysis {
           .otherwise("ok").as("flag"))
       .orderBy("doc_id")
 
+  /** Document chunking with overlap: sliding token windows of
+    * `chunkTokens` advancing by `chunkTokens - overlap`, the prep step
+    * for context-window-bounded consumers (RAG indexing, embedding).
+    * Chunk count is `max(1, ceil((n - overlap) / stride))`, which
+    * guarantees the final chunk contributes at least one new token (a
+    * naive `ceil(n / stride)` emits tail chunks fully contained in
+    * their predecessor). Pure per-row explode — no shuffle; chunk
+    * boundaries are token-index arithmetic, so the emitted text is
+    * engine-exact.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"""sequence(0, GREATEST(CAST(CEIL((size(w) - $overlap)
+           | / CAST($stride AS DOUBLE)) AS INT), 1) - 1)""".stripMargin))
+        .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        least(lit(chunkTokens),
+          size(col("w")) - col("chunk_idx") * stride).cast("long")
+          .as("n_toks"),
+        expr(s"concat_ws(' ', slice(w, chunk_idx * $stride + 1, $chunkTokens))")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

@@ -918,6 +918,35 @@ object DataPipeline {
              |GROUP BY q.vec_id, b.n_dims, b.scale
              |ORDER BY q.vec_id""".stripMargin)),
 
+    // --- Document chunking with overlap: 64-token windows advancing by
+    //     48, final chunk guaranteed to contribute new tokens. The hash
+    //     covers the emitted chunk text, so boundary arithmetic drift
+    //     in either engine flips it.
+    QueryDef(
+      "q61_chunk_overlap",
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
+          chunkTokens = 64, overlap = 16),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |idx AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0,
+             |           GREATEST(CAST(CEIL((len(w) - 16) / 48.0) AS INT), 1) - 1))
+             |           AS chunk_idx
+             |  FROM toks WHERE len(w) > 0
+             |)
+             |SELECT doc_id,
+             |       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |       CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+             |       CAST(LEAST(64, len(w) - chunk_idx * 48) AS BIGINT) AS n_toks,
+             |       array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             |         AS chunk_text
+             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

@@ -364,6 +364,19 @@ class DataPipelineSpec extends SparkSpec {
     assert(msg.contains("media_id=9") && msg.contains("not a GVID"))
   }
 
+  test("chunkDocuments slides with overlap and never emits contained tails") {
+    val d = docs(1L -> (0 until 10).map(i => s"t$i").mkString(" "))
+    val out = TextAnalysis.chunkDocuments(d, chunkTokens = 4, overlap = 2)
+      .collect()
+    // stride 2 over 10 tokens: ceil((10-2)/2) = 4 chunks; a naive
+    // ceil(n/stride) would emit a 5th chunk [8,10) fully inside [6,10)
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(out.forall(_.getAs[Long]("n_toks") == 4L))
+    assert(out(1).getAs[String]("chunk_text") == "t2 t3 t4 t5")
+    assert(out(3).getAs[String]("chunk_text") == "t6 t7 t8 t9")
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
