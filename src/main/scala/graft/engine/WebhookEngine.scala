@@ -364,11 +364,19 @@ final class WebhookEngine(
         "created_at", "updated_at")
       .createOrReplaceTempView("python_udfs")
     // sqlite_master catalog shim (test_db_manager.py:24-26 probes it) —
-    // built LAST so it lists the views registered above
-    spark.catalog.listTables().collect()
-      .filter(_.name != "sqlite_master")
-      .map(t => ("table", t.name, t.name, s"CREATE TABLE ${t.name} (...)"))
-      .toSeq
+    // built from the KNOWN catalog surface, not spark.catalog.listTables():
+    // enumerating live temp views raced the ingest path's transient
+    // per-event payload views (create/drop mid-listing intermittently
+    // threw PARSE_EMPTY_STATEMENT from the metadata resolution —
+    // reproduced ~1/25 concurrent rounds by graft.RaceRepro, zero after
+    // this change), and scratch views do not belong in the public
+    // catalog listing anyway — the reference lists exactly its DuckDB
+    // tables (catalog + audit + uploaded reference tables).
+    val catalogTables = Seq("webhooks", "reference_tables", "python_udfs",
+      "raw_events", "transformed_events") ++
+      refTables.list().map(_.qualifiedName)
+    catalogTables
+      .map(n => ("table", n, n, s"CREATE TABLE $n (...)"))
       .toDF("type", "name", "tbl_name", "sql")
       .createOrReplaceTempView("sqlite_master")
   }
