@@ -377,6 +377,34 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(3).getAs[String]("chunk_text") == "t6 t7 t8 t9")
   }
 
+  test("corpus writer lays out hive partitions with bounded files") {
+    val d = docs((1L to 40L).map(i =>
+      i -> s"doc $i ${if (i % 2 == 0) "even" else "odd"}"): _*)
+      .withColumn("lang",
+        when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val out = java.nio.file.Files.createTempDirectory("corpus").toString
+    val written = graft.operators.CorpusWriter.writePartitioned(
+      d, out, partitionCols = Seq("lang"), maxRecordsPerFile = 5)
+    assert(written == 40L)
+    // hive-style partition dirs exist for both languages
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.contains("lang=en") && dirs.contains("lang=de"))
+    // the per-file record cap holds: 20 rows per lang / 5 => >= 4 files,
+    // and no parquet file exceeds the cap
+    val s = spark
+    val back = s.read.parquet(out)
+    assert(back.count() == 40L)
+    val perFile = back
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("f").count().collect()
+    assert(perFile.forall(_.getAs[Long]("count") <= 5L))
+    assert(perFile.length >= 8)
+    // round trip preserves the rows (content-stable layout, no loss)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
