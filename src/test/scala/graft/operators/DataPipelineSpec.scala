@@ -405,6 +405,33 @@ class DataPipelineSpec extends SparkSpec {
       (1L to 40L))
   }
 
+  test("operators are partition-invariant: same result at any parallelism") {
+    // the determinism contract that matters on a real cluster: value
+    // equality when the SAME data arrives in different partition layouts
+    // and orders. Order-dependent double sums, non-commutative merges,
+    // or partition-local state would all break this.
+    val base = docs((1L to 60L).map(i =>
+      i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2} tail$i"): _*)
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("n_chars", length(col("text")))
+    val layouts = Seq(base.repartition(1), base.repartition(13),
+      base.repartition(7, col("lang")))
+    def fingerprintOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    for (op <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "simhash" -> (d => graft.operators.Dedup.simhash(d).orderBy("doc_id")),
+      "fingerprint" -> (d => TextAnalysis.fingerprint(d)),
+      "trainSplit" -> (d => TextAnalysis.trainSplit(d)),
+      "stats" -> (d => TextAnalysis.stats(d)),
+      "packSequences" -> (d => TextAnalysis.packSequences(d, 16, 4)),
+      "repetition" -> (d => TextAnalysis.repetition(d)))) {
+      val (name, f) = op
+      val results = layouts.map(l => fingerprintOf(f(l)))
+      assert(results(0) == results(1) && results(0) == results(2),
+        s"$name diverged across partition layouts")
+    }
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
