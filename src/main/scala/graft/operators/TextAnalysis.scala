@@ -145,7 +145,11 @@ object TextAnalysis {
     * across reruns. Emitted as per-split counts plus min/max ids for
     * spot-checking.
     */
-  def trainSplit(docs: DataFrame): DataFrame =
+  /** Per-document split assignment (the reusable core of
+    * [[trainSplit]]): adds a `split` column from the content-stable md5
+    * bucket. Used standalone by the corpus builder.
+    */
+  def withSplit(docs: DataFrame): DataFrame =
     docs
       .withColumn("bucket",
         expr(s"${graft.operators.Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % 100"))
@@ -153,6 +157,10 @@ object TextAnalysis {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
+      .drop("bucket")
+
+  def trainSplit(docs: DataFrame): DataFrame =
+    withSplit(docs)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))

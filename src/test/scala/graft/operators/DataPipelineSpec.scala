@@ -432,6 +432,38 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("training-corpus funnel composes the battery end to end") {
+    val twenty = (0 until 20).map(i => s"tok$i")
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight", // exact dup of 1
+      3L -> twenty.mkString(" "),                        // near-dup rep
+      4L -> (twenty.dropRight(1) :+ "tokX").mkString(" "), // near-dup of 3
+      5L -> "x y x y x y x y x y x y",                   // repetitive -> drop
+      6L -> "one two three",                             // < 4 tokens -> drop
+      7L -> "ship logs to admin@example.com for the audit trail tonight",
+      10L -> "benchmark alpha beta gamma delta question answer",
+      11L -> "train doc sharing alpha beta gamma with the benchmark",
+      12L -> "an ordinary clean training document with plenty of words here")
+    val (corpus, funnel) = graft.operators.TrainingCorpus.build(
+      d, isBenchmark = col("doc_id") === 10L)
+    val counts = funnel.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("1_input") == 10L)
+    assert(counts("2_exact_dedup") == 9L)        // doc 2 collapsed into 1
+    assert(counts("3_near_dup_collapse") == 8L)  // doc 4 collapsed into 3
+    assert(counts("4_quality") == 6L)            // docs 5 and 6 dropped
+    assert(counts("5_decontaminated") == 4L)     // bench 10 + contaminated 11 out
+    val byId = corpus.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId.keySet == Set(1L, 3L, 7L, 12L))
+    // PII was scrubbed in the surviving text
+    assert(byId(7L).contains("[EMAIL]") && !byId(7L).contains("@"))
+    // every survivor carries a deterministic split
+    assert(corpus.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
