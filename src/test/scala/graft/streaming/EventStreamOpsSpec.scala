@@ -94,6 +94,40 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet drops flow through the same operators") {
+    // the at-scale ingestion mode: event files landing in a directory
+    // (object store at 100 TB), discovered incrementally by readStream
+    // with a checkpoint. Same operator code as MemoryStream/batch.
+    val s = spark
+    import s.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("evt-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evt-ck").toString
+    Seq((1L, ts(0), "click", 1.25), (2L, ts(2), "click", 2.50))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(inDir)
+    val src = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(inDir)
+    val q = EventStreamOps.windowedTypeCounts(src,
+      watermark = "1 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("file_win_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a second file lands; its far-future event time finalizes the
+      // first window past the watermark
+      Seq((3L, ts(20), "view", 0.75))
+        .toDF("event_id", "ts", "event_type", "value")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val rows = s.table("file_win_out").collect()
+      val click = rows.find(_.getString(1) == "click").get
+      assert(click.getLong(2) == 2)
+      assert(math.abs(click.getDouble(3) - 3.75) < 1e-9)
+    } finally q.stop()
+  }
+
   test("the same windowed aggregation runs unchanged in batch mode") {
     val s = spark
     import s.implicits._
