@@ -318,6 +318,24 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Vocabulary construction: corpus-wide token statistics — collection
+    * frequency and document frequency per token, top-k by frequency —
+    * the input a tokenizer-training step consumes and the table IDF
+    * weighting reads. One explode + one hash aggregate (map-side
+    * partials soak up the Zipf skew: every partition pre-aggregates its
+    * own "the"-count before the shuffle moves one row per distinct
+    * token per partition) + a TakeOrdered for the top-k — no global
+    * sort. Counts are exact longs; ties rank lexicographically so the
+    * cut is deterministic.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 1000): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("cf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("cf"), col("token"))
+      .limit(topK)
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

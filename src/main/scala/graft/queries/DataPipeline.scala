@@ -947,6 +947,24 @@ object DataPipeline {
              |         AS chunk_text
              |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // --- Vocabulary construction: corpus-wide token cf/df, top-k by
+    //     frequency with a lexicographic tiebreak so the cut is exact.
+    QueryDef(
+      "q62_vocabulary",
+      (s, dir) =>
+        TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 200),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS token
+             |  FROM documents
+             |)
+             |SELECT token,
+             |       CAST(COUNT(*) AS BIGINT) AS cf,
+             |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM tok GROUP BY token
+             |ORDER BY cf DESC, token LIMIT 200""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

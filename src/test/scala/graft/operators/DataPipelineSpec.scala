@@ -464,6 +464,18 @@ class DataPipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("vocabulary ranks by cf with lexicographic tiebreak and exact df") {
+    val d = docs(1L -> "b a b c", 2L -> "a b", 3L -> "c a")
+    val out = TextAnalysis.vocabulary(d, topK = 2).collect()
+    // cf: b=4? no — b appears 2(doc1)+1(doc2)=3; a=1+1+1=3; c=1+1=2.
+    // tie a/b at cf=3 -> lexicographic: a first
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("token") == "a" &&
+      out(0).getAs[Long]("cf") == 3L && out(0).getAs[Long]("df") == 3L)
+    assert(out(1).getAs[String]("token") == "b" &&
+      out(1).getAs[Long]("cf") == 3L && out(1).getAs[Long]("df") == 2L)
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
