@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, MediaPipeline, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventFunnel, MediaPipeline, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator battery over the provided
   * `documents` / `embeddings` tables: dedup (exact, MinHash-LSH,
@@ -964,6 +964,38 @@ object DataPipeline {
              |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
              |FROM tok GROUP BY token
              |ORDER BY cf DESC, token LIMIT 200""".stripMargin)),
+
+    // --- Funnel analysis: users completing view → click → purchase in
+    //     strict event-time order. Each engine compares timestamps in
+    //     its own domain (Spark raw nanos longs, DuckDB TIMESTAMP_NS) —
+    //     the emitted counts are domain-independent.
+    QueryDef(
+      "q63_funnel",
+      (s, dir) => EventFunnel.funnel(Tables(s, dir, "events")),
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t1
+             |  GROUP BY e.user_id
+             |),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             |  GROUP BY e.user_id
+             |)
+             |SELECT * FROM (
+             |  SELECT 'step1_view' AS step,
+             |         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+             |  UNION ALL
+             |  SELECT 'step2_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'step3_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+             |) ORDER BY step""".stripMargin)),
 
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact

@@ -476,6 +476,26 @@ class DataPipelineSpec extends SparkSpec {
       out(1).getAs[Long]("cf") == 3L && out(1).getAs[Long]("df") == 2L)
   }
 
+  test("funnel counts only strictly-ordered step completions") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 100L, 1L, "view"), (2L, 200L, 1L, "click"),
+      (3L, 300L, 1L, "purchase"),
+      // user 2: click BEFORE first view -> stops at step 1
+      (4L, 100L, 2L, "click"), (5L, 200L, 2L, "view"),
+      // user 3: view then purchase but no click -> stops at step 1
+      (6L, 100L, 3L, "view"), (7L, 200L, 3L, "purchase"),
+      // user 4: never views -> not even step 1
+      (8L, 100L, 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventFunnel.funnel(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("step1_view" -> 3L, "step2_click" -> 1L,
+      "step3_purchase" -> 1L))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
