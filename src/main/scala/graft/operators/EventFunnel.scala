@@ -43,4 +43,27 @@ object EventFunnel {
     }
     out.reduce(_.unionByName(_)).orderBy("step")
   }
+
+  /** Cohort retention: users grouped by their first-activity epoch week,
+    * counted again in each later week — the standard retention triangle
+    * (and a freshness/engagement signal when curating behavioral
+    * training data). Weeks are absolute epoch weeks (`sec DIV 604800`),
+    * so no global-min aggregate gates the plan; the flow is one
+    * distinct (user, week) projection, a per-user MIN, and one hash
+    * aggregate on (cohort, offset) — every shuffle keyed on user_id or
+    * the tiny (cohort, offset) pair.
+    */
+  def retention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("ts DIV 1000000000 DIV 604800").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .withColumn("offset", col("wk") - col("cohort_week"))
+      .where(col("offset").between(0, maxOffset))
+      .groupBy(col("cohort_week"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "offset")
+  }
 }

@@ -997,6 +997,27 @@ object DataPipeline {
              |  SELECT 'step3_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
              |) ORDER BY step""".stripMargin)),
 
+    // --- Cohort retention triangle: absolute epoch weeks (no global-min
+    //     gate), per-user first week, distinct active users per
+    //     (cohort, offset). Spark derives weeks from raw nanos, the
+    //     oracle from EPOCH(ts) — same integer weeks.
+    QueryDef(
+      "q64_retention",
+      (s, dir) => EventFunnel.retention(Tables(s, dir, "events")),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk
+             |  FROM events
+             |),
+             |cohort AS (
+             |  SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+             |)
+             |SELECT c.cohort_week, u.wk - c.cohort_week AS "offset",
+             |       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+             |FROM uw u JOIN cohort c ON u.user_id = c.user_id
+             |WHERE u.wk - c.cohort_week BETWEEN 0 AND 3
+             |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin)),
+
     // --- IVF with a TRAINED coarse quantizer: deterministic Lloyd
     //     k-means (md5-ordered sample + seed, fixed 2 iterations, exact
     //     quantized arithmetic) and nprobe=2 multi-probe search. The

@@ -496,6 +496,22 @@ class DataPipelineSpec extends SparkSpec {
       "step3_purchase" -> 1L))
   }
 
+  test("retention buckets users by first epoch week and offset") {
+    val s = spark
+    import s.implicits._
+    val W = 604800L * 1000000000L // one epoch week in nanos
+    val ev = Seq(
+      (1L, 0L * W + 5L, 1L, "view"), (2L, 1L * W + 9L, 1L, "click"),
+      (3L, 3L * W + 1L, 1L, "view"),                     // A: weeks 0,1,3
+      (4L, 0L * W + 7L, 2L, "view"),                     // B: week 0 only
+      (5L, 1L * W + 2L, 3L, "view"), (6L, 2L * W + 3L, 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventFunnel.retention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("trainedIvfTopK: recall@5 >= 0.9 vs brute force at nprobe=2") {
     // 8 well-separated deterministic clusters (block-one-hot centers +
     // small formula perturbation), 200 vectors. On clustered data the
