@@ -124,9 +124,16 @@ final class AuditLog(spark: SparkSession, workDir: String,
     // flushed" — degrade to buffer-only. Any OTHER read failure
     // (corruption, permissions) propagates: silently treating it as
     // empty would drop audit history from query results.
+    // ignoreMissingFiles: a read that planned its file list just before
+    // compact() swapped a partition would otherwise fail with
+    // FileNotFoundException on the deleted originals; with the option the
+    // racing read sees the surviving files (it may double-count rows that
+    // exist in both an original and the freshly-moved compacted file —
+    // append-only audit semantics make that benign, never a miss).
     val onDisk =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
-      else try Some(spark.read.parquet(dir))
+      else try Some(spark.read
+        .option("ignoreMissingFiles", "true").parquet(dir))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
@@ -182,8 +189,15 @@ final class AuditLog(spark: SparkSession, workDir: String,
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dir)
     if (!JFiles.exists(root)) return 0
-    def ls(p: Path): Seq[Path] =
-      JFiles.list(p).iterator().asScala.toSeq
+    // Files.list returns a Stream holding an open directory handle —
+    // close it, or a long-running driver compacting every N micro-batches
+    // leaks one fd per listing until the JVM hits EMFILE (observed: the
+    // leak poisoned an entire test JVM once enough compactions ran)
+    def ls(p: Path): Seq[Path] = {
+      val st = JFiles.list(p)
+      try st.iterator().asScala.toSeq
+      finally st.close()
+    }
     val partitions = ls(root)
       .filter(p => JFiles.isDirectory(p) &&
         p.getFileName.toString.startsWith("dt="))
@@ -194,16 +208,23 @@ final class AuditLog(spark: SparkSession, workDir: String,
       else {
         // partition-column-free read/write: parquet files under a dt=
         // leaf never store the dt column, so the rewritten file matches
-        // the survivors' schema exactly
+        // the survivors' schema exactly.
+        // Read EXACTLY the files listed above, not the directory: a
+        // concurrent batch append committing a file between the listing
+        // and a directory read would get its rows copied into the
+        // compacted file while the original survives the delete below —
+        // a permanent duplicate, not just a transient race.
         val tmp = root.resolve(
           s".compact-${UUID.randomUUID().toString.take(8)}")
-        spark.read.parquet(part.toString)
+        spark.read.parquet(dataFiles.map(_.toString): _*)
           .coalesce(1)
           .write.parquet(tmp.toString)
         val rewritten = ls(tmp)
           .filter(_.getFileName.toString.endsWith(".parquet"))
         // new files in first, old files out after — a reader racing the
-        // swap may double-count, never miss (audit is append-only)
+        // swap may double-count, never miss (audit is append-only;
+        // readDir sets ignoreMissingFiles so a pre-swap file list that
+        // reaches a deleted original skips it instead of failing)
         val moved = rewritten.map { f =>
           val dest = part.resolve(
             s"compacted-${UUID.randomUUID().toString}.parquet")

@@ -61,12 +61,17 @@ final class WebhookEngine(
     },
     new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy)
 
-  // enqueue/complete counters back [[drain]]: a sentinel task would lie
-  // under CallerRunsPolicy (a saturated queue runs the sentinel on the
-  // caller while earlier events are still queued) and would hang forever
-  // if submitted after shutdown
-  private val ingestEnqueued = new java.util.concurrent.atomic.AtomicLong(0)
-  private val ingestCompleted = new java.util.concurrent.atomic.AtomicLong(0)
+  // per-event sequence + in-flight set back [[drain]]: a sentinel task
+  // would lie under CallerRunsPolicy (a saturated queue runs the sentinel
+  // on the caller while earlier events are still queued), and a plain
+  // completions>=snapshot counter pair lies too — overflow tasks complete
+  // on caller threads out of order, so completions of POST-drain events
+  // could satisfy the count while pre-drain events still sit queued.
+  // Tracking the exact sequence numbers still in flight makes drain wait
+  // for precisely the events acked before it started.
+  private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val inFlight =
+    new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
 
   /** Receive one event: normalize path → route → validate JSON → audit
     * raw → ACK, with the pipeline (filter/transform/deliver/audit)
@@ -83,10 +88,11 @@ final class WebhookEngine(
         if (!Json.isValid(payloadJson)) Left(InvalidJson)
         else {
           val raw = audit.logRaw(normalized, payloadJson)
-          ingestEnqueued.incrementAndGet()
+          val seq = ingestSeq.incrementAndGet()
+          inFlight.add(seq)
           processPool.execute { () =>
             try process(webhook, raw.id, payloadJson)
-            finally ingestCompleted.incrementAndGet()
+            finally inFlight.remove(seq)
           }
           Right(Ack("accepted", raw.id))
         }
@@ -98,11 +104,17 @@ final class WebhookEngine(
     * reference's "processed within 1 s" expectation).
     */
   def drain(): Unit = {
-    val target = ingestEnqueued.get()
-    while (ingestCompleted.get() < target) {
+    val snapshot = ingestSeq.get()
+    while (true) {
+      // done when no event acked at-or-before the snapshot is still in
+      // flight (events ingested after drain() started are not waited on)
+      val it = inFlight.iterator()
+      val pending = it.hasNext && it.next() <= snapshot
+      if (!pending) return
       // after shutdown the queued tasks still run; once the pool is
-      // TERMINATED nothing will increment the counter again, so stop
-      // waiting rather than spin forever
+      // TERMINATED nothing will clear the in-flight set again (a
+      // post-shutdown CallerRunsPolicy rejection silently discards), so
+      // stop waiting rather than spin forever
       if (processPool.isTerminated) return
       Thread.sleep(2)
     }

@@ -152,6 +152,51 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Containment near-duplicates: ordered pairs where |A∩B|/|A| ≥
+    * `threshold` — the ASYMMETRIC overlap that catches a document
+    * embedded inside a larger one (quote inclusion, boilerplate
+    * wrapping), which symmetric Jaccard misses (a small doc inside a
+    * big one has low Jaccard but containment 1.0).
+    *
+    * Candidate generation is an inverted shingle index pruned two ways,
+    * both essential at scale: shingles with df=1 pair nothing and drop
+    * out, and shingles with df > `dfCap` are stop-shingles (boilerplate
+    * n-grams) whose postings lists would quadratically explode the
+    * self-join — the standard prefix/df-filtering trade. A contained
+    * doc still surfaces as long as ANY of its shingles is rare, which
+    * holds except for docs made entirely of corpus-wide boilerplate
+    * (those are exact-dedup territory anyway). Verification then
+    * computes the EXACT intersection over the full shingle sets of
+    * candidate pairs only — identical join shape to [[nearDupPairs]].
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      dfCap: Int = 20): DataFrame = {
+    val sh = shingles(docs)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("shingle"))
+    val rare = sh.join(dfs, "shingle")
+    val cand = rare.as("r1")
+      .join(rare.as("r2"),
+        col("r1.shingle") === col("r2.shingle") &&
+          col("r1.doc_id") =!= col("r2.doc_id"))
+      .select(col("r1.doc_id").as("a"), col("r2.doc_id").as("b"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("s1.doc_id") === col("a"))
+      .join(sh.as("s2"),
+        col("s2.doc_id") === col("b") && col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a"))
+      .select(col("a"), col("b"), col("i"),
+        (col("i").cast("double") / col("ca.n")).as("containment"))
+      .where(col("containment") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * pair graph, labeled by the component's minimum doc_id — the form
     * dedup actually consumes (keep one representative per cluster, not
@@ -202,6 +247,16 @@ object Dedup {
       labels = updated.select(col("node"), col("new_label").as("label"))
       it += 1
     }
+    // Never return silently-wrong labels: a component whose diameter
+    // exceeds maxIter would exit the loop mid-propagation and downstream
+    // consumers (TrainingCorpus.build keeps one doc per cluster) would
+    // under-collapse chains with no signal. Near-dup components are short
+    // chains, so hitting this means maxIter was mis-set, not bad data.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(labels were still lowering) — raise maxIter or switch to " +
+          "star-contraction for adversarial-diameter graphs")
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels

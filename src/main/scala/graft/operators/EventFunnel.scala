@@ -44,6 +44,37 @@ object EventFunnel {
     out.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered pair of consecutive events (by ts,
+    * event_id ties) within a user's stream, count (from_type → to_type)
+    * and the conditional probability P(to | from). The behavioral
+    * counterpart of bigram statistics — used for next-action modeling
+    * and for spotting broken product flows.
+    *
+    * Scale shape: one window (`lead`) over events shuffled by user_id —
+    * the same single-shuffle layout as sessionize (q22) — then a hash
+    * aggregate whose key space is |event_types|², a constant. The
+    * probability is one double division of exact longs (the window SUM
+    * over the 25-cell count table is exact), so the matrix is
+    * bit-identical at any parallelism.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(fromW)).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Cohort retention: users grouped by their first-activity epoch week,
     * counted again in each later week — the standard retention triangle
     * (and a freshness/engagement signal when curating behavioral

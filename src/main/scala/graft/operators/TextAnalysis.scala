@@ -159,6 +159,48 @@ object TextAnalysis {
           .otherwise("test"))
       .drop("bucket")
 
+  /** First-iteration BPE merge statistics: corpus-wide counts of
+    * adjacent token pairs — the inner loop of byte-pair-encoding
+    * tokenizer training (count pairs → merge the best → repeat). One
+    * explode + one hash aggregate; the top-k cut is exact because the
+    * (n DESC, a, b) order is total. At 100 TB: map-side partial counts
+    * collapse the pair stream before the shuffle, and the shuffle key
+    * cardinality is vocab², not corpus size.
+    */
+  def bpePairs(docs: DataFrame, topK: Int = 50): DataFrame =
+    docs.select(Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b"))
+      .limit(topK)
+
+  /** Deterministic hash-stratified sampling: every document falls in a
+    * content-stable md5 bucket (0..99, keyed separately from the
+    * train/val/test split hash so the two draws are independent), and
+    * each language stratum keeps buckets below its own rate — the
+    * standard way a pipeline up-samples low-resource languages. No
+    * RNG, no `TABLESAMPLE`: the same doc is kept on any engine, any
+    * cluster size, any rerun — and the sample is reproducible from the
+    * data alone. Pure per-row projection + filter (codegen'd, no
+    * shuffle).
+    */
+  def stratifiedSample(docs: DataFrame, enRate: Int = 10,
+      defaultRate: Int = 30): DataFrame =
+    docs
+      .withColumn("bucket",
+        expr(s"${Dedup.hexToLongSql(
+            "md5(CAST(concat('s:', CAST(doc_id AS STRING)) AS BINARY))",
+            1, "instr")} % 100"))
+      .where(col("bucket") <
+        when(col("lang") === "en", enRate).otherwise(defaultRate))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
   def trainSplit(docs: DataFrame): DataFrame =
     withSplit(docs)
       .groupBy(col("split"))

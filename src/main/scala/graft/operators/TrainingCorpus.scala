@@ -52,12 +52,16 @@ object TrainingCorpus {
       .join(reps, exact("doc_id") === reps("drop_id"), "left_anti")
     val nNearDup = nearDeduped.count()
 
-    // 3. quality: repetition flag + token floor
+    // 3. quality: repetition flag + token floor. LEFT join: repetition()
+    //    only emits docs with >= 2 tokens, and an inner join here would
+    //    silently impose a 2-token floor regardless of minTokens — a doc
+    //    too short to score for repetition can't be repetitive, so it
+    //    defaults to "ok" and the token floor alone decides its fate.
     val rep = TextAnalysis.repetition(nearDeduped)
       .select(col("doc_id").as("rep_id"), col("flag"))
     val quality = nearDeduped
-      .join(rep, nearDeduped("doc_id") === rep("rep_id"))
-      .where(col("flag") === "ok" &&
+      .join(rep, nearDeduped("doc_id") === rep("rep_id"), "left")
+      .where(coalesce(col("flag"), lit("ok")) === "ok" &&
         size(Dedup.tokens(col("text"))) >= minTokens)
       .drop("rep_id", "flag")
     val nQuality = quality.count()

@@ -1116,6 +1116,96 @@ object DataPipeline {
            |  FROM scored)
            |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
            |ORDER BY qid, rnk""".stripMargin
-      })
+      }),
+
+    // --- BPE pair counting: the inner loop of tokenizer training —
+    //     corpus-wide adjacent-token-pair counts, exact top-k via a
+    //     total (n DESC, a, b) order.
+    QueryDef(
+      "q65_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairs(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |pr AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+             |         i -> {'a': w[i], 'b': w[i+1]})) AS p
+             |  FROM toks
+             |)
+             |SELECT p.a AS a, p.b AS b, COUNT(*) AS n
+             |FROM pr GROUP BY p.a, p.b
+             |ORDER BY n DESC, a, b LIMIT 50""".stripMargin)),
+
+    // --- Deterministic stratified sampling: md5-bucketed per-language
+    //     keep-rates (en 10%, others 30%) — content-stable, RNG-free,
+    //     reproducible on any engine at any parallelism.
+    QueryDef(
+      "q66_stratified_sample",
+      (s, dir) => TextAnalysis.stratifiedSample(Tables(s, dir, "documents")),
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, lang,
+             |         ${Dedup.hexToLongSql(
+                 "md5('s:' || CAST(doc_id AS VARCHAR))", 1, "strpos")} % 100
+             |           AS bucket
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang, bucket FROM b
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Markov transition matrix over per-user event sequences:
+    //     consecutive-pair counts + P(to | from), single user_id window
+    //     then a constant-size aggregate.
+    QueryDef(
+      "q67_transitions",
+      (s, dir) => EventFunnel.transitions(Tables(s, dir, "events")),
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |         LEAD(event_type) OVER (PARTITION BY user_id
+             |              ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |),
+             |c AS (
+             |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, n,
+             |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+             |            PARTITION BY from_type) AS DOUBLE) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // --- Containment near-dup: asymmetric |A∩B|/|A| pairs (a doc
+    //     embedded in a larger one), df-capped inverted-index candidates
+    //     + exact verification over full shingle sets.
+    QueryDef(
+      "q68_containment",
+      (s, dir) => Dedup.containmentPairs(Tables(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+             |dfs AS (
+             |  SELECT shingle FROM sh GROUP BY shingle
+             |  HAVING COUNT(*) BETWEEN 2 AND 20
+             |),
+             |rare AS (SELECT s.doc_id, s.shingle FROM sh s
+             |         JOIN dfs USING (shingle)),
+             |cand AS (
+             |  SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+             |  FROM rare r1 JOIN rare r2 ON r1.shingle = r2.shingle
+             |   AND r1.doc_id <> r2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.a
+             |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+             |  GROUP BY c.a, c.b
+             |)
+             |SELECT i.a, i.b, i.i,
+             |       CAST(i.i AS DOUBLE) / ca.n AS containment
+             |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |WHERE CAST(i.i AS DOUBLE) / ca.n >= 0.8
+             |ORDER BY a, b""".stripMargin))
   )
 }

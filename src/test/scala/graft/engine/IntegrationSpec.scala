@@ -2,6 +2,8 @@ package graft.engine
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.functions.col
+
 /** Ports of the reference's end-to-end pins (tests/test_integration.py):
   * register → ingest → transform → deliver → audit, with a captured
   * delivery target standing in for the in-thread destination server.
@@ -226,6 +228,85 @@ class IntegrationSpec extends SparkSpec {
     assert((acks :+ ack4).forall(a => e.transformedFor(a.eventId).isDefined))
   }
 
+  test("drain waits for pre-drain events even while later events complete") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val gate = new CountDownLatch(1)
+    val e = newEngine((_, _) => {
+      gate.await(30, TimeUnit.SECONDS)
+      Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
+    })
+    e.register(WebhookConfig("/drain-test", "http://dest:9/webhook",
+      "SELECT * FROM {{payload}}", None, None))
+    val first = e.ingest("/drain-test", """{"n": 1}""").toOption.get
+    val drainDone = new CountDownLatch(1)
+    val t = new Thread(() => { e.drain(); drainDone.countDown() })
+    t.start()
+    // events acked AFTER drain started must not satisfy it
+    e.ingest("/drain-test", """{"n": 2}""")
+    e.ingest("/drain-test", """{"n": 3}""")
+    assert(!drainDone.await(300, TimeUnit.MILLISECONDS),
+      "drain returned while its pre-drain event was still blocked")
+    gate.countDown()
+    assert(drainDone.await(30, TimeUnit.SECONDS))
+    t.join()
+    assert(e.transformedFor(first.eventId).get._2.exists(_.success))
+  }
+
+  test("audit read planned before a compaction swap still succeeds") {
+    val e = newEngine()
+    e.register(WebhookConfig("/stale-read", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    (1 to 10).foreach { i =>
+      e.ingest("/stale-read", s"""{"n": $i}""").toOption.get
+      e.drain()
+      e.audit.flush()
+    }
+    // plan the read (file listing resolves NOW, against the pre-compact
+    // files), then compact — which deletes every original file
+    val staleRaw = e.audit.rawEvents()
+    val staleTr = e.audit.transformedEvents()
+    assert(e.audit.compact(maxFilesPerPartition = 1) == 2)
+    // without ignoreMissingFiles both counts would die on
+    // FileNotFoundException for the deleted originals
+    assert(staleRaw.count() >= 0L)
+    assert(staleTr.count() >= 0L)
+    // a fresh read sees exactly the expected rows
+    assert(e.audit.rawEvents().count() == 10L)
+  }
+
+  test("compaction concurrent with appends never duplicates or drops rows") {
+    val e = newEngine()
+    e.register(WebhookConfig("/compact-race", "https://example.com/x",
+      "SELECT * FROM {{payload}}", None, None))
+    val total = 12
+    val appender = new Thread(() => {
+      (1 to total).foreach { i =>
+        e.ingest("/compact-race", s"""{"n": $i}""").toOption.get
+        e.drain()
+        e.audit.flush() // one tiny file per event — maximal interleaving
+      }
+    })
+    appender.start()
+    // compact while files are landing; the old directory-re-listing read
+    // would copy a file committed between the listing and the read while
+    // leaving the original alive — a permanent duplicate this count
+    // catches. Bounded loop with a breather so the test doesn't saturate
+    // the 4-core test session with back-to-back rewrite jobs.
+    var rounds = 0
+    while (appender.isAlive && rounds < 8) {
+      e.audit.compact(maxFilesPerPartition = 2)
+      rounds += 1
+      Thread.sleep(50)
+    }
+    appender.join()
+    e.audit.compact(maxFilesPerPartition = 2)
+    val ids = e.audit.rawEvents()
+      .where(col("source_path") === "/compact-race")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.size == total, s"expected $total rows, got ${ids.size}")
+    assert(ids.distinct.size == total)
+  }
+
   test("audit compaction merges small files without changing reads") {
     val e = newEngine()
     e.register(WebhookConfig("/compact-test", "https://example.com/x",
@@ -242,9 +323,10 @@ class IntegrationSpec extends SparkSpec {
         |ORDER BY r.payload""".stripMargin).toOption.get
     def fileCount(): Int = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(e.workDir))
-        .iterator().asScala
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(e.workDir))
+      try st.iterator().asScala
         .count(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
     }
     val before = snapshot()
     val filesBefore = fileCount()

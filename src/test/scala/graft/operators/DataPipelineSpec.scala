@@ -337,6 +337,101 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(5L) == (5L, 2L) && out(7L) == (5L, 2L))
   }
 
+  test("connectedComponents throws rather than return non-converged labels") {
+    val s = spark
+    import s.implicits._
+    // a diameter-6 chain: labels propagate one hop per round, so
+    // maxIter=2 exits while the last round still lowered labels — the
+    // ADVICE-flagged silent-wrong-answer path must throw instead
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough rounds the same graph converges to one component
+    val ok = graft.operators.Dedup.connectedComponents(chain, maxIter = 10)
+      .collect()
+    assert(ok.forall(_.getAs[Long]("cluster") == 1L))
+  }
+
+  test("training-corpus minTokens below 2 keeps 0/1-token docs (left-join " +
+    "quality stage)") {
+    val d = docs(
+      1L -> "solo",                                     // 1 token
+      2L -> "",                                         // 0 tokens
+      3L -> "a perfectly ordinary document with words") // control
+    val (corpus, _) = graft.operators.TrainingCorpus.build(
+      d, isBenchmark = lit(false), minTokens = 0)
+    // repetition() never scores docs with < 2 tokens; the quality stage
+    // must not let that inner-join artifact impose a hidden 2-token floor
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val (corpus1, _) = graft.operators.TrainingCorpus.build(
+      d, isBenchmark = lit(false), minTokens = 1)
+    assert(corpus1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+  }
+
+  test("bpePairs counts adjacent token pairs with an exact top-k order") {
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "solo")
+    val out = TextAnalysis.bpePairs(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // doc1 pairs: (a,b) (b,a) (a,b); doc2: (a,b); doc3: none
+    assert(out.toSeq == Seq(("a", "b", 3L), ("b", "a", 1L)))
+    val top1 = TextAnalysis.bpePairs(d, topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "a")
+  }
+
+  test("stratifiedSample keeps exactly the md5 buckets under each rate") {
+    val d = docs((1L to 200L).map(i =>
+      i -> s"doc number $i"): _*)
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    // recompute the content-stable bucket independently of Spark
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    val expected = (1L to 200L).filter { i =>
+      bucket(i) < (if (i % 2 == 0) 10 else 30)
+    }.toSet
+    val got = TextAnalysis.stratifiedSample(d).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("transitions counts consecutive per-user pairs with P(to|from)") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 100L, 1L, "view"), (2L, 200L, 1L, "click"),
+      (3L, 300L, 1L, "view"),
+      (4L, 100L, 2L, "click"), // single event: no transition
+      (5L, 400L, 1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventFunnel.transitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // user 1 sequence: view→click→view→click
+    assert(out(("view", "click")) == (2L, 1.0))
+    assert(out(("click", "view")) == (1L, 1.0))
+    assert(out.size == 2)
+  }
+
+  test("containmentPairs flags the embedded doc, not the container") {
+    val d = docs(
+      1L -> "a b c d e f", // shingles: abc bcd cde def
+      2L -> "a b c d",     // shingles: abc bcd — fully contained in 1
+      3L -> "x y z w")     // unrelated
+    val out = graft.operators.Dedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // containment(2 in 1) = 2/2 = 1.0; containment(1 in 2) = 2/4 = 0.5
+    // stays under the 0.8 threshold — asymmetry is the point
+    assert(out.toSeq == Seq((2L, 1L, 2L, 1.0)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head

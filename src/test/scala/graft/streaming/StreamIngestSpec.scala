@@ -183,9 +183,18 @@ class StreamIngestSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val sleepMs = 1500L
-    // slow destination: per-event HTTP delivery takes 1.5s
+    // slow destination: per-event HTTP delivery takes 1.5s. Concurrency
+    // is pinned by OVERLAP, not wall-clock: serial group processing can
+    // never have two deliveries in flight at once, while the group pool
+    // overlaps the sleeps regardless of machine load (an absolute wall
+    // bound here flaked 20× over budget on a loaded shared host).
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val e = newEngine((_, _) => {
+      val now = inFlight.incrementAndGet()
+      maxInFlight.getAndUpdate(m => math.max(m, now))
       Thread.sleep(sleepMs)
+      inFlight.decrementAndGet()
       graft.engine.Delivery.Result(success = true, Some(200), "ok")
     })
     (1 to 8).foreach(i =>
@@ -193,13 +202,9 @@ class StreamIngestSpec extends SparkSpec {
         "SELECT v FROM {{payload}}", None, None)))
     val events = (1 to 8).map(i => s"/par-$i" -> s"""{"v": $i}""")
     val ingest = new StreamIngest(e)
-    val t0 = System.nanoTime()
     ingest.processMicroBatch(events.toDF("source_path", "payload"), "par|0")
-    val wallMs = (System.nanoTime() - t0) / 1000000L
-    // serial would pay ≥ 8 × 1.5s = 12s of delivery sleeps alone;
-    // concurrent groups overlap them (plus Spark job time on local[4])
-    assert(wallMs < 9000L,
-      s"expected concurrent group processing, batch took ${wallMs}ms")
+    assert(maxInFlight.get() >= 2,
+      s"expected overlapping group deliveries, max in flight was ${maxInFlight.get()}")
     val delivered = e.adHocQuery(
       "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
     assert(delivered == Seq(Seq(8L)))
