@@ -75,6 +75,35 @@ object EventFunnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** Volume-anomaly days: for each event type, the days whose event
+    * count exceeds 1.15× that type's average daily count — the ops
+    * alarm a pipeline fires before a traffic spike poisons
+    * behavioral training data. The threshold predicate is EXACT
+    * integer arithmetic (`n · n_days · 100 > 115 · total`) so the
+    * flagged set is bit-stable across engines; the reported average is
+    * the only float, produced by a single division.
+    *
+    * Scale shape: one (type, day) hash agg over the stream (map-side
+    * partials), a per-type rollup of that tiny table, one broadcast
+    * join back — nothing grows with corpus size except the first
+    * aggregate, which is the minimum possible scan.
+    */
+  def dailyAnomalies(events: DataFrame, pctThreshold: Int = 115): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    daily.join(stats, "event_type")
+      .where(col("n") * col("n_days") * 100 >
+        lit(pctThreshold.toLong) * col("total"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("total").cast("double") / col("n_days")).as("avg_daily"))
+      .orderBy("event_type", "day")
+  }
+
   /** Cohort retention: users grouped by their first-activity epoch week,
     * counted again in each later week — the standard retention triangle
     * (and a freshness/engagement signal when curating behavioral

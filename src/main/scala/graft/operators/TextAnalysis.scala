@@ -179,6 +179,61 @@ object TextAnalysis {
       .orderBy(desc("n"), col("a"), col("b"))
       .limit(topK)
 
+  /** Bigram-vocabulary coverage — a language-model-quality proxy that
+    * stays deterministic (no transcendental log-perplexity; a fraction
+    * of exact integers instead): per document, the share of its
+    * adjacent-token bigrams found in the corpus-wide top-`vocabK`
+    * bigram vocabulary. Low coverage = unusual token sequences
+    * (boilerplate, non-text, other-language leakage).
+    *
+    * Scale shape: the vocabulary is a fixed-size top-k (broadcast), so
+    * the per-doc pass is one scan + broadcast probe + doc_id hash agg —
+    * no shuffle grows with the corpus.
+    */
+  def bigramCoverage(docs: DataFrame, vocabK: Int = 200): DataFrame = {
+    val vocab = bpePairs(docs, vocabK).select(col("a"), col("b"))
+      .withColumn("hit", lit(1L))
+    val pairs = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    pairs
+      .join(broadcast(vocab), Seq("a", "b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_in_vocab"),
+        (col("n_in_vocab").cast("double") / col("n_bigrams")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source shingle overlap matrix: for every source pair, the
+    * number of distinct word 3-grams present in both — the
+    * contamination / provenance signal a corpus curator watches when
+    * mixing crawls (a high-overlap pair means one source republishes
+    * the other).
+    *
+    * Scale shape: after the (source, shingle) DISTINCT projection, a
+    * shingle's posting list is bounded by the NUMBER OF SOURCES (a
+    * constant ~dozens), not by corpus size — so the self-join per
+    * shingle emits at most |sources|² rows and the classic inverted-
+    * index blowup cannot happen, with no df cap needed.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val ss = Dedup.shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    ss.as("x")
+      .join(ss.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy("s1", "s2")
+  }
+
   /** Deterministic hash-stratified sampling: every document falls in a
     * content-stable md5 bucket (0..99, keyed separately from the
     * train/val/test split hash so the two draws are independent), and

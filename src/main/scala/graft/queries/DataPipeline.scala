@@ -1206,6 +1206,78 @@ object DataPipeline {
              |       CAST(i.i AS DOUBLE) / ca.n AS containment
              |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
              |WHERE CAST(i.i AS DOUBLE) / ca.n >= 0.8
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- Bigram-vocabulary coverage: deterministic LM-quality proxy —
+    //     share of each doc's bigrams inside the corpus top-200 bigram
+    //     vocabulary (fixed-size, broadcastable).
+    QueryDef(
+      "q69_bigram_coverage",
+      (s, dir) => TextAnalysis.bigramCoverage(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |pr AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, greatest(len(w), 1)),
+             |         i -> {'a': w[i], 'b': w[i+1]})) AS p
+             |  FROM toks
+             |),
+             |pairs AS (SELECT doc_id, p.a AS a, p.b AS b FROM pr),
+             |vocab AS (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY a, b
+             |    ORDER BY n DESC, a, b LIMIT 200)
+             |)
+             |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             |       CAST(SUM(CASE WHEN v.a IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_in_vocab,
+             |       CAST(SUM(CASE WHEN v.a IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS DOUBLE) / COUNT(*) AS coverage
+             |FROM pairs p LEFT JOIN vocab v ON v.a = p.a AND v.b = p.b
+             |GROUP BY p.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Cross-source shingle overlap matrix: distinct 3-grams shared
+    //     per source pair; postings bounded by |sources| after the
+    //     DISTINCT, so the self-join cannot blow up.
+    QueryDef(
+      "q70_source_overlap",
+      (s, dir) => TextAnalysis.sourceOverlap(Tables(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+             |ss AS (
+             |  SELECT DISTINCT d.source, s.shingle
+             |  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+             |)
+             |SELECT x.source AS s1, y.source AS s2,
+             |       COUNT(*) AS shared_shingles
+             |FROM ss x JOIN ss y ON x.shingle = y.shingle
+             | AND x.source < y.source
+             |GROUP BY x.source, y.source
+             |ORDER BY s1, s2""".stripMargin)),
+
+    // --- Volume-anomaly days: exact-integer 1.15×-average threshold
+    //     per event type; only the reported average is a float (single
+    //     division).
+    QueryDef(
+      "q71_daily_anomaly",
+      (s, dir) => EventFunnel.dailyAnomalies(Tables(s, dir, "events")),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             |         COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |),
+             |stats AS (
+             |  SELECT event_type, SUM(n) AS total, COUNT(*) AS n_days
+             |  FROM daily GROUP BY 1
+             |)
+             |SELECT d.event_type, d.day, d.n,
+             |       CAST(s.total AS DOUBLE) / s.n_days AS avg_daily
+             |FROM daily d JOIN stats s ON s.event_type = d.event_type
+             |WHERE d.n * s.n_days * 100 > 115 * s.total
+             |ORDER BY d.event_type, day""".stripMargin))
   )
 }

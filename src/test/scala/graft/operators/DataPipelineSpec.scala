@@ -432,6 +432,46 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1L, 2L, 1.0)))
   }
 
+  test("bigramCoverage scores docs against the top-k bigram vocabulary") {
+    val d = docs(1L -> "a b a b", 2L -> "a b c")
+    // corpus counts: (a,b)=3, (b,a)=1, (b,c)=1 → top-1 vocab = {(a,b)}
+    val out = TextAnalysis.bigramCoverage(d, vocabK = 1).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 2L, 2.0 / 3))
+    assert(out(2L) == (2L, 1L, 0.5))
+  }
+
+  test("sourceOverlap counts distinct shingles shared per source pair") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d", "srcA"), // shingles: abc, bcd
+      (2L, "a b c", "srcB"),   // shingles: abc
+      (3L, "x y z", "srcB"),   // shingles: xyz (unshared)
+      (4L, "a b c", "srcA"))   // dup shingle within A — distinct collapses
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L)))
+  }
+
+  test("dailyAnomalies flags days above the exact 1.15x-average cut") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      // type x: day 0 has 3 events, day 1 has 1 → avg 2, cut 2.3
+      (1L, 0L, 1L, "x"), (2L, 1L, 1L, "x"), (3L, 2L, 1L, "x"),
+      (4L, day, 1L, "x"),
+      // type y: single day can never beat its own average
+      (5L, 0L, 2L, "y"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventFunnel.dailyAnomalies(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("x", 0L, 3L, 2.0)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
