@@ -88,6 +88,37 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Hybrid retrieval: exact cosine top-k restricted to a metadata-
+    * filtered corpus — embeddings whose document row passes a
+    * relational predicate (here `lang = 'en'`). The composition a RAG /
+    * curation stack actually runs: filter by metadata FIRST (cheap
+    * relational semi-join that Catalyst pushes down), rank by vector
+    * similarity only within the survivors.
+    *
+    * Scale shape: the filter is a semi-join on the corpus scan, the
+    * bounded query set broadcasts, and the corpus side streams — the
+    * same build-side discipline as [[cosineTopK]]; selective filters
+    * shrink the streamed side before any vector math runs.
+    */
+  def hybridTopK(emb: DataFrame, docs: DataFrame, maxQid: Long = 10,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val keep = docs.where(col("lang") === "en")
+      .select(col("doc_id").as("kid"))
+    val t = emb.join(keep, col("vec_id") === col("kid"), "left_semi")
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"))
+    val q = emb.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = broadcast(q).join(t, col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("tid"))
+    scored
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Per-cluster centroids: mean of each pico-quantized dimension.
     * Sums accumulate as DECIMAL(38,0) (128-bit) — a long would wrap at
     * ~1e6 vectors × 1e12 quanta; the oracle's SUM(BIGINT)→HUGEINT

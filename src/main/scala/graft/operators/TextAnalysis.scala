@@ -256,6 +256,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Fixed-quota sampling: exactly min(N, |stratum|) documents per
+    * language, chosen by a content-stable md5 order (not arrival or
+    * storage order, which differ per engine and per run). The
+    * complement of [[stratifiedSample]]'s rate sampling: quotas give a
+    * balanced eval set regardless of stratum skew.
+    *
+    * Scale shape: one window ranked within lang — the per-stratum sort
+    * is the unavoidable cost of an exact quota; at 100 TB the
+    * rate-sample would pre-shrink the stream first (compose the two).
+    */
+  def quotaSample(docs: DataFrame, perStratum: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+    docs
+      .withColumn("k",
+        expr(Dedup.hexToLongSql(
+          "md5(CAST(concat('q:', CAST(doc_id AS STRING)) AS BINARY))",
+          1, "instr")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Distinctive-term extraction: each document's `k` rarest tokens by
+    * corpus document frequency (df ASC, token ASC — a total order, so
+    * the cut is exact). The deterministic stand-in for TF-IDF keyword
+    * extraction: rarity rank needs no transcendental `log`, so the
+    * result is bit-stable across engines.
+    *
+    * Scale shape: the (token, df) table is vocabulary-sized; tokens
+    * join it on the token key and a per-doc window takes the top-k —
+    * doc groups are bounded by document length, never corpus size.
+    */
+  def rareTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .distinct()
+    val dfs = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    tok.join(dfs, "token")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("df"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   def trainSplit(docs: DataFrame): DataFrame =
     withSplit(docs)
       .groupBy(col("split"))

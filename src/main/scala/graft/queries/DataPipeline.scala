@@ -1278,6 +1278,82 @@ object DataPipeline {
              |       CAST(s.total AS DOUBLE) / s.n_days AS avg_daily
              |FROM daily d JOIN stats s ON s.event_type = d.event_type
              |WHERE d.n * s.n_days * 100 > 115 * s.total
-             |ORDER BY d.event_type, day""".stripMargin))
+             |ORDER BY d.event_type, day""".stripMargin)),
+
+    // --- Fixed-quota stratified sample: exactly min(20, |stratum|)
+    //     docs per language in content-stable md5 order.
+    QueryDef(
+      "q72_quota_sample",
+      (s, dir) => TextAnalysis.quotaSample(Tables(s, dir, "documents")),
+      Some(s"""WITH keyed AS (
+             |  SELECT doc_id, lang,
+             |         ${Dedup.hexToLongSql(
+                 "md5('q:' || CAST(doc_id AS VARCHAR))", 1, "strpos")} AS k
+             |  FROM documents
+             |),
+             |ranked AS (
+             |  SELECT doc_id, lang,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |              ORDER BY k, doc_id) AS BIGINT) AS rk
+             |  FROM keyed
+             |)
+             |SELECT doc_id, lang, rk FROM ranked WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin)),
+
+    // --- Distinctive terms: per-doc top-3 rarest tokens by corpus df
+    //     (df ASC, token ASC — exact total order; no transcendental
+    //     TF-IDF log).
+    QueryDef(
+      "q73_rare_terms",
+      (s, dir) => TextAnalysis.rareTerms(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS token
+             |  FROM documents
+             |),
+             |dfs AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+             |ranked AS (
+             |  SELECT t.doc_id, t.token, d.df,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+             |              ORDER BY d.df, t.token) AS BIGINT) AS rk
+             |  FROM tok t JOIN dfs d ON d.token = t.token
+             |)
+             |SELECT doc_id, token, df, rk FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // --- Hybrid retrieval: metadata filter (lang = 'en' semi-join)
+    //     first, exact quantized-cosine top-3 within the survivors —
+    //     the RAG-stack composition of the relational and vector
+    //     surfaces.
+    QueryDef(
+      "q74_hybrid_search",
+      (s, dir) => Similarity.hybridTopK(
+        Tables(s, dir, "embeddings"), Tables(s, dir, "documents")),
+      Some(s"""WITH $DimsCte,
+             |dot AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+             |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+             |  FROM dims q JOIN dims t ON q.i = t.i
+             |   AND q.vec_id < 10 AND t.vec_id <> q.vec_id
+             |  WHERE t.vec_id IN (SELECT e.vec_id FROM embeddings e
+             |                     JOIN documents dd ON dd.doc_id = e.vec_id
+             |                     WHERE dd.lang = 'en')
+             |  GROUP BY q.vec_id, t.vec_id
+             |),
+             |scored AS (
+             |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+             |  FROM dot JOIN norm nq ON nq.vec_id = qid
+             |           JOIN norm nt ON nt.vec_id = tid
+             |),
+             |ranked AS (
+             |  SELECT qid, tid, cosine,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+             |  FROM scored
+             |)
+             |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 3
+             |ORDER BY qid, rnk""".stripMargin))
   )
 }

@@ -472,6 +472,52 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x", 0L, 3L, 2.0)))
   }
 
+  test("quotaSample takes exactly N per stratum in md5 order") {
+    val d = docs((1L to 7L).map(i => i -> s"doc $i"): _*)
+      .withColumn("lang", when(col("doc_id") <= 5L, "en").otherwise("de"))
+    def key(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"q:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def quota(ids: Seq[Long], lang: String) =
+      ids.sortBy(i => (key(i), i)).take(2).zipWithIndex
+        .map { case (i, ix) => (lang, i, ix + 1L) }
+    val expected = quota(Seq(6L, 7L), "de") ++ quota(1L to 5L, "en")
+    val out = TextAnalysis.quotaSample(d, perStratum = 2).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == expected)
+  }
+
+  test("rareTerms ranks each doc's tokens by ascending corpus df") {
+    val d = docs(1L -> "a b c", 2L -> "a b", 3L -> "a")
+    val out = TextAnalysis.rareTerms(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "c", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (2L, "b", 2L, 1L), (2L, "a", 3L, 2L),
+      (3L, "a", 3L, 1L)))
+  }
+
+  test("hybridTopK ranks only corpus vectors passing the metadata filter") {
+    val s = spark
+    import s.implicits._
+    val e = embs(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),  // query
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),  // en, close
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),  // en, orthogonal
+      (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0))  // identical but filtered out
+    val d = Seq((1L, "q", "en"), (2L, "x", "en"),
+      (3L, "y", "en"), (4L, "z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Similarity
+      .hybridTopK(e, d, maxQid = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // vec 4 would be the perfect match but fails the lang filter
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
