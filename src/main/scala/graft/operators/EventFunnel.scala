@@ -83,10 +83,11 @@ object EventFunnel {
     * flagged set is bit-stable across engines; the reported average is
     * the only float, produced by a single division.
     *
-    * Scale shape: one (type, day) hash agg over the stream (map-side
-    * partials), a per-type rollup of that tiny table, one broadcast
-    * join back — nothing grows with corpus size except the first
-    * aggregate, which is the minimum possible scan.
+    * Scale shape: ONE (type, day) hash agg over the stream (map-side
+    * partials), then the per-type rollup as a window over that tiny
+    * aggregate — a separate `groupBy` + join-back would scan the event
+    * stream twice (Catalyst does not dedup shared subtrees), which is
+    * the difference that matters at 100 TB.
     */
   def dailyAnomalies(events: DataFrame, pctThreshold: Int = 115): DataFrame = {
     val daily = events
@@ -94,9 +95,11 @@ object EventFunnel {
         expr("ts DIV 1000000000 DIV 86400").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    val stats = daily.groupBy(col("event_type"))
-      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
-    daily.join(stats, "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    daily
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
       .where(col("n") * col("n_days") * 100 >
         lit(pctThreshold.toLong) * col("total"))
       .select(col("event_type"), col("day"), col("n"),
