@@ -107,6 +107,41 @@ object EventFunnel {
       .orderBy("event_type", "day")
   }
 
+  /** Per-session feature extraction: the row-per-session table a
+    * behavioral model trains on — session id from the classic
+    * gap-threshold window (new session when > `gapSec` since the
+    * previous event), then per-session event count, duration, and
+    * exact-cents value sum. Complements q22 (which reduces to
+    * per-user session COUNTS); this emits the sessions themselves.
+    *
+    * Scale shape: one shuffle by user_id feeding both windows (lag +
+    * running sum share the same ordering, so Spark plans ONE sort),
+    * then a hash agg keyed on (user, session). Money sums are
+    * cents-longs (order-insensitive, overflow-bounded by session
+    * length).
+    */
+  def sessionFeatures(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    import graft.queries.Q
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("sec"), col("value"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"),
+        (sum(Q.cents(col("value"))).cast("double") / 100).as("value_sum"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Cohort retention: users grouped by their first-activity epoch week,
     * counted again in each later week — the standard retention triangle
     * (and a freshness/engagement signal when curating behavioral

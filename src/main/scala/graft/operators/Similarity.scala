@@ -119,6 +119,30 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Embedding quality-control report: per label, vector count,
+    * dimension min/max (catches ragged arrays), and the min / max /
+    * mean squared norm — the drift signals that catch a broken encoder
+    * or an unnormalized batch before it poisons similarity search.
+    * Norms stay pico-quantized longs until the final single division
+    * (the mean divides once by `1e12 · n`, both factors exact), so the
+    * report is bit-stable at any parallelism; the sum accumulates as
+    * DECIMAL(38,0) against long wrap at corpus scale. One scan, one
+    * label-keyed hash agg.
+    */
+  def embeddingQc(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("d"),
+        dotQ(col("embedding"), col("embedding")).as("qn"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("d")).as("min_dims"), max(col("d")).as("max_dims"),
+        (min(col("qn")).cast("double") / Q).as("min_norm2"),
+        (max(col("qn")).cast("double") / Q).as("max_norm2"),
+        (sum(col("qn").cast(DecimalType(38, 0))).cast("double")
+          / (lit(Q) * count(lit(1)))).as("avg_norm2"))
+      .orderBy("label")
+
   /** Per-cluster centroids: mean of each pico-quantized dimension.
     * Sums accumulate as DECIMAL(38,0) (128-bit) — a long would wrap at
     * ~1e6 vectors × 1e12 quanta; the oracle's SUM(BIGINT)→HUGEINT

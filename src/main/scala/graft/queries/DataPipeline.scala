@@ -1354,6 +1354,67 @@ object DataPipeline {
              |  FROM scored
              |)
              |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 3
-             |ORDER BY qid, rnk""".stripMargin))
+             |ORDER BY qid, rnk""".stripMargin)),
+
+    // --- Per-session feature rows (gap-threshold sessions): the table
+    //     a behavioral model trains on; q22 reduces to counts, this
+    //     emits the sessions.
+    QueryDef(
+      "q75_session_features",
+      (s, dir) => EventFunnel.sessionFeatures(Tables(s, dir, "events")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, value
+             |  FROM events
+             |),
+             |f AS (
+             |  SELECT user_id, event_id, sec, value,
+             |         CASE WHEN LAG(sec) OVER w IS NULL
+             |                OR sec - LAG(sec) OVER w > 1800 THEN 1
+             |              ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+             |),
+             |g AS (
+             |  SELECT user_id, sec, value,
+             |         CAST(SUM(new_s) OVER (PARTITION BY user_id
+             |              ORDER BY sec, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS session_id
+             |  FROM f
+             |)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MAX(sec) - MIN(sec) AS duration_sec,
+             |       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+             |            AS DOUBLE)/100 AS value_sum
+             |FROM g GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // --- Embedding QC report: per-label count, dim bounds, and
+    //     min/max/mean squared norm from pico-quantized longs (single
+    //     final division; DECIMAL/HUGEINT sum against wrap).
+    QueryDef(
+      "q76_embedding_qc",
+      (s, dir) => Similarity.embeddingQc(Tables(s, dir, "embeddings")),
+      Some("""WITH dims AS (
+             |  SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS v,
+             |         len(embedding) AS d
+             |  FROM embeddings
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |),
+             |q AS (
+             |  SELECT vec_id, ANY_VALUE(label) AS label,
+             |         CAST(ANY_VALUE(d) AS BIGINT) AS d,
+             |         SUM(CAST(FLOOR(v * v * 1000000000000 + 0.5)
+             |             AS BIGINT)) AS qn
+             |  FROM dims GROUP BY vec_id
+             |)
+             |SELECT label, COUNT(*) AS n_vectors,
+             |       MIN(d) AS min_dims, MAX(d) AS max_dims,
+             |       CAST(MIN(qn) AS DOUBLE) / 1000000000000 AS min_norm2,
+             |       CAST(MAX(qn) AS DOUBLE) / 1000000000000 AS max_norm2,
+             |       CAST(SUM(qn) AS DOUBLE)
+             |         / (1000000000000 * COUNT(*)) AS avg_norm2
+             |FROM q GROUP BY label
+             |ORDER BY label""".stripMargin))
   )
 }

@@ -518,6 +518,37 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L)))
   }
 
+  test("sessionFeatures emits per-session rows with exact value sums") {
+    val s = spark
+    import s.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, 1L, "view", 1.5),
+      (2L, 100L * ns, 1L, "click", 2.25),
+      (3L, 5000L * ns, 1L, "view", 0.5), // gap > 1800s → new session
+      (4L, 0L * ns, 2L, "view", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventFunnel.sessionFeatures(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 100L, 3.75),
+      (1L, 2L, 1L, 0L, 0.5),
+      (2L, 1L, 1L, 0L, 10.0)))
+  }
+
+  test("embeddingQc reports per-label dim bounds and quantized norms") {
+    val e = embs(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1))
+    val out = graft.operators.Similarity.embeddingQc(e).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(0) == (2L, 4L, 4L, 1.0, 4.0, 2.5))
+    assert(out(1) == (1L, 4L, 4L, 1.0, 1.0, 1.0))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
