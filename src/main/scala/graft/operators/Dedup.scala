@@ -152,6 +152,64 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Incremental-batch dedup status: classify each NEW document against
+    * an EXISTING corpus as `exact_dup` (md5 match), `near_dup` (shares
+    * an LSH bucket with an existing doc and verifies at Jaccard ≥
+    * `threshold`), or `novel` — the daily-increment operation a
+    * production corpus runs, where the existing side's fingerprints and
+    * MinHash signatures are already materialized and ONLY the new batch
+    * pays signature computation.
+    *
+    * Scale shape: the exact screen is a left-semi on the 128-bit
+    * fingerprint; the near screen joins batch signatures to existing
+    * signatures on the (band, minhash) bucket key (existing buckets are
+    * an index lookup, not a corpus scan), and the exact-Jaccard verify
+    * runs only over surviving candidate pairs. Batch cost is
+    * O(|batch| · sig) + bucket-bounded joins — independent of corpus
+    * size given the materialized index.
+    */
+  def incrementalStatus(batch: DataFrame, existing: DataFrame,
+      threshold: Double = 0.5, bands: Int = 8): DataFrame = {
+    val bFp = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val eFp = existing.select(md5(col("text").cast("binary")).as("efp"))
+      .distinct()
+    val exact = bFp.join(eFp, col("fp") === col("efp"), "left_semi")
+      .select(col("doc_id"))
+    val bMh = minhash(batch, bands)
+    val eMh = minhash(existing, bands)
+      .select(col("band").as("eband"), col("minhash").as("eminhash"),
+        col("doc_id").as("eid"))
+    val cand = bMh
+      .join(eMh, col("band") === col("eband") &&
+        col("minhash") === col("eminhash"))
+      .select(col("doc_id"), col("eid")).distinct()
+    val bSh = shingles(batch)
+    val eSh = shingles(existing)
+      .select(col("doc_id").as("eid"), col("shingle"))
+    val bCnt = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val eCnt = eSh.groupBy(col("eid")).agg(count(lit(1)).as("en"))
+    val near = cand
+      .join(bSh.as("s1"), Seq("doc_id"))
+      .join(eSh.as("s2"),
+        col("s2.eid") === cand("eid") &&
+          col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("doc_id"), cand("eid"))
+      .agg(count(lit(1)).as("i"))
+      .join(bCnt, "doc_id").join(eCnt, "eid")
+      .where(col("i").cast("double") /
+        (col("bn") + col("en") - col("i")) >= threshold)
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("novel").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Containment near-duplicates: ordered pairs where |A∩B|/|A| ≥
     * `threshold` — the ASYMMETRIC overlap that catches a document
     * embedded inside a larger one (quote inclusion, boilerplate

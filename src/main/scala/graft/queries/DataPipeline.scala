@@ -1356,6 +1356,54 @@ object DataPipeline {
              |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 3
              |ORDER BY qid, rnk""".stripMargin)),
 
+    // --- Incremental-batch dedup status: docs with doc_id % 10 = 0
+    //     play the daily increment, the rest the existing corpus; each
+    //     batch doc classifies as exact_dup / near_dup / novel. The
+    //     oracle computes signatures once over all docs and splits by
+    //     the same predicate — identical per-doc values either way.
+    QueryDef(
+      "q77_incremental_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.incrementalStatus(
+          d.where(col("doc_id") % 10 === 0),
+          d.where(col("doc_id") % 10 =!= 0))
+      },
+      Some(s"""WITH $MinhashCte,
+             |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+             |ex AS (
+             |  SELECT DISTINCT b.doc_id FROM fp b JOIN fp e ON e.f = b.f
+             |   AND b.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+             |),
+             |cand AS (
+             |  SELECT DISTINCT b.doc_id, e.doc_id AS eid
+             |  FROM mh b JOIN mh e ON b.band = e.band
+             |   AND b.minhash = e.minhash
+             |   AND b.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |nr AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT c.doc_id, c.eid, cb.n AS bn, ce.n AS en,
+             |           COUNT(*) AS i
+             |    FROM cand c
+             |    JOIN sh s1 ON s1.doc_id = c.doc_id
+             |    JOIN sh s2 ON s2.doc_id = c.eid AND s2.shingle = s1.shingle
+             |    JOIN cnt cb ON cb.doc_id = c.doc_id
+             |    JOIN cnt ce ON ce.doc_id = c.eid
+             |    GROUP BY c.doc_id, c.eid, cb.n, ce.n
+             |  ) v WHERE CAST(i AS DOUBLE) / (bn + en - i) >= 0.5
+             |)
+             |SELECT d.doc_id,
+             |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+             |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+             |            ELSE 'novel' END AS status
+             |FROM documents d
+             |LEFT JOIN ex ON ex.doc_id = d.doc_id
+             |LEFT JOIN nr ON nr.doc_id = d.doc_id
+             |WHERE d.doc_id % 10 = 0
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // --- Per-session feature rows (gap-threshold sessions): the table
     //     a behavioral model trains on; q22 reduces to counts, this
     //     emits the sessions.

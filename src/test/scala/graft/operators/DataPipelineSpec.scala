@@ -549,6 +549,22 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(1) == (1L, 4L, 4L, 1.0, 1.0, 1.0))
   }
 
+  test("incrementalStatus classifies a batch as exact/near/novel") {
+    val twenty = (0 until 20).map(i => s"tok$i")
+    val existing = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> twenty.mkString(" "),
+      3L -> "completely unrelated existing content lives here now")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog tonight", // exact
+      11L -> (twenty.dropRight(1) :+ "tokX").mkString(" "),         // near
+      12L -> "a brand new document nothing has ever seen before")   // novel
+    val out = graft.operators.Dedup.incrementalStatus(batch, existing)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "novel"))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
