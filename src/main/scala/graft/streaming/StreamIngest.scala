@@ -236,7 +236,7 @@ final class StreamIngest(engine: WebhookEngine,
     batched match {
       case Some(rows) =>
         driverCollectedEvents.addAndGet(rows.length.toLong)
-        rows.foreach { case (eid, transformed) =>
+        parallelDeliver(rows) { case (eid, transformed) =>
           engine.deliverPrepared(webhook, eid, transformed)
         }
       case None =>
@@ -246,4 +246,28 @@ final class StreamIngest(engine: WebhookEngine,
           engine.processKept(webhook, r.getString(0), r.getString(1)))
     }
   }
+
+  /** Bounded-parallel per-survivor delivery: one slow destination call
+    * (30 s timeout each) must not stall a whole group's batch, and the
+    * reference offers no ordering contract to preserve (its per-event
+    * asyncio background tasks interleave freely). `deliverPrepared` is
+    * thread-safe (stateless delivery fn, synchronized audit buffer);
+    * audit ids stay deterministic regardless of completion order. The
+    * per-event FALLBACK path above stays sequential — it runs a Spark
+    * job per event, and delivery-thread × job-thread fanout there would
+    * storm the scheduler for the rare shapes that take it.
+    */
+  private val DeliveryParallelism = 16
+  private def parallelDeliver(rows: Array[(String, String)])(
+      fn: ((String, String)) => Unit): Unit =
+    if (rows.length <= 1) rows.foreach(fn)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(DeliveryParallelism, rows.length))
+      try {
+        rows.map(r => pool.submit(new Runnable {
+          def run(): Unit = fn(r)
+        })).foreach(_.get())
+      } finally pool.shutdown()
+    }
 }

@@ -210,6 +210,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(delivered == Seq(Seq(8L)))
   }
 
+  test("survivor deliveries within one webhook group overlap") {
+    val s = spark
+    import s.implicits._
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = newEngine((_, _) => {
+      val now = inFlight.incrementAndGet()
+      maxInFlight.getAndUpdate(m => math.max(m, now))
+      Thread.sleep(400)
+      inFlight.decrementAndGet()
+      graft.engine.Delivery.Result(success = true, Some(200), "ok")
+    })
+    e.register(WebhookConfig("/one-hook", "https://example.com/sink",
+      "SELECT v FROM {{payload}}", None, None))
+    val events = (1 to 8).map(i => "/one-hook" -> s"""{"v": $i}""")
+    new StreamIngest(e).processMicroBatch(
+      events.toDF("source_path", "payload"), "pardeliv|0")
+    // sequential delivery can never have two calls in flight for a
+    // single webhook's batch; the bounded pool must overlap them
+    assert(maxInFlight.get() >= 2,
+      s"expected overlapping deliveries, max in flight was ${maxInFlight.get()}")
+    val delivered = e.adHocQuery(
+      "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
+    assert(delivered == Seq(Seq(8L)))
+  }
+
   test("micro-batch collects only delivery-bound rows to the driver") {
     val s = spark
     import s.implicits._
