@@ -18,18 +18,28 @@ import graft.streaming.StreamIngest
   *    fallback. The printed ratio is the measured value of the r5
   *    set-oriented channel.
   *
-  * Usage: sbt "runMain graft.StreamThroughput [nProj] [nAgg]".
+  * A third shape, `latency`, reruns the set-oriented channel against a
+  * destination with simulated per-call latency (default 50 ms) — the
+  * regime real HTTP delivery lives in — to measure the bounded-parallel
+  * delivery pool rather than raw engine cost.
+  *
+  * Usage: sbt "runMain graft.StreamThroughput [nProj] [nAgg] [latencyMs]".
   */
 object StreamThroughput {
   def main(args: Array[String]): Unit = {
     val nProj = args.headOption.map(_.toInt).getOrElse(50000)
     val nAgg = args.lift(1).map(_.toInt).getOrElse(500)
+    val latencyMs = args.lift(2).map(_.toLong).getOrElse(50L)
     val spark = GraftSession.local()
     import spark.implicits._
 
+    @volatile var delayMs = 0L
     val e = new WebhookEngine(spark,
       Files.createTempDirectory("graft-throughput").toString,
-      (_, _) => Delivery.Result(success = true, Some(200), "ok"))
+      (_, _) => {
+        if (delayMs > 0) Thread.sleep(delayMs)
+        Delivery.Result(success = true, Some(200), "ok")
+      })
     e.register(WebhookConfig("/proj", "https://sink.invalid/x",
       "SELECT v, v * 2 AS dbl FROM {{payload}}",
       Some("v % 2 = 0"), None))
@@ -55,6 +65,12 @@ object StreamThroughput {
     val proj = run("/proj", nProj, "set-oriented")
     val agg = run("/agg", nAgg, "per-event-fallback")
     println(f"[throughput] set-oriented channel advantage: ${proj / agg}%.0fx")
+    // latency-bound regime: 2000 events → 1000 survivors, each delivery
+    // sleeping latencyMs; sequential handoff would pay 1000 × latency
+    delayMs = latencyMs
+    val lat = run("/proj", 2000, s"latency-${latencyMs}ms")
+    println(f"[throughput] latency-bound: ${lat}%.0f events/s vs " +
+      f"${1000.0 / latencyMs}%.0f events/s sequential bound")
     spark.stop()
   }
 }
