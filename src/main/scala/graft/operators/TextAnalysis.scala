@@ -302,6 +302,45 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Corpus length-distribution report: documents cut into ten
+    * equal-population deciles by (n_chars, doc_id) — a total order, so
+    * NTILE is deterministic — with per-decile count and char bounds.
+    * The profile a curation run reads before choosing chunking and
+    * packing budgets.
+    *
+    * Scale shape: NTILE needs a global order; Spark plans a single
+    * range-partitioned sort (no single-reducer stage) and the output is
+    * ten rows. For a quick look at 100 TB you'd sample first; the exact
+    * report is still one sort of (long, long) pairs.
+    */
+  def lengthDeciles(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("decile")
+  }
+
+  /** Per-source duplication report: how much of each source is exact
+    * duplicate — the provenance signal that catches a mirror or a
+    * scraped re-crawl before near-dup work is spent on it. One hash
+    * aggregate on (source, md5); the rate is a single division of
+    * exact longs.
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy("source")
+
   def trainSplit(docs: DataFrame): DataFrame =
     withSplit(docs)
       .groupBy(col("split"))

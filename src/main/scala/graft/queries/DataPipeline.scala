@@ -1404,6 +1404,32 @@ object DataPipeline {
              |WHERE d.doc_id % 10 = 0
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // --- Corpus length-decile profile: NTILE over the total
+    //     (n_chars, doc_id) order, ten-row report.
+    QueryDef(
+      "q78_length_deciles",
+      (s, dir) => TextAnalysis.lengthDeciles(Tables(s, dir, "documents")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |         CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id)
+             |              AS BIGINT) AS decile
+             |  FROM documents
+             |)
+             |SELECT decile, COUNT(*) AS n_docs,
+             |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // --- Per-source exact-duplication report: the provenance signal
+    //     that catches a mirrored source before near-dup work runs.
+    QueryDef(
+      "q79_dup_rate",
+      (s, dir) => TextAnalysis.dupRateBySource(Tables(s, dir, "documents")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |       COUNT(DISTINCT md5(text)) AS n_unique,
+             |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             |         / COUNT(*) AS dup_rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // --- Per-session feature rows (gap-threshold sessions): the table
     //     a behavioral model trains on; q22 reduces to counts, this
     //     emits the sessions.

@@ -565,6 +565,30 @@ class DataPipelineSpec extends SparkSpec {
       12L -> "novel"))
   }
 
+  test("lengthDeciles cuts the total (n_chars, doc_id) order into tenths") {
+    val d = docs((1L to 20L).map(i => i -> ("x" * i.toInt)): _*)
+    val out = TextAnalysis.lengthDeciles(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 20 docs with n_chars = 1..20 → each decile holds 2, bounds exact
+    assert(out.toSeq == (1L to 10L).map(dec =>
+      (dec, 2L, dec * 2 - 1, dec * 2)))
+  }
+
+  test("dupRateBySource measures exact-dup share per source") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "same text", "mirror"), (2L, "same text", "mirror"),
+      (3L, "other text", "mirror"),
+      (4L, "clean one", "fresh"), (5L, "clean two", "fresh"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.dupRateBySource(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("fresh", 2L, 2L, 0.0),
+      ("mirror", 3L, 2L, 1.0 / 3)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
