@@ -122,18 +122,17 @@ final class AuditLog(spark: SparkSession, workDir: String,
     // An absent directory, or one a crashed flush left with no
     // committed parquet yet (schema inference fails), means "nothing
     // flushed" — degrade to buffer-only. Any OTHER read failure
-    // (corruption, permissions) propagates: silently treating it as
-    // empty would drop audit history from query results.
-    // ignoreMissingFiles: a read that planned its file list just before
-    // compact() swapped a partition would otherwise fail with
-    // FileNotFoundException on the deleted originals; with the option the
-    // racing read sees the surviving files (it may double-count rows that
-    // exist in both an original and the freshly-moved compacted file —
-    // append-only audit semantics make that benign, never a miss).
+    // (corruption, permissions, missing files) propagates: silently
+    // treating it as empty would drop audit history from query results.
+    // In particular, no ignoreMissingFiles here: that option would mask
+    // genuinely lost/deleted audit files in EVERY read. The one
+    // legitimate transient — a DataFrame whose file listing resolved
+    // just before compact() swapped a partition, executing just after —
+    // fails loudly with FileNotFoundException, and action sites recover
+    // via [[retryOnCompactionRace]] with a rebuilt (fresh-listing) plan.
     val onDisk =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
-      else try Some(spark.read
-        .option("ignoreMissingFiles", "true").parquet(dir))
+      else try Some(spark.read.parquet(dir))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
@@ -163,7 +162,54 @@ final class AuditLog(spark: SparkSession, workDir: String,
 
   def countRawFor(sourcePaths: Seq[String]): Long =
     if (sourcePaths.isEmpty) 0L
-    else rawEvents().where(col("source_path").isin(sourcePaths: _*)).count()
+    else retryOnCompactionRace() {
+      rawEvents().where(col("source_path").isin(sourcePaths: _*)).count()
+    }
+
+  /** Runs an action over the audit tables, retrying (bounded) when it
+    * fails on a FileNotFoundException — the signature of a plan whose
+    * file listing resolved before a concurrent [[compact]] swapped a
+    * partition and executed after. The thunk MUST rebuild its
+    * DataFrame(s) from [[rawEvents]]/[[transformedEvents]] on each
+    * attempt so the retry plans against a fresh listing; the compacted
+    * file carries every row the deleted originals held, so the retried
+    * result equals what either the pre- or post-compaction snapshot
+    * would have returned (append-only: same rows either way).
+    *
+    * Persistent missing files — genuine loss, not the race — keep
+    * failing on every attempt and the last exception propagates, unlike
+    * a blanket `ignoreMissingFiles` read option which would silently
+    * drop lost audit history from all reads forever.
+    */
+  def retryOnCompactionRace[T](attempts: Int = 3)(action: => T): T = {
+    @annotation.tailrec
+    def loop(remaining: Int): T = {
+      val r =
+        try Right(action)
+        catch {
+          case e: Throwable if remaining > 1 && hasFileNotFound(e) => Left(e)
+        }
+      r match {
+        case Right(v) => v
+        case Left(_) => loop(remaining - 1)
+      }
+    }
+    loop(attempts)
+  }
+
+  private def hasFileNotFound(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      // Spark task failures can flatten the cause into the message
+      if (c.getMessage != null &&
+        c.getMessage.contains("FileNotFoundException")) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 
   // ---- small-file compaction ----
 
@@ -221,10 +267,11 @@ final class AuditLog(spark: SparkSession, workDir: String,
           .write.parquet(tmp.toString)
         val rewritten = ls(tmp)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-        // new files in first, old files out after — a reader racing the
-        // swap may double-count, never miss (audit is append-only;
-        // readDir sets ignoreMissingFiles so a pre-swap file list that
-        // reaches a deleted original skips it instead of failing)
+        // new files in first, old files out after — a reader whose plan
+        // listed files before this swap fails loudly on the deleted
+        // originals at action time and recovers via
+        // retryOnCompactionRace with a fresh listing (same rows: the
+        // compacted file is a superset-equal rewrite of the originals)
         val moved = rewritten.map { f =>
           val dest = part.resolve(
             s"compacted-${UUID.randomUUID().toString}.parquet")

@@ -332,8 +332,13 @@ final class WebhookEngine(
       run: => DataFrame): Either[String, Seq[Seq[Any]]] =
     validateAdHoc(sql).flatMap { _ =>
       try {
-        refreshSqlViews()
-        Right(run.collect().toSeq.map(_.toSeq.map {
+        // view refresh + collect both inside the retry: a compaction
+        // swap racing the collect re-registers the audit views over a
+        // fresh file listing before the second attempt
+        Right(audit.retryOnCompactionRace() {
+          refreshSqlViews()
+          run.collect().toSeq
+        }.map(_.toSeq.map {
           // reference formats datetimes with naive .isoformat() — no zone
           case t: java.sql.Timestamp => t.toInstant.toString.stripSuffix("Z")
           case ld: java.time.LocalDateTime => ld.toString
@@ -400,17 +405,19 @@ final class WebhookEngine(
     */
   def stats(): Stats = {
     import org.apache.spark.sql.functions._
-    val tr = audit.transformedEvents()
-    val rates = tr.groupBy("webhook_id")
-      .agg(count(lit(1)).as("total_events"),
-        sum(when(col("success"), 1L).otherwise(0L)).as("success_count"),
-        (sum(when(col("success"), 1L).otherwise(0L)).cast("float")
-          / count(lit(1))).as("success_rate"))
-      .collect()
-      .map(r => WebhookSuccessRate(r.getString(0), r.getLong(1),
-        r.getLong(2), r.getDouble(3)))
-    Stats(catalog.list().size.toLong, audit.rawEvents().count(),
-      tr.count(), rates.toSeq)
+    audit.retryOnCompactionRace() {
+      val tr = audit.transformedEvents()
+      val rates = tr.groupBy("webhook_id")
+        .agg(count(lit(1)).as("total_events"),
+          sum(when(col("success"), 1L).otherwise(0L)).as("success_count"),
+          (sum(when(col("success"), 1L).otherwise(0L)).cast("float")
+            / count(lit(1))).as("success_rate"))
+        .collect()
+        .map(r => WebhookSuccessRate(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+      Stats(catalog.list().size.toLong, audit.rawEvents().count(),
+        tr.count(), rates.toSeq)
+    }
   }
 
   /** GET /events (src/app.py:1464-1501): recent raw events LEFT JOINed
@@ -428,7 +435,11 @@ final class WebhookEngine(
   }
 
   /** GET /event/{id}/transformed (src/app.py:1503-1563). */
-  def transformedFor(rawEventId: String): Option[(RawRow, Option[TrRow])] = {
+  def transformedFor(rawEventId: String): Option[(RawRow, Option[TrRow])] =
+    audit.retryOnCompactionRace() { transformedForOnce(rawEventId) }
+
+  private def transformedForOnce(
+      rawEventId: String): Option[(RawRow, Option[TrRow])] = {
     import org.apache.spark.sql.functions._
     val raw = audit.rawEvents().where(col("id") === rawEventId)
       .select("id", "timestamp", "source_path", "payload").collect()

@@ -274,7 +274,10 @@ final class GatewayServer(val engine: WebhookEngine, port: Int = 0,
       }
     }
     val arr = mapper.createArrayNode()
-    engine.recentEvents(limit).collect().foreach { r =>
+    val rows = engine.audit.retryOnCompactionRace() {
+      engine.recentEvents(limit).collect()
+    }
+    rows.foreach { r =>
       val o = mapper.createObjectNode()
       o.put("id", r.getString(0))
       o.put("timestamp", r.getTimestamp(1).toInstant.toString.stripSuffix("Z"))

@@ -252,7 +252,7 @@ class IntegrationSpec extends SparkSpec {
     assert(e.transformedFor(first.eventId).get._2.exists(_.success))
   }
 
-  test("audit read planned before a compaction swap still succeeds") {
+  test("audit read planned before a compaction swap recovers via retry") {
     val e = newEngine()
     e.register(WebhookConfig("/stale-read", "https://example.com/x",
       "SELECT * FROM {{payload}}", None, None))
@@ -261,16 +261,34 @@ class IntegrationSpec extends SparkSpec {
       e.drain()
       e.audit.flush()
     }
-    // plan the read (file listing resolves NOW, against the pre-compact
-    // files), then compact — which deletes every original file
+    // pin the pre-compaction count, plan a second read (file listing
+    // resolves NOW, against the pre-compact files), then compact —
+    // which deletes every original file
+    val preCount = e.audit.rawEvents().count()
     val staleRaw = e.audit.rawEvents()
-    val staleTr = e.audit.transformedEvents()
     assert(e.audit.compact(maxFilesPerPartition = 1) == 2)
-    // without ignoreMissingFiles both counts would die on
-    // FileNotFoundException for the deleted originals
-    assert(staleRaw.count() >= 0L)
-    assert(staleTr.count() >= 0L)
-    // a fresh read sees exactly the expected rows
+    // the stale plan fails LOUDLY — no blanket ignoreMissingFiles that
+    // would also mask genuinely lost audit files in every read
+    val thrown = intercept[Throwable] { staleRaw.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    assert(chain(thrown).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        (c.getMessage != null &&
+          c.getMessage.contains("FileNotFoundException"))))
+    // an action through retryOnCompactionRace recovers: first attempt
+    // executes the stale plan and fails, the rebuilt attempt plans a
+    // fresh listing and returns the row count — which must equal both
+    // the pre- and post-compaction snapshot (compaction is a
+    // rows-preserving rewrite, so "either" is the same number)
+    var attempts = 0
+    val retried = e.audit.retryOnCompactionRace() {
+      attempts += 1
+      (if (attempts == 1) staleRaw else e.audit.rawEvents()).count()
+    }
+    assert(attempts == 2)
+    assert(retried == preCount)
+    assert(retried == 10L)
     assert(e.audit.rawEvents().count() == 10L)
   }
 
