@@ -36,7 +36,14 @@ import graft.engine.{Webhook, WebhookEngine}
   *    volume reducer: at 100 TB of ingest the collected slice is the
   *    (tiny) fraction that actually leaves the system as webhooks.
   *    [[driverCollectedEvents]] counts exactly these rows so tests pin
-  *    the invariant collected == delivery-bound, not batch size.
+  *    the invariant collected == delivery-bound, not batch size;
+  *  - even the delivery-bound slice is NOT assumed small: a pass-all
+  *    filter at scale would otherwise put the whole batch on the driver.
+  *    Collections run through [[forEachDriverChunk]], which counts the
+  *    set first and, past `maxSurvivorsInDriver` rows, repartitions to
+  *    ≤-cap partitions and streams them one at a time with
+  *    toLocalIterator — driver residency stays ≤ cap rows per chunk
+  *    while every event still delivers and audits within the batch.
   *
   * Exactly-once notes: raw-event ids are DETERMINISTIC per stream —
   * uuid-shaped md5 of (queryName|batchId, path, occurrence#, payload),
@@ -48,7 +55,8 @@ import graft.engine.{Webhook, WebhookEngine}
   * would put the delivery call behind an idempotency key.
   */
 final class StreamIngest(engine: WebhookEngine,
-    compactEveryBatches: Int = 64) {
+    compactEveryBatches: Int = 64,
+    maxSurvivorsInDriver: Int = 65536) {
 
   /** One ingested event: routing path + raw JSON payload. */
   final case class IngestEvent(source_path: String, payload: String)
@@ -58,6 +66,12 @@ final class StreamIngest(engine: WebhookEngine,
     * fallback group). Tests pin this stays < batch size.
     */
   val driverCollectedEvents = new AtomicLong(0L)
+
+  /** Largest single driver-resident chunk observed — tests pin this
+    * stays ≤ `maxSurvivorsInDriver` even for a 100 %-pass batch bigger
+    * than the cap.
+    */
+  val maxDriverChunkRows = new AtomicLong(0L)
 
   /** Attach the engine to a stream of (source_path, payload) pairs.
     * Returns the running query; callers own its lifecycle.
@@ -118,26 +132,18 @@ final class StreamIngest(engine: WebhookEngine,
         // batch wall-time ≈ max(group), not Σ(groups). SparkSession is
         // thread-safe; each thread tags its jobs with a per-webhook
         // scheduler pool (effective when spark.scheduler.mode=FAIR;
-        // harmless under FIFO). Bounded pool so a 1000-webhook batch
-        // doesn't spawn 1000 driver threads.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(present.size, GroupParallelism),
-          (r: Runnable) => {
-            val t = new Thread(r, "graft-group-worker")
-            t.setDaemon(true); t
+        // harmless under FIFO). The shared instance pool is bounded so
+        // a 1000-webhook batch doesn't spawn 1000 driver threads.
+        present.map { w =>
+          groupPool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val sc = engine.spark.sparkContext
+              sc.setLocalProperty("spark.scheduler.pool", s"graft-${w.id}")
+              try runGroup(w)
+              finally sc.setLocalProperty("spark.scheduler.pool", null)
+            }
           })
-        try {
-          present.map { w =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = {
-                val sc = engine.spark.sparkContext
-                sc.setLocalProperty("spark.scheduler.pool", s"graft-${w.id}")
-                try runGroup(w)
-                finally sc.setLocalProperty("spark.scheduler.pool", null)
-              }
-            })
-          }.foreach(_.get()) // propagate the first group failure
-        } finally pool.shutdown()
+        }.foreach(awaitUnwrapped) // propagate the first group failure
       }
     } finally routed.unpersist()
     // epoch maintenance: every micro-batch appends files, so without
@@ -150,6 +156,37 @@ final class StreamIngest(engine: WebhookEngine,
   private val batchesProcessed = new AtomicLong(0L)
 
   private val GroupParallelism = 8
+
+  /** One shared bounded executor per StreamIngest instance for each
+    * role — group fan-out and per-survivor delivery — instead of a
+    * fresh pool per (webhook, batch): GroupParallelism concurrent
+    * groups × per-call 16-thread delivery pools was up to 128 transient
+    * threads per micro-batch plus pool create/shutdown churn every
+    * batch. Daemon threads: the pools live for the instance (one per
+    * attached stream) and die with the JVM. Delivery tasks never submit
+    * back into either pool, so the fixed bounds cannot deadlock.
+    */
+  private def daemonPool(n: Int, name: String) =
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, name)
+        t.setDaemon(true); t
+      })
+  private lazy val groupPool = daemonPool(GroupParallelism,
+    "graft-group-worker")
+  private lazy val deliveryPool = daemonPool(DeliveryParallelism,
+    "graft-delivery-worker")
+
+  /** Blocks on a pool task and rethrows the ORIGINAL failure, not the
+    * ExecutionException wrapper — callers' exception taxonomy must not
+    * change relative to running the task inline.
+    */
+  private def awaitUnwrapped[T](f: java.util.concurrent.Future[T]): T =
+    try f.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
 
   /** One webhook's slice of the batch: distributed filter gate, filtered
     * audit rows written executor-side, survivors collected for per-event
@@ -178,10 +215,8 @@ final class StreamIngest(engine: WebhookEngine,
     }
     keptPlan match {
       case None =>
-        val rows = group.collect()
-        driverCollectedEvents.addAndGet(rows.length.toLong)
-        rows.foreach(r =>
-          engine.process(webhook, r.getString(0), r.getString(1)))
+        forEachDriverChunk(group)(_.foreach(r =>
+          engine.process(webhook, r.getString(0), r.getString(1))))
       case Some(kept) =>
         val filteredOut = group
           .join(kept, group("__eid") === kept("__eid"), "left_anti")
@@ -221,29 +256,32 @@ final class StreamIngest(engine: WebhookEngine,
     val batchedPlan = engine.transformer.batchTransformPlan(
       survivors.withColumnRenamed("payload", "__json"),
       webhook.transformQuery, batchSchema)
-    val batched: Option[Array[(String, String)]] = batchedPlan.flatMap { p =>
+    val deliveredBatched = batchedPlan.exists { p =>
+      // left join keeps zero-output-row events ("{}" per the shaping
+      // contract); the chunked materialization bounds driver residency
+      val prepared = survivors.select("__eid")
+        .join(p, Seq("__eid"), "left")
+        .select(col("__eid"),
+          coalesce(col("__transformed"), lit("{}")).as("__transformed"))
+        .persist() // transform evaluates once, shared by count + chunks
       try {
-        // left join keeps zero-output-row events ("{}" per the shaping
-        // contract); ONE collect returns exactly the delivery-bound set
-        Some(survivors.select("__eid")
-          .join(p, Seq("__eid"), "left")
-          .select(col("__eid"),
-            coalesce(col("__transformed"), lit("{}")))
-          .collect()
-          .map(r => (r.getString(0), r.getString(1))))
-      } catch { case _: Throwable => None }
-    }
-    batched match {
-      case Some(rows) =>
-        driverCollectedEvents.addAndGet(rows.length.toLong)
-        parallelDeliver(rows) { case (eid, transformed) =>
-          engine.deliverPrepared(webhook, eid, transformed)
+        // runtime transform failures surface here, BEFORE any delivery,
+        // so the per-event fallback never redelivers a chunk
+        val planned =
+          try { prepared.count(); true }
+          catch { case _: Throwable => false }
+        if (planned) forEachDriverChunk(prepared) { chunk =>
+          parallelDeliver(chunk.map(r => (r.getString(0), r.getString(1)))) {
+            case (eid, transformed) =>
+              engine.deliverPrepared(webhook, eid, transformed)
+          }
         }
-      case None =>
-        val rows = survivors.collect()
-        driverCollectedEvents.addAndGet(rows.length.toLong)
-        rows.foreach(r =>
-          engine.processKept(webhook, r.getString(0), r.getString(1)))
+        planned
+      } finally prepared.unpersist()
+    }
+    if (!deliveredBatched) {
+      forEachDriverChunk(survivors)(_.foreach(r =>
+        engine.processKept(webhook, r.getString(0), r.getString(1))))
     }
   }
 
@@ -261,13 +299,46 @@ final class StreamIngest(engine: WebhookEngine,
   private def parallelDeliver(rows: Array[(String, String)])(
       fn: ((String, String)) => Unit): Unit =
     if (rows.length <= 1) rows.foreach(fn)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(DeliveryParallelism, rows.length))
-      try {
-        rows.map(r => pool.submit(new Runnable {
-          def run(): Unit = fn(r)
-        })).foreach(_.get())
-      } finally pool.shutdown()
+    else rows.map(r =>
+      deliveryPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = fn(r)
+      })).foreach(awaitUnwrapped)
+
+  /** Materializes `df` on the driver in chunks of at most
+    * [[maxSurvivorsInDriver]] rows. Small sets (the expected case — the
+    * filter gate is the volume reducer) take a single collect; past the
+    * cap the set is repartitioned to ≤-cap partitions and streamed one
+    * partition at a time via toLocalIterator, so a 100 %-pass filter on
+    * a huge batch cannot put the whole batch on the driver — at any
+    * moment the driver holds one ≤-cap chunk (plus toLocalIterator's
+    * current ≤-cap partition buffer). The one count() job is O(1) per
+    * (webhook, batch), independent of batch size; callers persist `df`
+    * when recomputing it is expensive.
+    */
+  private def forEachDriverChunk(df: DataFrame)(
+      handle: Array[org.apache.spark.sql.Row] => Unit): Unit = {
+    val n = df.count()
+    if (n == 0L) {
+      () // nothing to materialize
+    } else if (n <= maxSurvivorsInDriver.toLong) {
+      val rows = df.collect()
+      noteChunk(rows.length)
+      handle(rows)
+    } else {
+      import scala.jdk.CollectionConverters._
+      val parts = math.ceil(n.toDouble / maxSurvivorsInDriver).toInt
+      df.repartition(parts).toLocalIterator().asScala
+        .grouped(maxSurvivorsInDriver)
+        .foreach { chunk =>
+          noteChunk(chunk.size)
+          handle(chunk.toArray)
+        }
     }
+  }
+
+  private def noteChunk(size: Int): Unit = {
+    driverCollectedEvents.addAndGet(size.toLong)
+    maxDriverChunkRows.getAndUpdate(m => math.max(m, size.toLong))
+    ()
+  }
 }

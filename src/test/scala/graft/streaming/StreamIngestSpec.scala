@@ -255,6 +255,30 @@ class StreamIngestSpec extends SparkSpec {
     assert(filtered == Seq(Seq(4L)))
   }
 
+  test("100%-pass batch bigger than the driver cap delivers in bounded chunks") {
+    val s = spark
+    import s.implicits._
+    val e = newEngine()
+    // pass-all filter: the pathological case where "survivors" == batch
+    e.register(WebhookConfig("/flood", "https://example.com/sink",
+      "SELECT v FROM {{payload}}", Some("v > 0"), None))
+    val n = 40
+    val cap = 8
+    val ingest = new StreamIngest(e, maxSurvivorsInDriver = cap)
+    ingest.processMicroBatch(
+      (1 to n).map(i => "/flood" -> s"""{"v": $i}""")
+        .toDF("source_path", "payload"), "flood|0")
+    // every event is delivery-bound and still delivers + audits...
+    assert(ingest.driverCollectedEvents.get() == n.toLong)
+    val delivered = e.adHocQuery(
+      "SELECT COUNT(*) FROM transformed_events WHERE success").toOption.get
+    assert(delivered == Seq(Seq(n.toLong)))
+    // ...but the driver never held more than one ≤-cap chunk at a time
+    assert(ingest.maxDriverChunkRows.get() > 0L)
+    assert(ingest.maxDriverChunkRows.get() <= cap.toLong,
+      s"driver chunk exceeded cap: ${ingest.maxDriverChunkRows.get()}")
+  }
+
   test("micro-batch raw-event ids are replay-deterministic") {
     val s = spark
     import s.implicits._
