@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * per row), and feature extraction as columnar aggregates. The image
   * path decodes REAL PNG bytes through `javax.imageio` and the audio
   * path REAL WAV bytes through `javax.sound.sampled` (both pure-JDK).
-  * Only video keeps a clearly-marked DETERMINISTIC STUB (`decodeStub`):
-  * no in-JDK video codec exists, so "decoding" parses the 12-byte
-  * synthetic header and treats the payload bytes as pixels. Swapping in
-  * a real codec changes only that one function.
+  * Video has no in-JDK codec, so the video path uses the GVID container
+  * ([[videoMediaFromDocs]]): a real demux of a length-prefixed frame stream
+  * whose frames are genuine PNGs decoded by the real image path —
+  * swapping in an MP4/H.264 codec changes only the demux/frame-decode
+  * functions, not the pipeline shape.
   *
   * 100 TB design notes:
   *  - binary payloads stay columnar in parquet; metadata columns
@@ -47,114 +48,7 @@ object MediaPipeline {
       n_bytes: Int,
       pixels: Array[Byte])
 
-  /** Extracted features: fixed-width vector + scalar stats. */
-  final case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      width: Int,
-      height: Int,
-      n_bytes: Int,
-      mean_byte: Double,
-      histogram: Array[Long])
-
-  private val HeaderBytes = 12
-
-  /** Deterministic synthetic media derived from the `documents` table:
-    * payload = 12-byte header (width, height, kind tag) + text bytes.
-    * Stands in for real image files so the binary-column plumbing is
-    * exercised end-to-end on driver-provided data.
-    */
-  def fakeMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
-        val width = (32 + (id % 8) * 16).toInt
-        val height = (32 + (id % 5) * 16).toInt
-        val payload = text.getBytes("UTF-8")
-        val buf = java.nio.ByteBuffer.allocate(HeaderBytes + payload.length)
-        buf.putInt(width).putInt(height).putInt(kind.hashCode)
-        buf.put(payload)
-        MediaRecord(id, kind, "fake/v1", width, height, buf.array())
-    }
-  }
-
-  /** ==== STUB ==== byte decode. A real implementation would call an
-    * image/audio codec here (per-partition init, batch decode); the
-    * deterministic fake parses the synthetic header and passes payload
-    * bytes through as "pixels". Signature and batch shape are the real
-    * contract.
-    */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { it =>
-      // real codecs would initialize ONCE here, per partition
-      it.map { m =>
-        val buf = java.nio.ByteBuffer.wrap(m.data)
-        val width = buf.getInt()
-        val height = buf.getInt()
-        buf.getInt() // kind tag, unused by the stub
-        val pixels = java.util.Arrays.copyOfRange(m.data, HeaderBytes,
-          m.data.length)
-        DecodedMedia(m.media_id, m.kind, width, height, pixels.length, pixels)
-      }
-    }
-  }
-
-  /** ==== STUB ==== resize: keeps every `factor`-th payload byte —
-    * shape-preserving stand-in for a real downsample kernel.
-    */
-  def resizeStub(decoded: Dataset[DecodedMedia],
-      factor: Int = 4): Dataset[DecodedMedia] = {
-    val spark = decoded.sparkSession
-    import spark.implicits._
-    decoded.mapPartitions(_.map { d =>
-      val out = d.pixels.indices.collect {
-        case i if i % factor == 0 => d.pixels(i)
-      }.toArray
-      d.copy(width = math.max(1, d.width / factor),
-        height = math.max(1, d.height / factor),
-        n_bytes = out.length, pixels = out)
-    })
-  }
-
-  /** Feature extraction over decoded payloads: 16-bucket byte histogram
-    * + mean byte value. Narrow map, no shuffle.
-    */
-  def features(decoded: Dataset[DecodedMedia]): Dataset[MediaFeatures] = {
-    val spark = decoded.sparkSession
-    import spark.implicits._
-    decoded.mapPartitions(_.map { d =>
-      val hist = new Array[Long](16)
-      var sum = 0L
-      var i = 0
-      while (i < d.pixels.length) {
-        val b = d.pixels(i) & 0xff
-        hist(b / 16) += 1
-        sum += b
-        i += 1
-      }
-      val mean = if (d.pixels.isEmpty) 0.0 else sum.toDouble / d.pixels.length
-      MediaFeatures(d.media_id, d.kind, d.width, d.height, d.n_bytes, mean,
-        hist)
-    })
-  }
-
-  /** End-to-end: documents → fake media → decode → features, as a
-    * DataFrame for the correctness gate (rows-only check; the stub
-    * decode is not SQL-expressible by design).
-    */
-  def featureTable(docs: DataFrame): DataFrame =
-    features(decodeStub(fakeMediaFromDocs(docs)))
-      .toDF()
-      .withColumn("histogram", col("histogram").cast("string"))
-      .orderBy("media_id")
-
-  // ==== REAL image decode path (no stub) ====================================
+  // ==== REAL image decode path ==============================================
 
   /** Exact per-image features — all-integer so the gate hash-matches the
     * oracle bit-for-bit (no doubles anywhere).
@@ -193,10 +87,9 @@ object MediaPipeline {
     }
   }
 
-  /** REAL byte decode via `javax.imageio` — the production contract
-    * `decodeStub` stands in for on formats this container lacks codecs
-    * for. Per-partition init (`setUseCache`), batch-shaped iteration;
-    * reads any ImageIO-supported format (PNG/BMP/GIF ship with the JDK).
+  /** REAL byte decode via `javax.imageio`. Per-partition init
+    * (`setUseCache`), batch-shaped iteration; reads any
+    * ImageIO-supported format (PNG/BMP/GIF ship with the JDK).
     */
   def decodeImage(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
@@ -252,9 +145,8 @@ object MediaPipeline {
   /** REAL image downsample: nearest-neighbor by integer stride over the
     * decoded raster — `out(x, y) = in(x·k, y·k)` — so the result is
     * deterministic across JVMs (no interpolation kernel) and, for the
-    * formula-generated PNGs, SQL-recomputable by the oracle. Upgrades
-    * `resizeStub` to a real operator for the image path; output dims
-    * are `floor(w/k) × floor(h/k)`.
+    * formula-generated PNGs, SQL-recomputable by the oracle. Output
+    * dims are `floor(w/k) × floor(h/k)`.
     */
   def resizeImage(decoded: Dataset[DecodedMedia], k: Int = 2):
       Dataset[DecodedMedia] = {
@@ -348,8 +240,7 @@ object MediaPipeline {
 
   /** REAL WAV decode: parse the RIFF container + PCM frames back out of
     * the bytes through `AudioSystem.getAudioInputStream` — the audio
-    * counterpart of [[decodeImage]]; `decodeStub` now stands in for
-    * video only.
+    * counterpart of [[decodeImage]].
     */
   def decodeWav(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
     val spark = media.sparkSession

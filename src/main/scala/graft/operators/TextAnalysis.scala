@@ -308,16 +308,39 @@ object TextAnalysis {
     * The profile a curation run reads before choosing chunking and
     * packing budgets.
     *
-    * Scale shape: NTILE needs a global order; Spark plans a single
-    * range-partitioned sort (no single-reducer stage) and the output is
-    * ten rows. For a quick look at 100 TB you'd sample first; the exact
-    * report is still one sort of (long, long) pairs.
+    * Scale shape: NTILE over an ORDER BY-only window funnels EVERY row
+    * into one partition (Spark logs the degradation warning) — a
+    * single-task sort that dies at corpus scale. Instead the global
+    * rank is computed distributed: a range repartition + in-partition
+    * sort gives the total (n_chars, doc_id) order across partitions,
+    * and zipWithIndex assigns global positions from one lightweight
+    * per-partition count pass. The exact SQL NTILE tile then follows
+    * arithmetically from (rank, n): the first n mod 10 tiles hold
+    * ceil(n/10) rows, the rest floor(n/10).
     */
   def lengthDeciles(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    docs
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val sorted = docs
+      .select(col("n_chars").cast("long").as("n_chars"),
+        col("doc_id").cast("long").as("doc_id"))
+      .repartitionByRange(col("n_chars"), col("doc_id"))
+      .sortWithinPartitions("n_chars", "doc_id")
+      .as[(Long, Long)]
+    val k = 10L
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // ranks ≤ cut land in the ceil-sized tiles
+    sorted.rdd.zipWithIndex()
+      .map { case ((chars, _), idx) =>
+        val rn = idx + 1L // 1-based rank in the total order
+        val tile =
+          if (rn <= cut) (rn - 1) / (q + 1) + 1
+          else r + (rn - cut - 1) / q + 1
+        (tile, chars)
+      }
+      .toDF("decile", "n_chars")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
@@ -329,14 +352,20 @@ object TextAnalysis {
     * duplicate — the provenance signal that catches a mirror or a
     * scraped re-crawl before near-dup work is spent on it. One hash
     * aggregate on (source, md5); the rate is a single division of
-    * exact longs.
+    * exact longs. Null-text documents are counted separately
+    * (`n_null_text`) and excluded from the dup arithmetic:
+    * COUNT(DISTINCT md5(text)) ignores NULLs, so leaving nulls in the
+    * denominator would report them as duplicates of each other and
+    * inflate the rate. A source of only null docs reports a null rate.
     */
   def dupRateBySource(docs: DataFrame): DataFrame =
     docs
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(col("text")).as("n_docs"),
+        (count(lit(1)) - count(col("text"))).as("n_null_text"),
         countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
-      .select(col("source"), col("n_docs"), col("n_unique"),
+      .select(col("source"), col("n_docs"), col("n_null_text"),
+        col("n_unique"),
         ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
           .as("dup_rate"))
       .orderBy("source")

@@ -535,8 +535,8 @@ object DataPipeline {
     //     are encoded to actual PNG bytes and decoded back through the
     //     pure-JDK javax.imageio codec; the oracle recomputes the
     //     features from the formula, so a broken encode/decode flips the
-    //     hash (stub decode remains only for audio/video, which have no
-    //     in-JDK codec).
+    //     hash. Audio decodes real WAV (q40) and video real GVID+PNG
+    //     frames (q54) — no stub decode remains anywhere.
     QueryDef(
       "q39_media_features",
       (s, dir) => MediaPipeline.pngFeatureTable(Tables(s, dir, "documents")),
@@ -595,7 +595,7 @@ object DataPipeline {
     //     features. The oracle recomputes each resized pixel from the
     //     generating formula at the strided source index
     //     (src = 2y·w + 2x), so a broken decode OR resize flips the
-    //     hash. Upgrades resize from stub to real for the image path.
+    //     hash.
     QueryDef(
       "q53_resize_features",
       (s, dir) =>
@@ -1424,10 +1424,11 @@ object DataPipeline {
     QueryDef(
       "q79_dup_rate",
       (s, dir) => TextAnalysis.dupRateBySource(Tables(s, dir, "documents")),
-      Some("""SELECT source, COUNT(*) AS n_docs,
+      Some("""SELECT source, COUNT(text) AS n_docs,
+             |       COUNT(*) - COUNT(text) AS n_null_text,
              |       COUNT(DISTINCT md5(text)) AS n_unique,
-             |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
-             |         / COUNT(*) AS dup_rate
+             |       CAST(COUNT(text) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             |         / NULLIF(COUNT(text), 0) AS dup_rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // --- Per-session feature rows (gap-threshold sessions): the table

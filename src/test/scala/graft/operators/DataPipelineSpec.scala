@@ -156,38 +156,6 @@ class DataPipelineSpec extends SparkSpec {
     assert(fp == expected)
   }
 
-  test("media pipeline: decode stub inverts the synthetic header") {
-    val d = docs(1L -> "hello world", 2L -> "spark", 3L -> "data")
-    val media = MediaPipeline.fakeMediaFromDocs(d)
-    val decoded = MediaPipeline.decodeStub(media).collect()
-    assert(decoded.length == 3)
-    val d1 = decoded.find(_.media_id == 1L).get
-    assert(d1.n_bytes == "hello world".length)
-    assert(new String(d1.pixels, "UTF-8") == "hello world")
-    val m1 = media.collect().find(_.media_id == 1L).get
-    assert(d1.width == m1.width && d1.height == m1.height)
-  }
-
-  test("media pipeline: features are deterministic and batch-shaped") {
-    val d = docs(1L -> "hello world", 2L -> "spark")
-    val f1 = MediaPipeline.featureTable(d).collect()
-    val f2 = MediaPipeline.featureTable(d).collect()
-    assert(f1.toSeq == f2.toSeq) // deterministic across runs
-    val r = f1.head
-    assert(r.getAs[Long]("media_id") == 1L)
-    assert(r.getAs[Int]("n_bytes") == "hello world".length)
-    val mean = "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toDouble /
-      "hello world".length
-    assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-12)
-  }
-
-  test("media pipeline: resize stub keeps every 4th byte") {
-    val d = docs(1L -> "abcdefgh")
-    val resized = MediaPipeline.resizeStub(
-      MediaPipeline.decodeStub(MediaPipeline.fakeMediaFromDocs(d))).collect()
-    assert(new String(resized.head.pixels, "UTF-8") == "ae")
-  }
-
   test("media pipeline: real PNG encode/decode round-trips pixel values") {
     val d = docs(0L -> "x", 5L -> "y")
     val media = MediaPipeline.pngMediaFromDocs(d).collect()
@@ -574,19 +542,34 @@ class DataPipelineSpec extends SparkSpec {
       (dec, 2L, dec * 2 - 1, dec * 2)))
   }
 
+  test("lengthDeciles matches SQL NTILE sizing when n is not divisible") {
+    // n=13: NTILE(10) puts ceil sizes first — 2,2,2,1,1,1,1,1,1,1
+    val d = docs((1L to 13L).map(i => i -> ("x" * i.toInt)): _*)
+    val out = TextAnalysis.lengthDeciles(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Seq(
+      (1L, 2L, 1L, 2L), (2L, 2L, 3L, 4L), (3L, 2L, 5L, 6L)) ++
+      (4L to 10L).map(dec => (dec, 1L, dec + 3, dec + 3))
+    assert(out.toSeq == expected)
+  }
+
   test("dupRateBySource measures exact-dup share per source") {
     val s = spark
     import s.implicits._
     val d = Seq(
       (1L, "same text", "mirror"), (2L, "same text", "mirror"),
       (3L, "other text", "mirror"),
-      (4L, "clean one", "fresh"), (5L, "clean two", "fresh"))
+      (4L, "clean one", "fresh"), (5L, "clean two", "fresh"),
+      // null-text docs must NOT count as duplicates of each other —
+      // countDistinct(md5(text)) ignores them, so the denominator must too
+      (6L, null, "fresh"), (7L, null, "fresh"))
       .toDF("doc_id", "text", "source")
     val out = graft.operators.TextAnalysis.dupRateBySource(d).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
     assert(out.toSeq == Seq(
-      ("fresh", 2L, 2L, 0.0),
-      ("mirror", 3L, 2L, 1.0 / 3)))
+      ("fresh", 2L, 2L, 2L, 0.0),
+      ("mirror", 3L, 0L, 2L, 1.0 / 3)))
   }
 
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
