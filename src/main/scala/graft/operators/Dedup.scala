@@ -259,16 +259,10 @@ object Dedup {
     * pair graph, labeled by the component's minimum doc_id — the form
     * dedup actually consumes (keep one representative per cluster, not
     * per pair; pairs alone under-delete transitive groups A~B~C where
-    * A~C never met a bucket). Distributed min-label propagation: each
-    * round every node takes the min label over itself and its
-    * neighbors, converging in graph-diameter rounds — near-dup
-    * components are short chains in practice, so a handful of rounds;
-    * each round is one join + one hash agg over the EDGE set (not the
-    * corpus), and `localCheckpoint` truncates the growing lineage. At
-    * adversarial diameters production would switch to the
-    * large-star/small-star contraction (O(log n) rounds); the
-    * convergence probe is a count over the edge-sized label table, not
-    * a collect.
+    * A~C never met a bucket). Components come from alternating
+    * large-star/small-star contraction — O(log n) rounds regardless of
+    * graph diameter, so even an adversarial boilerplate chain spanning
+    * the corpus converges; see [[connectedComponents]].
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
       maxIter: Int = 20): DataFrame =
@@ -276,45 +270,83 @@ object Dedup {
       nearDupPairs(docs, threshold).select(col("a"), col("b")), maxIter)
       .orderBy("doc_id")
 
-  /** Min-label propagation over an undirected pair list `(a, b)`:
+  /** Connected components over an undirected pair list `(a, b)`:
     * returns (doc_id, cluster, cluster_size) with cluster = component
     * min. Factored from [[nearDupClusters]] so the fixpoint is testable
     * on a bare graph.
+    *
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Large-star hangs every bigger neighbor of a node onto the
+    * neighborhood min; small-star re-hangs the smaller neighbors.
+    * Alternating the two converges in O(log n) rounds REGARDLESS of
+    * graph diameter — the property min-label propagation lacks: that
+    * needs diameter rounds, and a 100 TB corpus with one long
+    * boilerplate chain would blow any fixed round budget and throw.
+    * Every round is two (self-join + hash-agg) passes over the EDGE
+    * set — never the corpus — and the fixpoint (a star forest where
+    * every node points straight at its component min) is detected by
+    * edge-set stability, a count + anti-join, not a collect.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // emit (v, m) for every neighbor v>u, where m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = dir.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      dir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // orient (hi → lo); emit (v, m) for the smaller neighbors and
+    // (u, m), where m = min of u's smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      o.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // singletons and component minima can drop out of the shrinking
+    // edge set; remember every input node so the output covers them
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("node"))
-        .groupBy(edges("a").as("nb_node"))
-        .agg(min(col("label")).as("nb_min"))
-      val updated = labels
-        .join(neighborMin, labels("node") === col("nb_node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nb_min"), col("label")))
-            .as("new_label"))
-        .localCheckpoint(true)
-      converged = updated.where(col("new_label") < col("label")).isEmpty
-      labels = updated.select(col("node"), col("new_label").as("label"))
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are distinct: equal cardinality + one-sided set
+      // containment ⇒ set equality ⇒ fixpoint reached
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
       it += 1
     }
-    // Never return silently-wrong labels: a component whose diameter
-    // exceeds maxIter would exit the loop mid-propagation and downstream
-    // consumers (TrainingCorpus.build keeps one doc per cluster) would
-    // under-collapse chains with no signal. Near-dup components are short
-    // chains, so hitting this means maxIter was mis-set, not bad data.
+    // Never return silently-wrong labels: an unfinished contraction
+    // would under-collapse clusters downstream (TrainingCorpus.build
+    // keeps one doc per cluster) with no signal. O(log n) rounds means
+    // hitting this bound indicates a mis-set maxIter, not a long chain.
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(labels were still lowering) — raise maxIter or switch to " +
-          "star-contraction for adversarial-diameter graphs")
+        s"connectedComponents did not converge in $maxIter star-contraction " +
+          "rounds (edge set still changing) — raise maxIter")
+    // fixpoint edges all point (node → component min); roots and
+    // singletons label themselves
+    val starLabels = edges.groupBy(col("u")).agg(min(col("v")).as("lbl"))
+    val labels = nodes
+      .join(starLabels, nodes("node") === starLabels("u"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels

@@ -308,19 +308,32 @@ class DataPipelineSpec extends SparkSpec {
   test("connectedComponents throws rather than return non-converged labels") {
     val s = spark
     import s.implicits._
-    // a diameter-6 chain: labels propagate one hop per round, so
-    // maxIter=2 exits while the last round still lowered labels — the
-    // ADVICE-flagged silent-wrong-answer path must throw instead
+    // maxIter=1 cannot certify a fixpoint on a graph that needs any
+    // contraction at all — the silent-wrong-answer path must throw
     val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      graft.operators.Dedup.connectedComponents(chain, maxIter = 2).collect()
+      graft.operators.Dedup.connectedComponents(chain, maxIter = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
     // and with enough rounds the same graph converges to one component
     val ok = graft.operators.Dedup.connectedComponents(chain, maxIter = 10)
       .collect()
     assert(ok.forall(_.getAs[Long]("cluster") == 1L))
+  }
+
+  test("connectedComponents converges on a 1000-node path graph") {
+    val s = spark
+    import s.implicits._
+    // adversarial diameter: min-label propagation needs 999 rounds here
+    // and previously threw; star contraction converges in O(log n)
+    // rounds within the default budget
+    val path = (1L to 1000L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a", "b")
+    val out = graft.operators.Dedup.connectedComponents(path).collect()
+    assert(out.length == 1000)
+    assert(out.forall(_.getAs[Long]("cluster") == 1L))
+    assert(out.forall(_.getAs[Long]("cluster_size") == 1000L))
   }
 
   test("training-corpus minTokens below 2 keeps 0/1-token docs (left-join " +
