@@ -25,7 +25,7 @@ object RaceRepro {
     for (r <- 1 to rounds) {
       val dir = java.nio.file.Files.createTempDirectory("race").toString
       val e = new WebhookEngine(spark, dir,
-        (_, _) => graft.engine.Delivery.Result(success = true, Some(200), ""))
+        (_, _, _) => graft.engine.Delivery.Result(success = true, Some(200), ""))
       e.register(WebhookConfig("/race", "https://example.com/x",
         "SELECT * FROM {{payload}}", None, None))
       e.refreshSqlViews()

@@ -36,7 +36,7 @@ object StreamThroughput {
     @volatile var delayMs = 0L
     val e = new WebhookEngine(spark,
       Files.createTempDirectory("graft-throughput").toString,
-      (_, _) => {
+      (_, _, _) => {
         if (delayMs > 0) Thread.sleep(delayMs)
         Delivery.Result(success = true, Some(200), "ok")
       })

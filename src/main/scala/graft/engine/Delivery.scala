@@ -9,6 +9,12 @@ import java.time.Duration
   * success. Destinations on example.com / localhost are short-circuited
   * as simulated success exactly like the reference's test mode
   * (src/app.py:1185-1193).
+  *
+  * Every request carries an `Idempotency-Key` header holding the raw
+  * event id. Delivery is at-least-once (same as the reference's
+  * fire-and-forget background task) and the streaming path's event ids
+  * are deterministic under checkpoint replay, so a conforming receiver
+  * that deduplicates on the key sees effectively-once delivery.
   */
 object Delivery {
 
@@ -24,13 +30,15 @@ object Delivery {
     host.endsWith("example.com") || host == "localhost" || host == "127.0.0.1"
   }
 
-  def deliver(destinationUrl: String, json: String): Result =
+  def deliver(destinationUrl: String, json: String,
+      idempotencyKey: String): Result =
     if (isSimulated(destinationUrl))
       Result(success = true, Some(200), "Simulated delivery success")
     else try {
       val req = HttpRequest.newBuilder(URI.create(destinationUrl))
         .timeout(Duration.ofSeconds(30))
         .header("Content-Type", "application/json")
+        .header("Idempotency-Key", idempotencyKey)
         .POST(HttpRequest.BodyPublishers.ofString(json))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())

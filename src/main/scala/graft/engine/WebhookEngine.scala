@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class WebhookEngine(
     val spark: SparkSession,
     val workDir: String,
-    deliverFn: (String, String) => Delivery.Result = Delivery.deliver) {
+    deliverFn: (String, String, String) => Delivery.Result =
+      Delivery.deliver) {
 
   val catalog = new WebhookCatalog(Some(JsonStore(workDir, "webhooks.json")))
   val udfs = new UdfRegistry(spark, Some(JsonStore(workDir, "udfs.json")))
@@ -156,7 +157,7 @@ final class WebhookEngine(
       val transformed =
         transformer.transform(webhook.id, webhook.transformQuery, payloadJson)
 
-      val d = deliverFn(webhook.destinationUrl, transformed)
+      val d = deliverFn(webhook.destinationUrl, transformed, rawEventId)
       audit.logTransformed(rawEventId, webhook.id, transformed,
         webhook.destinationUrl, d.success, d.code, d.body)
       ProcessResult(rawEventId, filtered = false, d.success,
@@ -245,7 +246,7 @@ final class WebhookEngine(
   private[graft] def deliverPrepared(webhook: Webhook, rawEventId: String,
       transformed: String): ProcessResult =
     try {
-      val d = deliverFn(webhook.destinationUrl, transformed)
+      val d = deliverFn(webhook.destinationUrl, transformed, rawEventId)
       audit.logTransformed(rawEventId, webhook.id, transformed,
         webhook.destinationUrl, d.success, d.code, d.body)
       ProcessResult(rawEventId, filtered = false, d.success,

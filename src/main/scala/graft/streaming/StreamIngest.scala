@@ -51,8 +51,11 @@ import graft.engine.{Webhook, WebhookEngine}
   * batch — so a checkpoint replay of a micro-batch reproduces the same
   * id SET and downstream consumers (and audit compaction) can
   * deduplicate on id. Delivery itself is at-least-once, same as the
-  * reference's fire-and-forget background task; a production deployment
-  * would put the delivery call behind an idempotency key.
+  * reference's fire-and-forget background task; every delivery request
+  * carries the event id as its `Idempotency-Key` header
+  * (graft.engine.Delivery), so a replayed micro-batch redelivers under
+  * the SAME key and a conforming receiver collapses the duplicates —
+  * effectively-once end-to-end against such receivers.
   */
 final class StreamIngest(engine: WebhookEngine,
     compactEveryBatches: Int = 64,

@@ -86,7 +86,8 @@ class EventProcessingSpec extends SparkSpec {
 
   private def registeredEngine(
       filter: Option[String] = Some("field1 = 'value1'"),
-      deliver: (String, String) => Delivery.Result = Delivery.deliver) = {
+      deliver: (String, String, String) => Delivery.Result =
+        Delivery.deliver) = {
     val e = newEngine(deliver)
     val w = e.register(WebhookConfig("/test-webhook",
       "https://example.com/webhook", "SELECT * FROM {{payload}}",
@@ -122,7 +123,7 @@ class EventProcessingSpec extends SparkSpec {
   }
 
   test("process: delivery failure audits success=false (test_event_processing.py:299-351)") {
-    val (e, w) = registeredEngine(deliver = (_, _) =>
+    val (e, w) = registeredEngine(deliver = (_, _, _) =>
       Delivery.Result(success = false, None, "Connection error: refused"))
     val raw = e.audit.logRaw(w.sourcePath, samplePayload)
     val res = e.process(w, raw.id, samplePayload)

@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions.col
 class IntegrationSpec extends SparkSpec {
   import SparkSpec._
 
-  /** In-memory "destination server": records delivered JSON bodies. */
+  /** In-memory "destination server": records delivered JSON bodies and
+    * the Idempotency-Key each request carried.
+    */
   private final class Capture {
     val received = new ArrayBuffer[String]()
-    def deliver(url: String, json: String): Delivery.Result = {
+    val keys = new ArrayBuffer[String]()
+    def deliver(url: String, json: String, key: String): Delivery.Result = {
       received += json
+      keys += key
       Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
     }
   }
@@ -47,6 +51,10 @@ class IntegrationSpec extends SparkSpec {
     assert(!transformed.contains("field3"))
 
     assert(cap.received.toSeq == Seq(transformed))
+    // the delivery request carried the raw event id as its
+    // Idempotency-Key, so a conforming receiver can deduplicate the
+    // at-least-once redeliveries
+    assert(cap.keys.toSeq == Seq(ack.eventId))
   }
 
   test("end-to-end filtering: blocked vs allowed (test_integration.py:167-263)") {
@@ -192,7 +200,7 @@ class IntegrationSpec extends SparkSpec {
     import java.util.concurrent.atomic.AtomicInteger
     val gate = new CountDownLatch(1)
     val delivered = new AtomicInteger(0)
-    val e = newEngine((_, _) => {
+    val e = newEngine((_, _, _) => {
       gate.await(30, TimeUnit.SECONDS)
       delivered.incrementAndGet()
       Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
@@ -231,7 +239,7 @@ class IntegrationSpec extends SparkSpec {
   test("drain waits for pre-drain events even while later events complete") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     val gate = new CountDownLatch(1)
-    val e = newEngine((_, _) => {
+    val e = newEngine((_, _, _) => {
       gate.await(30, TimeUnit.SECONDS)
       Delivery.Result(success = true, Some(200), """{"status": "ok"}""")
     })

@@ -34,7 +34,8 @@ object SparkSpec {
     mapper.readTree(json).get(field).asText()
 
   def newEngine(
-      deliverFn: (String, String) => Delivery.Result = Delivery.deliver)
+      deliverFn: (String, String, String) => Delivery.Result =
+        Delivery.deliver)
       : WebhookEngine =
     new WebhookEngine(spark,
       Files.createTempDirectory("graft-audit").toString, deliverFn)

@@ -197,7 +197,7 @@ class GatewayServerSpec extends SparkSpec {
   test("stop() drains the deferred-ack queue before returning (ADVICE r4)") {
     val slowMs = 400L
     val delivered = new java.util.concurrent.atomic.AtomicInteger()
-    val engine = newEngine((_, _) => {
+    val engine = newEngine((_, _, _) => {
       Thread.sleep(slowMs)
       delivered.incrementAndGet()
       graft.engine.Delivery.Result(success = true, Some(200), "ok")

@@ -190,7 +190,7 @@ class StreamIngestSpec extends SparkSpec {
     // bound here flaked 20× over budget on a loaded shared host).
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
-    val e = newEngine((_, _) => {
+    val e = newEngine((_, _, _) => {
       val now = inFlight.incrementAndGet()
       maxInFlight.getAndUpdate(m => math.max(m, now))
       Thread.sleep(sleepMs)
@@ -215,7 +215,7 @@ class StreamIngestSpec extends SparkSpec {
     import s.implicits._
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
-    val e = newEngine((_, _) => {
+    val e = newEngine((_, _, _) => {
       val now = inFlight.incrementAndGet()
       maxInFlight.getAndUpdate(m => math.max(m, now))
       Thread.sleep(400)
