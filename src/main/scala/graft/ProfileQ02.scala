@@ -20,6 +20,10 @@ object ProfileQ02 {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = GraftSession.local()
+    // optional 3rd arg: vectorized parquet reader batch size (default
+    // 4096) — the round-7 scan-tuning lever, measured not guessed
+    args.lift(2).foreach(n =>
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", n))
     def li: DataFrame = Tables(spark, sfDir, "lineitem")
     def filtered: DataFrame =
       li.where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
