@@ -380,16 +380,16 @@ object Dedup {
       .select(col("b1.doc_id").as("a"), col("b2.doc_id").as("b"),
         col("b1.simhash").as("sa"), col("b2.simhash").as("sb"))
       .distinct()
-    // hamming via per-hex-digit xor popcount (lookup-string trick)
-    val pos = docs.sparkSession.range(16).select(col("id").as("i"))
-    cand.crossJoin(pos)
-      .select(col("a"), col("b"),
-        expr("""CAST(substr('0112122312232334',
-                  CAST((instr('0123456789abcdef', substr(sa, CAST(i AS INT) + 1, 1)) - 1)
-                     ^ (instr('0123456789abcdef', substr(sb, CAST(i AS INT) + 1, 1)) - 1)
-                   AS INT) + 1, 1) AS BIGINT)""").as("d"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("d")).as("hamming"))
+    // hamming via per-hex-digit xor popcount (lookup-string trick),
+    // folded in ONE projection with a higher-order aggregate over the
+    // 16 digit positions — no 16× candidate-row blowup and no extra
+    // hash aggregate (the r6 verdict's optional cleanup)
+    cand.select(col("a"), col("b"),
+        expr("""aggregate(sequence(0, 15), 0L, (acc, i) ->
+                  acc + CAST(substr('0112122312232334',
+                    CAST((instr('0123456789abcdef', substr(sa, i + 1, 1)) - 1)
+                       ^ (instr('0123456789abcdef', substr(sb, i + 1, 1)) - 1)
+                     AS INT) + 1, 1) AS BIGINT))""").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
