@@ -377,6 +377,103 @@ object TextAnalysis {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split")
 
+  /** Cross-split contamination report: for each evaluation split
+    * (val / test), how much of it leaks from train — exact-duplicate
+    * documents (md5 membership in train's text set) and shared word
+    * 3-gram shingles (the same shingle inventory the decontamination
+    * operator q57 uses against external benchmarks, here applied to the
+    * corpus's OWN split boundary). The leak a held-out eval inherits
+    * from its training set is the first thing to audit before trusting
+    * a validation loss.
+    *
+    * Scale shape: split membership is a pure function of doc_id (no
+    * shuffle to assign); the shingle side is |distinct (split,
+    * shingle)| — bounded by corpus token count — and both membership
+    * probes are semi-joins on md5/shingle keys, never row payloads.
+    * All arithmetic is integer counts; the single fraction divides two
+    * exact longs.
+    */
+  def splitContamination(docs: DataFrame): DataFrame = {
+    val sd = withSplit(docs)
+    val sh = graft.operators.Dedup.shingles(docs)
+      .join(sd.select(col("doc_id"), col("split")), "doc_id")
+    val spl = sh.select(col("split"), col("shingle")).distinct()
+    val trainSh = spl.where(col("split") === "train").select("shingle")
+    val evalSh = spl.where(col("split") =!= "train")
+    val shTotals = evalSh.groupBy("split")
+      .agg(count(lit(1)).as("n_shingles"))
+    val shLeaked = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n_leaked_shingles"))
+    val hashed = sd.select(col("split"),
+      md5(col("text").cast("binary")).as("h"))
+    val trainH = hashed.where(col("split") === "train")
+      .select("h").distinct()
+    val evalDocs = hashed.where(col("split") =!= "train")
+    val docTotals = evalDocs.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+    val docLeaked = evalDocs.join(trainH, Seq("h"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n_exact_dup_docs"))
+    docTotals
+      .join(docLeaked, Seq("split"), "left")
+      .join(shTotals, Seq("split"), "left")
+      .join(shLeaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_exact_dup_docs"), lit(0L)).as("n_exact_dup_docs"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_leaked_shingles"), lit(0L))
+          .as("n_leaked_shingles"),
+        (coalesce(col("n_leaked_shingles"), lit(0L)).cast("double") /
+          coalesce(col("n_shingles"), lit(0L))).as("leak_frac"))
+      .orderBy("split")
+  }
+
+  /** Per-language corpus profile: document/source counts plus exact
+    * char/token totals and their per-doc means — the language-mix
+    * table a multilingual training run reads before setting sampling
+    * temperatures. One hash aggregate; integer sums; two final
+    * divisions.
+    */
+  def langReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("avg_tokens"))
+      .orderBy("lang")
+
+  /** The k most-duplicated texts: exact-dup groups of 2+ ranked by copy
+    * count (fingerprint tiebreak makes the top-k total-ordered), with
+    * the smallest doc_id as the inspectable example. This is the
+    * "what IS all this boilerplate" report a curation run prints before
+    * choosing dedup thresholds. One hash aggregate on md5 + a bounded
+    * TakeOrdered — no sort of the full group list.
+    *
+    * `prefixLen > 0` fingerprints only the first `prefixLen` characters:
+    * the "shared boilerplate opening" report (license headers, scraped
+    * nav chrome) that catches near-dups whose tails diverge — distinct
+    * full texts that open identically group together.
+    */
+  def topDuplicatedTexts(docs: DataFrame, k: Int = 20,
+                         prefixLen: Int = 0): DataFrame = {
+    val key = if (prefixLen > 0) substring(col("text"), 1, prefixLen)
+              else col("text")
+    docs
+      .select(md5(key.cast("binary")).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("example_doc_id"))
+      .where(col("n_copies") >= 2)
+      .orderBy(desc("n_copies"), col("fingerprint"))
+      .limit(k)
+  }
+
   /** Conservative ASCII patterns shared by the redactor and its oracle.
     * Deliberately restricted to constructs Java's regex engine and RE2
     * (DuckDB) interpret identically: literal classes, `\d`, ASCII `\b`,

@@ -1490,6 +1490,99 @@ object DataPipeline {
              |       CAST(SUM(qn) AS DOUBLE)
              |         / (1000000000000 * COUNT(*)) AS avg_norm2
              |FROM q GROUP BY label
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // --- Cross-split contamination: exact-dup docs and shared shingles
+    //     leaking from train into each eval split — the q57 shingle
+    //     inventory applied to the corpus's OWN split boundary.
+    QueryDef(
+      "q80_split_contamination",
+      (s, dir) =>
+        TextAnalysis.splitContamination(Tables(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+             |sp AS (
+             |  SELECT doc_id,
+             |         CASE WHEN b < 90 THEN 'train'
+             |              WHEN b < 95 THEN 'val'
+             |              ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |          ${graft.operators.Dedup.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, "strpos")} % 100 AS b
+             |        FROM documents)
+             |),
+             |ssh AS (
+             |  SELECT DISTINCT sp.split, sh.shingle
+             |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id
+             |),
+             |tr AS (SELECT shingle FROM ssh WHERE split = 'train'),
+             |ev AS (SELECT split, shingle FROM ssh WHERE split <> 'train'),
+             |sht AS (SELECT split, COUNT(*) AS n_shingles
+             |        FROM ev GROUP BY split),
+             |shl AS (SELECT split, COUNT(*) AS n_leaked_shingles FROM ev
+             |        WHERE shingle IN (SELECT shingle FROM tr)
+             |        GROUP BY split),
+             |h AS (SELECT sp.split, md5(d.text) AS h
+             |      FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+             |trh AS (SELECT DISTINCT h FROM h WHERE split = 'train'),
+             |evh AS (SELECT split, h FROM h WHERE split <> 'train'),
+             |dt AS (SELECT split, COUNT(*) AS n_docs FROM evh
+             |       GROUP BY split),
+             |dl AS (SELECT split, COUNT(*) AS n_exact_dup_docs FROM evh
+             |       WHERE h IN (SELECT h FROM trh) GROUP BY split)
+             |SELECT dt.split, dt.n_docs,
+             |       COALESCE(dl.n_exact_dup_docs, 0) AS n_exact_dup_docs,
+             |       COALESCE(sht.n_shingles, 0) AS n_shingles,
+             |       COALESCE(shl.n_leaked_shingles, 0) AS n_leaked_shingles,
+             |       CAST(COALESCE(shl.n_leaked_shingles, 0) AS DOUBLE)
+             |         / NULLIF(COALESCE(sht.n_shingles, 0), 0) AS leak_frac
+             |FROM dt
+             |LEFT JOIN dl ON dt.split = dl.split
+             |LEFT JOIN sht ON dt.split = sht.split
+             |LEFT JOIN shl ON dt.split = shl.split
+             |ORDER BY dt.split""".stripMargin)),
+
+    // --- Per-language corpus profile: the language-mix table a
+    //     multilingual run reads before setting sampling temperatures.
+    QueryDef(
+      "q81_lang_report",
+      (s, dir) => TextAnalysis.langReport(Tables(s, dir, "documents")),
+      Some("""WITH t AS (
+             |  SELECT lang, source, n_chars,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |              x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+             |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // --- Most-duplicated texts: exact-dup groups of 2+ ranked by copy
+    //     count with a fingerprint tiebreak (total-ordered top-k).
+    QueryDef(
+      "q82_top_duplicates",
+      (s, dir) =>
+        TextAnalysis.topDuplicatedTexts(Tables(s, dir, "documents")),
+      Some("""SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+             |       MIN(doc_id) AS example_doc_id
+             |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2
+             |ORDER BY n_copies DESC, fingerprint LIMIT 20""".stripMargin)),
+
+    // --- Shared boilerplate openings: dup groups keyed on the first
+    //     100 chars — catches near-dups whose tails diverge (license
+    //     headers, nav chrome). Non-empty at every gate SF, unlike the
+    //     exact-dup report which is honestly 0 at sf<=0.01.
+    QueryDef(
+      "q83_top_duplicate_prefixes",
+      (s, dir) =>
+        TextAnalysis.topDuplicatedTexts(Tables(s, dir, "documents"),
+          prefixLen = 100),
+      Some("""SELECT md5(substr(text, 1, 100)) AS fingerprint,
+             |       COUNT(*) AS n_copies, MIN(doc_id) AS example_doc_id
+             |FROM documents GROUP BY md5(substr(text, 1, 100))
+             |HAVING COUNT(*) >= 2
+             |ORDER BY n_copies DESC, fingerprint LIMIT 20""".stripMargin))
   )
 }

@@ -585,6 +585,74 @@ class DataPipelineSpec extends SparkSpec {
       ("mirror", 3L, 0L, 2L, 1.0 / 3)))
   }
 
+  test("splitContamination: identical texts leak fully, unique texts not at all") {
+    // same text everywhere → every eval doc is an exact dup of train and
+    // every eval shingle ("a b c", "b c d") exists in train
+    val same = docs((1L to 200L).map(i => i -> "a b c d"): _*)
+    val leakyBySplit = TextAnalysis.splitContamination(same).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val splitsOf = TextAnalysis.withSplit(same)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("test", "val")) {
+      val r = leakyBySplit(s)
+      assert(r.getLong(1) == splitsOf(s)) // n_docs
+      assert(r.getLong(2) == splitsOf(s)) // all exact dups of train
+      assert(r.getLong(3) == 2L && r.getLong(4) == 2L) // both shingles leak
+      assert(r.getDouble(5) == 1.0)
+    }
+    // disjoint vocabularies → zero leakage
+    val unique = docs((1L to 200L).map(i =>
+      i -> s"u${i}a u${i}b u${i}c u${i}d"): _*)
+    TextAnalysis.splitContamination(unique).collect().foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+      assert(r.getDouble(5) == 0.0)
+    }
+  }
+
+  test("langReport aggregates exact char/token totals per language") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "one two", "en", "srcA"),
+      (2L, "three four five", "en", "srcB"),
+      (3L, "eins  zwei", "de", "srcA")) // double space: empty tokens drop
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.langReport(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      ("de", 1L, 1L, 10L, 2L, 10.0, 2.0),
+      ("en", 2L, 2L, 22L, 5L, 11.0, 2.5)))
+  }
+
+  test("topDuplicatedTexts ranks exact-dup groups by copy count") {
+    val d = docs(
+      1L -> "thrice", 2L -> "thrice", 3L -> "thrice",
+      4L -> "twice", 5L -> "twice",
+      6L -> "once")
+    val out = TextAnalysis.topDuplicatedTexts(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 1L), (2L, 4L))) // singles excluded
+  }
+
+  test("topDuplicatedTexts prefixLen groups on openings, not full text") {
+    val d = docs(
+      1L -> "SHARED HEADER then tail one",
+      2L -> "SHARED HEADER then tail two",
+      3L -> "SHARED HEADER then tail three",
+      4L -> "unique opening four")
+    // no exact dups at all...
+    assert(TextAnalysis.topDuplicatedTexts(d).count() == 0L)
+    // ...but a 13-char prefix fingerprint groups the shared opening
+    val out = TextAnalysis.topDuplicatedTexts(d, prefixLen = 13).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 1L)))
+    // prefixLen past the longest text degenerates to exact grouping
+    assert(TextAnalysis.topDuplicatedTexts(d, prefixLen = 999).count() == 0L)
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
