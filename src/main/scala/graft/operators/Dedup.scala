@@ -152,6 +152,76 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Size distribution of the near-dup clusters: (cluster_size,
+    * n_clusters, n_docs), the one-page profile a curation run reads to
+    * decide whether near-dup collapse is removing scattered pairs or
+    * entire mirrored sites. Built on [[nearDupClusters]] (so only
+    * docs appearing in a verified pair participate; singletons are by
+    * definition not clusters); one distinct over the |clusters|-sized
+    * label table plus a histogram agg over cluster sizes — both
+    * orders-of-magnitude smaller than the corpus.
+    */
+  def clusterSizeHistogram(docs: DataFrame, threshold: Double = 0.5):
+      DataFrame =
+    nearDupClusters(docs, threshold)
+      .select(col("cluster"), col("cluster_size")).distinct()
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+
+  /** MinHash estimator calibration: for every LSH candidate pair,
+    * bucket by the number of shared band signatures (1-8) and report
+    * how exact shingle-Jaccard distributes inside each bucket — the
+    * audit that tells you what a band collision actually MEANS on your
+    * corpus before you trust the q31/q32 thresholds. With r=2 banding a
+    * pair sharing b of 8 bands collides with probability ~1-(1-J²)^b,
+    * so avg_jaccard should rise steeply with shared_bands; a flat table
+    * means the signature is mis-mixed for this shingle distribution.
+    *
+    * Determinism: per-pair Jaccard is quantized to micro-units
+    * (floor((i/u)·1e6 + 0.5), single division) so the per-bucket sums
+    * are exact longs and avg/min/max are single divisions. Scale shape:
+    * candidates are bucket-bounded (same join as [[nearDupPairs]] —
+    * never all-pairs); the per-pair band count is a hash agg on the
+    * pair key; the final histogram has ≤ 8 rows.
+    */
+  def lshCalibration(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val mh = minhash(docs, bands)
+    val cand = mh.as("m1")
+      .join(mh.as("m2"),
+        col("m1.band") === col("m2.band") &&
+          col("m1.minhash") === col("m2.minhash") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .groupBy(col("m1.doc_id").as("a"), col("m2.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_bands"))
+    val sh = shingles(docs)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("s1.doc_id") === col("a"))
+      .join(sh.as("s2"),
+        col("s2.doc_id") === col("b") && col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("a"), col("b"), col("shared_bands"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("b"))
+      .select(col("shared_bands"),
+        floor(jac * lit(1000000.0) + lit(0.5)).as("jq"))
+      .groupBy("shared_bands")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jq")).as("sjq"),
+        min(col("jq")).as("mnq"), max(col("jq")).as("mxq"))
+      .select(col("shared_bands"), col("n_pairs"),
+        (col("sjq").cast("double") / (lit(1000000L) * col("n_pairs")))
+          .as("avg_jaccard"),
+        (col("mnq").cast("double") / lit(1000000.0)).as("min_jaccard"),
+        (col("mxq").cast("double") / lit(1000000.0)).as("max_jaccard"))
+      .orderBy("shared_bands")
+  }
+
   /** Incremental-batch dedup status: classify each NEW document against
     * an EXISTING corpus as `exact_dup` (md5 match), `near_dup` (shares
     * an LSH bucket with an existing doc and verifies at Jaccard ≥

@@ -407,4 +407,33 @@ object Similarity {
         array_max(col("qs")).as("max_q"),
         col("err_pico").as("recon_err_pico"))
       .orderBy("vec_id")
+
+  /** ANN recall report: per query, how many of the exact cosine top-k
+    * ([[cosineTopK]]) the trained IVF ([[trainedIvfTopK]]) retrieved —
+    * the eval a pipeline runs when tuning nprobe/k before trusting the
+    * approximate index for retrieval or near-dup screening. The
+    * denominator is the ACTUAL exact-result size (may be < k on a small
+    * cluster), so recall is honest at any corpus size.
+    *
+    * Scale shape: both sides are bounded (maxQid queries × k rows), so
+    * the overlap semi-join and per-query counts touch only O(maxQid·k)
+    * rows regardless of corpus size; the expensive parts are the two
+    * underlying searches, each already scale-shaped (bounded query-side
+    * broadcast, probe-pruned IVF).
+    */
+  def recallReport(emb: DataFrame, maxQid: Long = 10, k: Int = 5):
+      DataFrame = {
+    val exact = cosineTopK(emb, maxQid, k).select(col("qid"), col("tid"))
+    val approx = trainedIvfTopK(emb, maxQid, k)
+      .select(col("qid"), col("tid"))
+    val hits = exact.join(approx, Seq("qid", "tid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy("qid")
+  }
 }

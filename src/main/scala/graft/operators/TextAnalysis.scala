@@ -449,6 +449,43 @@ object TextAnalysis {
           .as("avg_tokens"))
       .orderBy("lang")
 
+  /** Temperature-scaled language sampling weights (alpha = 0.5): each
+    * language's sampling probability is proportional to
+    * sqrt(total_tokens) — the standard multilingual up-weighting of
+    * low-resource languages (p_l ∝ n_l^alpha) at the canonical
+    * temperature. Reports the raw token share, the alpha-scaled
+    * sampling probability, and the boost factor (sample_prob /
+    * token_share: > 1 means the language is up-sampled).
+    *
+    * Determinism: the sqrt weight is quantized to micro-units
+    * (floor(sqrt(tokens)·1e6 + 0.5) — sqrt is IEEE-correctly-rounded in
+    * both engines), so both weight totals are exact long sums and every
+    * reported double is a single division of exact operands. Scale
+    * shape: one corpus-scan hash agg into a |languages|-row table; the
+    * totals join is a broadcast of one row.
+    */
+  def samplingWeights(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("lang"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("total_tokens").cast("double")) * lit(1000000.0) +
+          lit(0.5)))
+    val tot = per.agg(sum(col("total_tokens")).as("tok_sum"),
+      sum(col("w")).as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("w"),
+        (col("total_tokens").cast("double") / col("tok_sum"))
+          .as("token_share"),
+        (col("w").cast("double") / col("w_sum")).as("sample_prob"),
+        ((col("w").cast("double") / col("w_sum")) /
+          (col("total_tokens").cast("double") / col("tok_sum"))).as("boost"))
+      .orderBy("lang")
+  }
+
   /** The k most-duplicated texts: exact-dup groups of 2+ ranked by copy
     * count (fingerprint tiebreak makes the top-k total-ordered), with
     * the smallest doc_id as the inspectable example. This is the

@@ -106,6 +106,105 @@ object DataPipeline {
       |  FROM dims GROUP BY vec_id
       |)""".stripMargin
 
+  /** DuckDB spelling of the full trained-IVF search (mirrors q52's
+    * Spark path statement-for-statement): deterministic Lloyd k-means
+    * over the md5-ordered sample, nprobe=2 multi-probe, exact rerank.
+    * `TrainedIvfChain` is the WITH-chain ending in `ranked`, shared
+    * between the q52 gate and the q87 recall-report oracle.
+    */
+  private lazy val TrainedIvfChain: String = {
+        // one Lloyd iteration: prev centroids c{n-1} → assignments → c{n}
+        def iter(n: Int): String = {
+          val prev = if (n == 1) "c0" else s"c${n - 1}"
+          s"""cn$n AS (
+             |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
+             |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
+             |  FROM $prev GROUP BY k),
+             |sc$n AS (
+             |  SELECT sd.vec_id, c.k,
+             |         (CAST(SUM(CAST(FLOOR(sd.v * c.c * 1000000000000 + 0.5)
+             |               AS BIGINT)) AS DOUBLE) / 1000000000000)
+             |           / sqrt(cn.cn2) AS score
+             |  FROM sdims sd JOIN $prev c ON c.i = sd.i
+             |  JOIN cn$n cn ON cn.k = c.k
+             |  GROUP BY sd.vec_id, c.k, cn.cn2),
+             |a$n AS (
+             |  SELECT vec_id, k FROM (
+             |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |           ORDER BY score DESC, k) AS rn
+             |    FROM sc$n) x WHERE rn = 1),
+             |m$n AS (
+             |  SELECT a.k, sd.i,
+             |         CAST(SUM(CAST(FLOOR(sd.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*)
+             |           AS cnew
+             |  FROM sdims sd JOIN a$n a ON a.vec_id = sd.vec_id
+             |  GROUP BY a.k, sd.i),
+             |c$n AS (
+             |  SELECT c.k, c.i, COALESCE(m.cnew, c.c) AS c
+             |  FROM $prev c LEFT JOIN m$n m ON m.k = c.k AND m.i = c.i)"""
+        }
+        s"""rk AS (
+           |  SELECT vec_id,
+           |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '|ivfseed'))
+           |           AS r
+           |  FROM embeddings),
+           |smp AS (SELECT vec_id, r FROM rk WHERE r <= 256),
+           |sdims AS (
+           |  SELECT d.vec_id, d.i, d.v, s.r
+           |  FROM dims d JOIN smp s ON s.vec_id = d.vec_id),
+           |c0 AS (
+           |  SELECT r - 1 AS k, i, v AS c FROM sdims WHERE r <= 8),
+           |${iter(1)},
+           |${iter(2)},
+           |fcn AS (
+           |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
+           |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
+           |  FROM c2 GROUP BY k),
+           |fsc AS (
+           |  SELECT d.vec_id, c.k,
+           |         (CAST(SUM(CAST(FLOOR(d.v * c.c * 1000000000000 + 0.5)
+           |               AS BIGINT)) AS DOUBLE) / 1000000000000)
+           |           / sqrt(cn.cn2) AS score
+           |  FROM dims d JOIN c2 c ON c.i = d.i
+           |  JOIN fcn cn ON cn.k = c.k
+           |  GROUP BY d.vec_id, c.k, cn.cn2),
+           |assign AS (
+           |  SELECT vec_id AS tid, k FROM (
+           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |           ORDER BY score DESC, k) AS rn
+           |    FROM fsc) x WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS qid, k FROM (
+           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |           ORDER BY score DESC, k) AS crnk
+           |    FROM fsc WHERE vec_id < 10) x WHERE crnk <= 2),
+           |cand AS (
+           |  SELECT p.qid, a.tid
+           |  FROM probes p JOIN assign a ON a.k = p.k AND a.tid <> p.qid),
+           |dot AS (
+           |  SELECT c.qid, c.tid,
+           |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+           |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+           |  FROM cand c JOIN dims q ON q.vec_id = c.qid
+           |              JOIN dims t ON t.vec_id = c.tid AND t.i = q.i
+           |  GROUP BY c.qid, c.tid),
+           |scored AS (
+           |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+           |  FROM dot JOIN norm nq ON nq.vec_id = qid
+           |           JOIN norm nt ON nt.vec_id = tid),
+           |ranked AS (
+           |  SELECT qid, tid, cosine,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+           |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+           |  FROM scored)""".stripMargin
+  }
+
+  private lazy val TrainedIvfOracle: String =
+    "WITH " + DimsCte + ",\n" + TrainedIvfChain + "\n" +
+      "SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5\n" +
+      "ORDER BY qid, rnk"
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- Exact dedup: one hash aggregate on a content fingerprint.
@@ -1027,96 +1126,7 @@ object DataPipeline {
     QueryDef(
       "q52_ivf_trained",
       (s, dir) => Similarity.trainedIvfTopK(Tables(s, dir, "embeddings")),
-      Some {
-        // one Lloyd iteration: prev centroids c{n-1} → assignments → c{n}
-        def iter(n: Int): String = {
-          val prev = if (n == 1) "c0" else s"c${n - 1}"
-          s"""cn$n AS (
-             |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
-             |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
-             |  FROM $prev GROUP BY k),
-             |sc$n AS (
-             |  SELECT sd.vec_id, c.k,
-             |         (CAST(SUM(CAST(FLOOR(sd.v * c.c * 1000000000000 + 0.5)
-             |               AS BIGINT)) AS DOUBLE) / 1000000000000)
-             |           / sqrt(cn.cn2) AS score
-             |  FROM sdims sd JOIN $prev c ON c.i = sd.i
-             |  JOIN cn$n cn ON cn.k = c.k
-             |  GROUP BY sd.vec_id, c.k, cn.cn2),
-             |a$n AS (
-             |  SELECT vec_id, k FROM (
-             |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
-             |           ORDER BY score DESC, k) AS rn
-             |    FROM sc$n) x WHERE rn = 1),
-             |m$n AS (
-             |  SELECT a.k, sd.i,
-             |         CAST(SUM(CAST(FLOOR(sd.v * 1000000000000 + 0.5)
-             |              AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*)
-             |           AS cnew
-             |  FROM sdims sd JOIN a$n a ON a.vec_id = sd.vec_id
-             |  GROUP BY a.k, sd.i),
-             |c$n AS (
-             |  SELECT c.k, c.i, COALESCE(m.cnew, c.c) AS c
-             |  FROM $prev c LEFT JOIN m$n m ON m.k = c.k AND m.i = c.i)"""
-        }
-        s"""WITH $DimsCte,
-           |rk AS (
-           |  SELECT vec_id,
-           |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '|ivfseed'))
-           |           AS r
-           |  FROM embeddings),
-           |smp AS (SELECT vec_id, r FROM rk WHERE r <= 256),
-           |sdims AS (
-           |  SELECT d.vec_id, d.i, d.v, s.r
-           |  FROM dims d JOIN smp s ON s.vec_id = d.vec_id),
-           |c0 AS (
-           |  SELECT r - 1 AS k, i, v AS c FROM sdims WHERE r <= 8),
-           |${iter(1)},
-           |${iter(2)},
-           |fcn AS (
-           |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
-           |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
-           |  FROM c2 GROUP BY k),
-           |fsc AS (
-           |  SELECT d.vec_id, c.k,
-           |         (CAST(SUM(CAST(FLOOR(d.v * c.c * 1000000000000 + 0.5)
-           |               AS BIGINT)) AS DOUBLE) / 1000000000000)
-           |           / sqrt(cn.cn2) AS score
-           |  FROM dims d JOIN c2 c ON c.i = d.i
-           |  JOIN fcn cn ON cn.k = c.k
-           |  GROUP BY d.vec_id, c.k, cn.cn2),
-           |assign AS (
-           |  SELECT vec_id AS tid, k FROM (
-           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |           ORDER BY score DESC, k) AS rn
-           |    FROM fsc) x WHERE rn = 1),
-           |probes AS (
-           |  SELECT vec_id AS qid, k FROM (
-           |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |           ORDER BY score DESC, k) AS crnk
-           |    FROM fsc WHERE vec_id < 10) x WHERE crnk <= 2),
-           |cand AS (
-           |  SELECT p.qid, a.tid
-           |  FROM probes p JOIN assign a ON a.k = p.k AND a.tid <> p.qid),
-           |dot AS (
-           |  SELECT c.qid, c.tid,
-           |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
-           |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
-           |  FROM cand c JOIN dims q ON q.vec_id = c.qid
-           |              JOIN dims t ON t.vec_id = c.tid AND t.i = q.i
-           |  GROUP BY c.qid, c.tid),
-           |scored AS (
-           |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
-           |  FROM dot JOIN norm nq ON nq.vec_id = qid
-           |           JOIN norm nt ON nt.vec_id = tid),
-           |ranked AS (
-           |  SELECT qid, tid, cosine,
-           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
-           |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
-           |  FROM scored)
-           |SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5
-           |ORDER BY qid, rnk""".stripMargin
-      }),
+      Some(TrainedIvfOracle)),
 
     // --- BPE pair counting: the inner loop of tokenizer training —
     //     corpus-wide adjacent-token-pair counts, exact top-k via a
@@ -1583,6 +1593,159 @@ object DataPipeline {
              |       COUNT(*) AS n_copies, MIN(doc_id) AS example_doc_id
              |FROM documents GROUP BY md5(substr(text, 1, 100))
              |HAVING COUNT(*) >= 2
-             |ORDER BY n_copies DESC, fingerprint LIMIT 20""".stripMargin))
+             |ORDER BY n_copies DESC, fingerprint LIMIT 20""".stripMargin)),
+
+    // --- Temperature-scaled language sampling weights (alpha = 0.5):
+    //     p_l ∝ sqrt(tokens_l), the standard low-resource up-weighting.
+    //     sqrt weight quantized to micro-units so both totals are exact
+    //     long sums and every double is a single division.
+    QueryDef(
+      "q84_sampling_weights",
+      (s, dir) => TextAnalysis.samplingWeights(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT lang, COUNT(*) AS n_docs,
+             |         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+             |              x -> x <> ''))) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY lang
+             |),
+             |w AS (
+             |  SELECT lang, n_docs, total_tokens,
+             |         CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0
+             |              + 0.5) AS BIGINT) AS w
+             |  FROM per
+             |),
+             |tot AS (
+             |  SELECT CAST(SUM(total_tokens) AS BIGINT) AS tok_sum,
+             |         CAST(SUM(w) AS BIGINT) AS w_sum FROM w
+             |)
+             |SELECT lang, n_docs, total_tokens, w,
+             |       CAST(total_tokens AS DOUBLE) / tok_sum AS token_share,
+             |       CAST(w AS DOUBLE) / w_sum AS sample_prob,
+             |       (CAST(w AS DOUBLE) / w_sum)
+             |         / (CAST(total_tokens AS DOUBLE) / tok_sum) AS boost
+             |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin)),
+
+    // --- Near-dup cluster size histogram over the q59 components; the
+    //     oracle recomputes the clusters via recursive-CTE reachability
+    //     (a different algorithm) and histograms them.
+    QueryDef(
+      "q85_cluster_size_histogram",
+      (s, dir) =>
+        Dedup.clusterSizeHistogram(Tables(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |pairs AS (
+             |  SELECT i.a, i.b
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+             |),
+             |edges AS (
+             |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+             |),
+             |nodes AS (SELECT DISTINCT a AS node FROM edges),
+             |walk(node, r) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+             |),
+             |lab AS (
+             |  SELECT node AS doc_id, MIN(r) AS cluster FROM walk GROUP BY node
+             |),
+             |sz AS (
+             |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             |  FROM lab GROUP BY cluster
+             |)
+             |SELECT cluster_size, COUNT(*) AS n_clusters,
+             |       cluster_size * COUNT(*) AS n_docs
+             |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // --- MinHash estimator calibration: exact Jaccard distribution per
+    //     shared-band count over all LSH candidate pairs (unthresholded
+    //     q32 candidates); per-pair Jaccard quantized to micro-units so
+    //     per-bucket stats are exact-long arithmetic.
+    QueryDef(
+      "q86_lsh_calibration",
+      (s, dir) => Dedup.lshCalibration(Tables(s, dir, "documents")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT m1.doc_id AS a, m2.doc_id AS b,
+             |         COUNT(*) AS shared_bands
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |  GROUP BY m1.doc_id, m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, c.shared_bands, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b, c.shared_bands
+             |),
+             |jq AS (
+             |  SELECT i.shared_bands,
+             |         CAST(floor(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i)
+             |              * 1000000.0 + 0.5) AS BIGINT) AS jq
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |)
+             |SELECT shared_bands, COUNT(*) AS n_pairs,
+             |       CAST(SUM(jq) AS DOUBLE) / (1000000 * COUNT(*))
+             |         AS avg_jaccard,
+             |       CAST(MIN(jq) AS DOUBLE) / 1000000.0 AS min_jaccard,
+             |       CAST(MAX(jq) AS DOUBLE) / 1000000.0 AS max_jaccard
+             |FROM jq GROUP BY shared_bands ORDER BY shared_bands""".stripMargin)),
+
+    // --- ANN recall report: per query, overlap between the exact
+    //     cosine top-5 (q34) and the trained-IVF top-5 (q52) — the
+    //     nprobe-tuning eval. The oracle replays BOTH searches and
+    //     counts the intersection.
+    QueryDef(
+      "q87_ann_recall",
+      (s, dir) => Similarity.recallReport(Tables(s, dir, "embeddings")),
+      Some("WITH " + DimsCte + ",\n" + TrainedIvfChain + ",\n" +
+        """edot AS (
+          |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+          |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+          |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+          |  FROM dims q JOIN dims t ON q.i = t.i
+          |   AND q.vec_id < 10 AND t.vec_id <> q.vec_id
+          |  GROUP BY q.vec_id, t.vec_id
+          |),
+          |escored AS (
+          |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+          |  FROM edot JOIN norm nq ON nq.vec_id = qid
+          |            JOIN norm nt ON nt.vec_id = tid
+          |),
+          |eranked AS (
+          |  SELECT qid, tid,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+          |  FROM escored
+          |),
+          |ex AS (SELECT qid, tid FROM eranked WHERE rnk <= 5),
+          |ap AS (SELECT qid, tid FROM ranked WHERE rnk <= 5),
+          |hits AS (
+          |  SELECT e.qid, COUNT(*) AS n_hits
+          |  FROM ex e JOIN ap a ON a.qid = e.qid AND a.tid = e.tid
+          |  GROUP BY e.qid),
+          |tot AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
+          |SELECT t.qid, t.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+          |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact AS recall
+          |FROM tot t LEFT JOIN hits h ON h.qid = t.qid
+          |ORDER BY t.qid""".stripMargin))
   )
 }

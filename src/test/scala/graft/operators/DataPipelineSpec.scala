@@ -653,6 +653,47 @@ class DataPipelineSpec extends SparkSpec {
     assert(TextAnalysis.topDuplicatedTexts(d, prefixLen = 999).count() == 0L)
   }
 
+  test("samplingWeights up-weights low-resource languages at alpha=0.5") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "one two three four five", "en", "srcA"),
+      (2L, "six seven eight nine", "en", "srcA"),
+      (3L, "zehn", "de", "srcB")) // en: 9 tokens, de: 1 token
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.samplingWeights(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // w = floor(sqrt(tokens)*1e6 + 0.5): de = 1e6, en = 3e6
+    assert(out(0) == ("de", 1L, 1L, 1000000L, 0.1, 0.25, 0.25 / 0.1))
+    assert(out(1) == ("en", 2L, 9L, 3000000L, 0.9, 0.75, 0.75 / 0.9))
+    // sqrt-temperature sampling boosts the low-resource language
+    assert(out(0)._7 > 1.0 && out(1)._7 < 1.0)
+  }
+
+  test("clusterSizeHistogram counts clusters and docs per size") {
+    val d = docs(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "alpha beta gamma delta",
+      4L -> "epsilon zeta eta theta", 5L -> "epsilon zeta eta theta",
+      6L -> "iota kappa lambda mu") // singleton: not a cluster
+    val out = Dedup.clusterSizeHistogram(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("lshCalibration: identical docs share all 8 bands at jaccard 1.0") {
+    val d = docs(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "epsilon zeta eta theta", 4L -> "epsilon zeta eta theta",
+      5L -> "iota kappa lambda mu")
+    val out = Dedup.lshCalibration(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((8L, 2L, 1.0, 1.0, 1.0)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
@@ -740,7 +781,15 @@ class DataPipelineSpec extends SparkSpec {
       "trainSplit" -> (d => TextAnalysis.trainSplit(d)),
       "stats" -> (d => TextAnalysis.stats(d)),
       "packSequences" -> (d => TextAnalysis.packSequences(d, 16, 4)),
-      "repetition" -> (d => TextAnalysis.repetition(d)))) {
+      "repetition" -> (d => TextAnalysis.repetition(d)),
+      "langReport" -> (d => TextAnalysis.langReport(d)),
+      "samplingWeights" -> (d => TextAnalysis.samplingWeights(d)),
+      "splitContamination" -> (d => TextAnalysis.splitContamination(d)),
+      "topDuplicatedPrefixes" ->
+        (d => TextAnalysis.topDuplicatedTexts(d, prefixLen = 5)),
+      "clusterSizeHistogram" ->
+        (d => graft.operators.Dedup.clusterSizeHistogram(d)),
+      "lshCalibration" -> (d => graft.operators.Dedup.lshCalibration(d)))) {
       val (name, f) = op
       val results = layouts.map(l => fingerprintOf(f(l)))
       assert(results(0) == results(1) && results(0) == results(2),
@@ -851,6 +900,33 @@ class DataPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("recallReport matches a hand-computed exact/IVF overlap") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 8).toInt
+      val arr = Array.tabulate(64) { d =>
+        val base = if (d / 8 == c) 1.0f else 0.0f
+        base + (((id * 31 + d * 7) % 13).toFloat - 6f) / 100f
+      }
+      (id, arr, c.toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val exByQ = Similarity.cosineTopK(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivByQ = Similarity.trainedIvfTopK(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = Similarity.recallReport(vecs).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+    out.foreach { r =>
+      val ex = exByQ(r.getLong(0))
+      val hits = ex.intersect(ivByQ.getOrElse(r.getLong(0), Set.empty)).size
+      assert(r.getLong(1) == ex.size && r.getLong(2) == hits.toLong)
+      assert(r.getDouble(3) == hits.toDouble / ex.size)
+    }
   }
 
   test("trainedCentroids: empty clusters keep their previous centroid") {
