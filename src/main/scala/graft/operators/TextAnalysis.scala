@@ -486,6 +486,83 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Vocabulary growth curve: distinct-token (vocab) and total-token
+    * counts over nested 10% / 25% / 50% / 100% corpus subsets, chosen
+    * by the same content-stable md5 doc bucket the split assignment
+    * uses — the Heaps'-law profile that tells a tokenizer-training run
+    * how vocabulary scales with corpus size, from ONE corpus pass.
+    *
+    * Scale shape: tokens are exploded once and collapsed to a
+    * (token, min_bucket) table — vocab-sized, not corpus-sized — so
+    * each subset's vocab is a conditional count over that small table;
+    * doc counts and token totals come from a doc-level (bucket, n)
+    * projection. Nothing rescans the corpus per threshold. The
+    * type-token ratio is a single division of exact longs.
+    */
+  def vocabGrowth(docs: DataFrame,
+      thresholds: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    val sorted = thresholds.sorted
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = expr(s"${graft.operators.Dedup.hexToLongSql(
+      "md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % 100")
+    // band = smallest threshold a bucket first falls under; the corpus
+    // is touched exactly twice (doc-level projection + token explode),
+    // then everything is |thresholds|-sized
+    def bandOf(b: Column): Column =
+      sorted.init.foldRight(lit(sorted.last.toLong)) { (t, acc) =>
+        when(b < t, t.toLong).otherwise(acc)
+      }
+    val docBand = docs
+      .select(bucket.as("b"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(bandOf(col("b")).as("band"))
+      .agg(count(lit(1)).as("dn"), sum(col("n")).as("tn"))
+    val tokBand = docs
+      .select(bucket.as("b"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(min(col("b")).as("mb"))
+      .groupBy(bandOf(col("mb")).as("band"))
+      .agg(count(lit(1)).as("vn"))
+    // nested subsets = cumulative sums over the ≤|thresholds| band rows
+    val spine = sorted.map(_.toLong).toDF("pct")
+    val d = spine.join(docBand, col("band") <= col("pct"), "left")
+      .groupBy("pct")
+      .agg(coalesce(sum(col("dn")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tn")), lit(0L)).as("n_tokens"))
+    val v = spine.join(tokBand, col("band") <= col("pct"), "left")
+      .groupBy("pct")
+      .agg(coalesce(sum(col("vn")), lit(0L)).as("vocab"))
+    d.join(v, "pct")
+      // mirror the oracle's inner-join shape: a threshold reports only
+      // once its subset has documents and tokens
+      .where(col("n_docs") > 0 && col("vocab") > 0)
+      .select(col("pct"), col("n_docs"), col("n_tokens"), col("vocab"),
+        (col("vocab").cast("double") / col("n_tokens")).as("type_token_ratio"))
+      .orderBy("pct")
+  }
+
+  /** Token-budget sampling plan: given a total training-token budget,
+    * how many tokens each language contributes under the alpha=0.5
+    * temperature weights ([[samplingWeights]]) and how many epochs over
+    * its corpus that implies (> 1 means the language repeats). The
+    * planning table a run prints before launching.
+    *
+    * planned_tokens = floor(budget · sample_prob) — one double
+    * multiply + floor, deterministic; epochs is a single division.
+    */
+  def tokenBudgetPlan(docs: DataFrame,
+      budget: Long = 1000000000L): DataFrame =
+    samplingWeights(docs)
+      .select(col("lang"), col("total_tokens"), col("sample_prob"),
+        floor(col("sample_prob") * lit(budget).cast("double"))
+          .as("planned_tokens"))
+      .select(col("lang"), col("total_tokens"), col("sample_prob"),
+        col("planned_tokens"),
+        (col("planned_tokens").cast("double") / col("total_tokens"))
+          .as("epochs"))
+      .orderBy("lang")
+
   /** The k most-duplicated texts: exact-dup groups of 2+ ranked by copy
     * count (fingerprint tiebreak makes the top-k total-ordered), with
     * the smallest doc_id as the inspectable example. This is the

@@ -1746,6 +1746,67 @@ object DataPipeline {
           |SELECT t.qid, t.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
           |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact AS recall
           |FROM tot t LEFT JOIN hits h ON h.qid = t.qid
-          |ORDER BY t.qid""".stripMargin))
+          |ORDER BY t.qid""".stripMargin)),
+
+    // --- Vocabulary growth (Heaps'-law) curve over nested md5-bucket
+    //     subsets: vocab/token/doc counts at 10/25/50/100% of the
+    //     corpus from one pass.
+    QueryDef(
+      "q88_vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(Tables(s, dir, "documents")),
+      Some(s"""WITH base AS (
+             |  SELECT ${graft.operators.Dedup.hexToLongSql(
+                  "md5(CAST(doc_id AS VARCHAR))", 1, "strpos")} % 100 AS b,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     x -> x <> '') AS w
+             |  FROM documents
+             |),
+             |dl AS (SELECT b, CAST(len(w) AS BIGINT) AS n FROM base),
+             |tk AS (SELECT b, unnest(w) AS token FROM base),
+             |tm AS (SELECT token, MIN(b) AS mb FROM tk GROUP BY token),
+             |u AS (SELECT unnest([10, 25, 50, 100]) AS pct),
+             |d2 AS (
+             |  SELECT u.pct, COUNT(*) AS n_docs,
+             |         CAST(SUM(dl.n) AS BIGINT) AS n_tokens
+             |  FROM u JOIN dl ON dl.b < u.pct GROUP BY u.pct),
+             |v2 AS (
+             |  SELECT u.pct, COUNT(*) AS vocab
+             |  FROM u JOIN tm ON tm.mb < u.pct GROUP BY u.pct)
+             |SELECT CAST(d2.pct AS BIGINT) AS pct, d2.n_docs, d2.n_tokens,
+             |       v2.vocab,
+             |       CAST(v2.vocab AS DOUBLE) / d2.n_tokens
+             |         AS type_token_ratio
+             |FROM d2 JOIN v2 USING (pct) ORDER BY pct""".stripMargin)),
+
+    // --- Token-budget sampling plan: per-language planned tokens and
+    //     implied epochs under the q84 temperature weights, for a 1e9
+    //     token budget.
+    QueryDef(
+      "q89_token_budget_plan",
+      (s, dir) => TextAnalysis.tokenBudgetPlan(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+             |              x -> x <> ''))) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY lang
+             |),
+             |w AS (
+             |  SELECT lang, total_tokens,
+             |         CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0
+             |              + 0.5) AS BIGINT) AS w
+             |  FROM per
+             |),
+             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_sum FROM w),
+             |sw AS (
+             |  SELECT lang, total_tokens,
+             |         CAST(w AS DOUBLE) / w_sum AS sample_prob
+             |  FROM w CROSS JOIN tot
+             |)
+             |SELECT lang, total_tokens, sample_prob,
+             |       CAST(floor(sample_prob * 1000000000.0) AS BIGINT)
+             |         AS planned_tokens,
+             |       CAST(CAST(floor(sample_prob * 1000000000.0) AS BIGINT)
+             |            AS DOUBLE) / total_tokens AS epochs
+             |FROM sw ORDER BY lang""".stripMargin))
   )
 }

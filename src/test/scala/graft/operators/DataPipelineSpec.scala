@@ -694,6 +694,39 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((8L, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("vocabGrowth: 100% row is the full corpus; curve is monotone") {
+    val d = docs((1L to 120L).map(i =>
+      i -> s"common w${i % 9} w${i % 4} unique$i"): _*)
+    val rows = TextAnalysis.vocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 25L, 50L, 100L))
+    // the 100% row equals exact whole-corpus counts: 120 unique$i +
+    // "common" + w0..w8 (w{i%4} values are a subset of w{i%9}'s)
+    assert(rows.last == ((100L, 120L, 480L, 130L)))
+    // nested subsets: every count is non-decreasing in pct
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4)
+    }
+  }
+
+  test("tokenBudgetPlan allocates floor(budget * prob) per language") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "one two three four five", "en", "srcA"),
+      (2L, "six seven eight nine", "en", "srcA"),
+      (3L, "zehn", "de", "srcB")) // en: 9 tokens, de: 1 token
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.tokenBudgetPlan(d, budget = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    // probs: de sqrt(1)/4 = 0.25, en sqrt(9)*1e6/4e6 = 0.75
+    assert(out.toSeq == Seq(
+      ("de", 1L, 0.25, 250L, 250.0),
+      ("en", 9L, 0.75, 750L, 750.0 / 9)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head

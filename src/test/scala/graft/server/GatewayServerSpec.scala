@@ -237,6 +237,23 @@ class GatewayServerSpec extends SparkSpec {
     }
   }
 
+  test("shipped console (frontend/dist) serves through the SPA catch-all") {
+    // the repo ships a built single-file admin console; wiring its
+    // directory as staticDir must serve it on any non-API GET path
+    // while / stays the health JSON (reference parity, src/app.py:926)
+    val server = new GatewayServer(newEngine(), 0, "test_key",
+      Some("frontend/dist")).start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val page = req(s"$base/app", key = None)
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").get == "text/html")
+      assert(page.body().contains("graft gateway console"))
+      val root = req(s"$base/", key = None)
+      assert(mapper.readTree(root.body()).path("status").asText == "ok")
+    } finally server.stop()
+  }
+
   test("SPA catch-all serves static assets and falls back to index.html") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spa")
     java.nio.file.Files.writeString(dir.resolve("index.html"),
