@@ -41,4 +41,25 @@ object CorpusWriter {
       .parquet(outDir)
     docs.sparkSession.read.parquet(outDir).count()
   }
+
+  /** Write `df` as a BUCKETED managed table: hash-bucketed and sorted
+    * by `bucketCol` into `buckets` files per partition. This is the
+    * layout that makes the recurring joins of a curation stack — docs ⋈
+    * embeddings, docs ⋈ dedup labels, corpus ⋈ yesterday's corpus
+    * (q77-style incremental dedup) — SHUFFLE-FREE: two tables bucketed
+    * the same way join with zero Exchange on either side (pinned by
+    * spec against the executed plan), so the join cost at 100 TB is a
+    * local merge per bucket instead of re-shuffling both corpora on
+    * every run. The bucket count is a real tuning knob: it fixes join
+    * parallelism and should be sized so one bucket of the LARGER table
+    * fits an executor's memory (e.g. 100 TB / 8192 buckets ≈ 12 GB).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -101,6 +101,47 @@ object Dedup {
         s"stack($bands, $stackArgs) AS (band, minhash)")
   }
 
+  /** Per-ROW MinHash band keys — the same (band, minhash) rows as
+    * [[minhash]] (identical hash family, banding, and key format;
+    * pinned by a spec equality test) computed entirely inside each row
+    * with higher-order functions: no shuffle, no aggregation. That
+    * makes it legal mid-STREAM (a streaming groupBy-agg would pin the
+    * plan to one stateful operator; this leaves the stateful budget to
+    * the consumer) and trivially parallel at 100 TB — signature cost
+    * is O(shingles × 2·bands) arithmetic per document, no data moves.
+    * Documents with < 3 tokens emit no rows, matching [[minhash]].
+    */
+  def minhashPerRow(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val w = tokens(col("text"))
+    val sh = array_distinct(
+      when(size(w) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3))))))
+    val hh = transform(col("__sh"), s => {
+      val h = md5(s.cast("binary"))
+      struct(conv(h.substr(lit(1), lit(8)), 16, 10).cast("long").as("h1"),
+        conv(h.substr(lit(9), lit(8)), 16, 10).cast("long").as("h2"))
+    })
+    def mh(i: Column) = aggregate(col("__hh"), lit(4294967296L),
+      (acc, x) => least(acc,
+        (x.getField("h1") + i * x.getField("h2")) % 4294967296L))
+    val keys = transform(sequence(lit(0), lit(bands - 1)), b => {
+      val bl = b.cast("long")
+      struct(bl.as("band"),
+        concat(mh(bl * 2).cast("string"), lit("|"),
+          mh(bl * 2 + 1).cast("string")).as("minhash"))
+    })
+    docs
+      .withColumn("__sh", sh)
+      .withColumn("__hh", hh)
+      .select(col("doc_id"),
+        explode(when(size(col("__sh")) === 0,
+          array().cast("array<struct<band:bigint,minhash:string>>"))
+          .otherwise(keys)).as("bm"))
+      .select(col("doc_id"), col("bm.band").as("band"),
+        col("bm.minhash").as("minhash"))
+  }
+
   /** LSH candidate buckets: (band, minhash) keys shared by >1 document,
     * with the member list. This is the set a near-dup pass joins on —
     * never an all-pairs comparison.
@@ -339,6 +380,35 @@ object Dedup {
     connectedComponents(
       nearDupPairs(docs, threshold).select(col("a"), col("b")), maxIter)
       .orderBy("doc_id")
+
+  /** Collapse policy for near-dup clusters: per clustered document, the
+    * representative its cluster keeps — the LONGEST copy (max n_chars,
+    * min doc_id tiebreak), not the arbitrary min-id member — plus the
+    * keep/drop action. This is the survivor-remap table a dedup pass
+    * hands downstream so references to dropped doc_ids can be rewritten
+    * (NeMo-Curator/Dolma-style "keep best copy" semantics, vs the
+    * reference's implicit first-wins; cf. app.py's single-node dedup
+    * having no cluster notion at all).
+    *
+    * Scale shape: one agg keyed by cluster picks the arg-max via a
+    * (n_chars, -doc_id) struct MAX — map-side partials, no window over
+    * the corpus — then one join keyed by cluster fans the choice back
+    * to members. Both shuffles are on cluster, reusing the label
+    * table's key; the corpus itself is touched only to fetch n_chars.
+    */
+  def clusterRepresentatives(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sized = nearDupClusters(docs, threshold)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val reps = sized.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster"), (-col("m.neg_id")).as("rep_doc_id"))
+    sized.join(reps, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("rep_doc_id"),
+        when(col("doc_id") === col("rep_doc_id"), "keep")
+          .otherwise("drop").as("action"))
+      .orderBy("doc_id")
+  }
 
   /** Connected components over an undirected pair list `(a, b)`:
     * returns (doc_id, cluster, cluster_size) with cluster = component

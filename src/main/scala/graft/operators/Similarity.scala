@@ -408,6 +408,54 @@ object Similarity {
         col("err_pico").as("recon_err_pico"))
       .orderBy("vec_id")
 
+  /** Label-centroid separability matrix: the cosine between every pair
+    * of per-label mean vectors — the embedding-space diagnostic a
+    * curator reads before trusting `label` as a sampling stratum (two
+    * labels with centroid cosine ≈ 1 are not separable classes).
+    *
+    * Determinism: each component is micro-quantized per ROW
+    * (`floor(x·1e6 + 0.5)` — exact longs), per-(label, dim) sums are
+    * integer, the centroid component is one floor of an exact-long
+    * division, and the pairwise dot/norms are again integer sums —
+    * the only doubles are the final sqrt/divide on exact longs, so the
+    * matrix is bit-identical across engines and partitionings (unlike
+    * a dot over [[centroids]]' double arrays, whose fold order would
+    * matter).
+    *
+    * Scale shape: ONE corpus pass — posexplode emits |corpus|·d rows
+    * that collapse map-side into a (|labels|·d)-row table (the only
+    * corpus-sized shuffle, keyed (label, dim) with partial integer
+    * sums), which then folds into |labels| centroid ARRAYS; the
+    * pairwise stage is a self-join of that constant-size table. The
+    * self-join's two branches are identical subtrees, so exchange
+    * reuse executes the scan + (label, dim) shuffle ONCE (verified:
+    * the executed plan shows ReusedExchange); a naive per-dim
+    * self-join instead plans 4 corpus scans.
+    */
+  def centroidCosine(emb: DataFrame): DataFrame = {
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 1000000d + 0.5).cast("long"))
+        .as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        floor(col("sq").cast("double") / col("n")).cast("long").as("cq"))
+      .groupBy(col("label"))
+      // dim is unique per label, so the sort is total and the array
+      // deterministic despite collect_list's arbitrary arrival order
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
+        s => s.getField("cq")).as("cv"))
+      .withColumn("nsq", expr("aggregate(cv, 0L, (a, x) -> a + x * x)"))
+    cents.as("x")
+      .join(cents.as("y"), col("x.label") < col("y.label"))
+      .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
+        (expr("aggregate(zip_with(x.cv, y.cv, (a, b) -> a * b), " +
+          "0L, (acc, p) -> acc + p)").cast("double") /
+          (sqrt(col("x.nsq").cast("double")) *
+            sqrt(col("y.nsq").cast("double")))).as("centroid_cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** ANN recall report: per query, how many of the exact cosine top-k
     * ([[cosineTopK]]) the trained IVF ([[trainedIvfTopK]]) retrieved —
     * the eval a pipeline runs when tuning nprobe/k before trusting the

@@ -55,6 +55,50 @@ object DataPipeline {
        |    ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND a.f % 2 = 0
        |)""".stripMargin
 
+  /** DuckDB spelling of the verified near-dup cluster labeling (extends
+    * [[MinhashCte]]): banded candidates → exact-Jaccard verification →
+    * recursive-CTE reachability closure → component-min labels `lab`
+    * plus sizes `sz`. Shared by q59 / q85 / q90; requires
+    * `WITH RECURSIVE`.
+    */
+  private val ClustersCte =
+    s"""$MinhashCte,
+       |cand AS (
+       |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+       |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+       |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+       |),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.a
+       |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+       |  GROUP BY c.a, c.b
+       |),
+       |pairs AS (
+       |  SELECT i.a, i.b
+       |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+       |               JOIN cnt cb ON cb.doc_id = i.b
+       |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+       |),
+       |edges AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |walk(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+       |),
+       |lab AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster FROM walk GROUP BY node
+       |),
+       |sz AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster
+       |)""".stripMargin
+
   /** DuckDB spelling of the SimHash signature computation (explode
     * formulation; the Spark side computes the identical arithmetic in
     * one pass via the SimHashAgg typed aggregator).
@@ -941,42 +985,7 @@ object DataPipeline {
     QueryDef(
       "q59_near_dup_clusters",
       (s, dir) => Dedup.nearDupClusters(Tables(s, dir, "documents")),
-      Some(s"""WITH RECURSIVE $MinhashCte,
-             |cand AS (
-             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
-             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
-             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
-             |),
-             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT c.a, c.b, COUNT(*) AS i
-             |  FROM cand c
-             |  JOIN sh s1 ON s1.doc_id = c.a
-             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
-             |  GROUP BY c.a, c.b
-             |),
-             |pairs AS (
-             |  SELECT i.a, i.b
-             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
-             |               JOIN cnt cb ON cb.doc_id = i.b
-             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
-             |),
-             |edges AS (
-             |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-             |),
-             |nodes AS (SELECT DISTINCT a AS node FROM edges),
-             |walk(node, r) AS (
-             |  SELECT node, node FROM nodes
-             |  UNION
-             |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
-             |),
-             |lab AS (
-             |  SELECT node AS doc_id, MIN(r) AS cluster FROM walk GROUP BY node
-             |),
-             |sz AS (
-             |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
-             |  FROM lab GROUP BY cluster
-             |)
+      Some(s"""WITH RECURSIVE $ClustersCte
              |SELECT l.doc_id, l.cluster, s.cluster_size
              |FROM lab l JOIN sz s USING (cluster)
              |ORDER BY doc_id""".stripMargin)),
@@ -1632,42 +1641,7 @@ object DataPipeline {
       "q85_cluster_size_histogram",
       (s, dir) =>
         Dedup.clusterSizeHistogram(Tables(s, dir, "documents")),
-      Some(s"""WITH RECURSIVE $MinhashCte,
-             |cand AS (
-             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
-             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
-             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
-             |),
-             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT c.a, c.b, COUNT(*) AS i
-             |  FROM cand c
-             |  JOIN sh s1 ON s1.doc_id = c.a
-             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
-             |  GROUP BY c.a, c.b
-             |),
-             |pairs AS (
-             |  SELECT i.a, i.b
-             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
-             |               JOIN cnt cb ON cb.doc_id = i.b
-             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
-             |),
-             |edges AS (
-             |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-             |),
-             |nodes AS (SELECT DISTINCT a AS node FROM edges),
-             |walk(node, r) AS (
-             |  SELECT node, node FROM nodes
-             |  UNION
-             |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
-             |),
-             |lab AS (
-             |  SELECT node AS doc_id, MIN(r) AS cluster FROM walk GROUP BY node
-             |),
-             |sz AS (
-             |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
-             |  FROM lab GROUP BY cluster
-             |)
+      Some(s"""WITH RECURSIVE $ClustersCte
              |SELECT cluster_size, COUNT(*) AS n_clusters,
              |       cluster_size * COUNT(*) AS n_docs
              |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
@@ -1807,6 +1781,68 @@ object DataPipeline {
              |         AS planned_tokens,
              |       CAST(CAST(floor(sample_prob * 1000000000.0) AS BIGINT)
              |            AS DOUBLE) / total_tokens AS epochs
-             |FROM sw ORDER BY lang""".stripMargin))
+             |FROM sw ORDER BY lang""".stripMargin)),
+
+    // --- Cluster representative selection (keep-best collapse): per
+    //     clustered doc, the longest-copy representative (max n_chars,
+    //     min doc_id tiebreak) and the keep/drop action — the survivor
+    //     remap table downstream references are rewritten through. The
+    //     oracle replays the clustering with the recursive-CTE closure
+    //     and picks representatives with a window arg-max.
+    QueryDef(
+      "q90_cluster_reps",
+      (s, dir) => Dedup.clusterRepresentatives(Tables(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE $ClustersCte,
+             |rep AS (
+             |  SELECT cluster, doc_id AS rep_doc_id
+             |  FROM (SELECT l.cluster, l.doc_id,
+             |               ROW_NUMBER() OVER (PARTITION BY l.cluster
+             |                 ORDER BY d.n_chars DESC, l.doc_id) AS rn
+             |        FROM lab l JOIN documents d USING (doc_id))
+             |  WHERE rn = 1
+             |)
+             |SELECT l.doc_id, l.cluster, s.cluster_size, r.rep_doc_id,
+             |       CASE WHEN l.doc_id = r.rep_doc_id THEN 'keep'
+             |            ELSE 'drop' END AS action
+             |FROM lab l JOIN sz s USING (cluster) JOIN rep r USING (cluster)
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // --- Label-centroid separability: cosine between every pair of
+    //     per-label mean embeddings, all arithmetic exact-integer until
+    //     the final sqrt/divide (per-row micro-quantization, integer
+    //     centroid components, integer dot/norms).
+    QueryDef(
+      "q91_centroid_cosine",
+      (s, dir) => Similarity.centroidCosine(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT e.label, d.i AS dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+             |              * 1000000 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings e
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+             |),
+             |c AS (
+             |  SELECT label, dim,
+             |         CAST(FLOOR(CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+             |              / COUNT(*)) AS BIGINT) AS cq
+             |  FROM q GROUP BY label, dim
+             |),
+             |n AS (
+             |  SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS nsq
+             |  FROM c GROUP BY label
+             |),
+             |p AS (
+             |  SELECT x.label AS label_a, y.label AS label_b,
+             |         CAST(SUM(x.cq * y.cq) AS BIGINT) AS dot
+             |  FROM c x JOIN c y ON y.dim = x.dim AND x.label < y.label
+             |  GROUP BY x.label, y.label
+             |)
+             |SELECT p.label_a, p.label_b,
+             |       CAST(p.dot AS DOUBLE)
+             |         / (sqrt(CAST(na.nsq AS DOUBLE))
+             |            * sqrt(CAST(nb.nsq AS DOUBLE))) AS centroid_cosine
+             |FROM p JOIN n na ON na.label = p.label_a
+             |       JOIN n nb ON nb.label = p.label_b
+             |ORDER BY label_a, label_b""".stripMargin))
   )
 }

@@ -694,6 +694,35 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((8L, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("clusterRepresentatives keeps the longest copy, min-id tiebreak") {
+    val twenty = (0 until 20).map(i => s"tok$i")
+    val d = docs(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> twenty.mkString(" "),
+      4L -> (twenty :+ "extra").mkString(" "), // superset near-dup, longer
+      5L -> "iota kappa lambda mu") // singleton: absent from the output
+    val out = Dedup.clusterRepresentatives(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 1L, "keep"), // equal lengths -> min doc_id wins
+      (2L, 1L, 2L, 1L, "drop"),
+      (3L, 3L, 2L, 4L, "drop"), // 4 is the longer copy
+      (4L, 3L, 2L, 4L, "keep")))
+  }
+
+  test("centroidCosine: orthogonal labels 0, 45-degree labels 1/sqrt(2)") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(3f, 0f, 0f, 0f), 0), // label-0 centroid = (2, 0, 0, 0)
+      (2L, Seq(0f, 2f, 0f, 0f), 1),
+      (3L, Seq(1f, 1f, 0f, 0f), 2))
+    val out = Similarity.centroidCosine(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val inv = 2.0e12 / (math.sqrt(4.0e12) * math.sqrt(2.0e12))
+    assert(out.toSeq == Seq((0, 1, 0.0), (0, 2, inv), (1, 2, inv)))
+  }
+
   test("vocabGrowth: 100% row is the full corpus; curve is monotone") {
     val d = docs((1L to 120L).map(i =>
       i -> s"common w${i % 9} w${i % 4} unique$i"): _*)
@@ -795,6 +824,59 @@ class DataPipelineSpec extends SparkSpec {
       (1L to 40L))
   }
 
+  test("bucketed tables join with zero Exchange on either side") {
+    val s = spark
+    import s.implicits._
+    val docsT = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val embsT = (1L to 200L).map(i => (i, (i % 10).toInt))
+      .toDF("vec_id", "label")
+    val savedAuto = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val savedAdaptive =
+      s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion pins BUCKETING as
+      // the thing that removed the Exchanges, not a broadcast
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      graft.operators.CorpusWriter.writeBucketed(docsT, "bj_docs", "doc_id", 8)
+      graft.operators.CorpusWriter.writeBucketed(embsT, "bj_embs", "vec_id", 8)
+      val j = s.table("bj_docs")
+        .join(s.table("bj_embs"), col("doc_id") === col("vec_id"))
+      assert(j.collect().length == 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected bucket join, got:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      savedAdaptive match {
+        case Some(v) =>
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      s.sql("DROP TABLE IF EXISTS bj_docs")
+      s.sql("DROP TABLE IF EXISTS bj_embs")
+    }
+  }
+
+  test("saltedJoin equals the plain join and shuffles on the salt") {
+    val s = spark
+    import s.implicits._
+    // 300 of 320 fact rows share key 1 — the skew a plain hash join
+    // sends to one reducer
+    val fact = ((1L to 300L).map(i => (1L, i)) ++
+      (301L to 320L).map(i => (i % 7 + 2, i))).toDF("k", "payload")
+    val dim = (1L to 10L).map(i => (i, s"name$i")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk")).drop("dk")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val saltedDf = graft.operators.SkewJoin.saltedJoin(fact, "k", dim, "dk",
+      salts = 8)
+    val salted = saltedDf.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(salted == plain)
+    // the fact-side shuffle must be keyed on (k, salt), not k alone
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_salt"), plan)
+  }
+
   test("operators are partition-invariant: same result at any parallelism") {
     // the determinism contract that matters on a real cluster: value
     // equality when the SAME data arrives in different partition layouts
@@ -822,12 +904,27 @@ class DataPipelineSpec extends SparkSpec {
         (d => TextAnalysis.topDuplicatedTexts(d, prefixLen = 5)),
       "clusterSizeHistogram" ->
         (d => graft.operators.Dedup.clusterSizeHistogram(d)),
-      "lshCalibration" -> (d => graft.operators.Dedup.lshCalibration(d)))) {
+      "lshCalibration" -> (d => graft.operators.Dedup.lshCalibration(d)),
+      "vocabGrowth" -> (d => TextAnalysis.vocabGrowth(d)),
+      "tokenBudgetPlan" -> (d => TextAnalysis.tokenBudgetPlan(d)),
+      "clusterRepresentatives" ->
+        (d => graft.operators.Dedup.clusterRepresentatives(d)))) {
       val (name, f) = op
       val results = layouts.map(l => fingerprintOf(f(l)))
       assert(results(0) == results(1) && results(0) == results(2),
         s"$name diverged across partition layouts")
     }
+  }
+
+  test("centroidCosine is partition-invariant over embedding layouts") {
+    val e = embs((0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 7).toFloat / 7f),
+        (i % 3).toInt)): _*)
+    val layouts =
+      Seq(e.repartition(1), e.repartition(11), e.repartition(5, col("label")))
+    val res = layouts.map(l =>
+      Similarity.centroidCosine(l).collect().toSeq.map(_.toSeq))
+    assert(res(0) == res(1) && res(0) == res(2))
   }
 
   test("training-corpus funnel composes the battery end to end") {
