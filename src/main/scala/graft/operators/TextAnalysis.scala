@@ -758,6 +758,33 @@ object TextAnalysis {
       .orderBy(desc("cf"), col("token"))
       .limit(topK)
 
+  /** Per-source out-of-vocabulary rate against the corpus top-`vocabK`
+    * token vocabulary ([[vocabulary]]'s total-ordered cut): the
+    * provenance-level coverage check a tokenizer-vocab decision reads —
+    * a source whose tokens routinely miss the shared vocabulary is
+    * drifting (other language, markup boilerplate, encoding noise) and
+    * will fragment into rare subwords at training time.
+    *
+    * Scale shape: the vocabulary is a fixed-size top-k (broadcast); the
+    * per-source pass is one token explode + broadcast probe + source-
+    * keyed hash agg — no shuffle grows with the corpus (|sources| keys,
+    * map-side partials). Counts are exact longs; the rate is one
+    * division.
+    */
+  def oovBySource(docs: DataFrame, vocabK: Int = 200): DataFrame = {
+    val v = vocabulary(docs, vocabK)
+      .select(col("token")).withColumn("hit", lit(1L))
+    docs
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("source")
+  }
+
   /** Winnowing-style fingerprint: the k lexicographically-smallest
     * shingle hashes, concatenated. Two documents sharing most content
     * share the sketch; the sketch is joinable/groupable at scale (one

@@ -1843,6 +1843,31 @@ object DataPipeline {
              |            * sqrt(CAST(nb.nsq AS DOUBLE))) AS centroid_cosine
              |FROM p JOIN n na ON na.label = p.label_a
              |       JOIN n nb ON nb.label = p.label_b
-             |ORDER BY label_a, label_b""".stripMargin))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // --- Per-source OOV rate vs the corpus top-200 vocabulary (q62's
+    //     total-ordered cut): tokenizer-coverage drift by provenance;
+    //     exact-long counts, one division.
+    QueryDef(
+      "q92_oov_by_source",
+      (s, dir) => TextAnalysis.oovBySource(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS token
+             |  FROM documents
+             |),
+             |v AS (
+             |  SELECT token FROM (
+             |    SELECT token, COUNT(*) AS cf FROM tok GROUP BY token
+             |    ORDER BY cf DESC, token LIMIT 200)
+             |)
+             |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_oov,
+             |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             |            AS DOUBLE) / COUNT(*) AS oov_rate
+             |FROM tok t LEFT JOIN v ON v.token = t.token
+             |GROUP BY t.source ORDER BY t.source""".stripMargin))
   )
 }

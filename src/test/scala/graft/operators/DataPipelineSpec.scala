@@ -756,6 +756,23 @@ class DataPipelineSpec extends SparkSpec {
       ("en", 9L, 0.75, 750L, 750.0 / 9)))
   }
 
+  test("oovBySource counts tokens outside the top-k vocabulary cut") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a a a b b rare1", "en", "clean"),
+      (2L, "a b a b a b", "en", "clean"),
+      (3L, "rare2 rare3 a", "en", "noisy"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // vocab cut at k=2 by (cf desc, token): a (7), b (5)
+    val out = TextAnalysis.oovBySource(d, vocabK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("clean", 12L, 1L, 1.0 / 12),
+      ("noisy", 3L, 2L, 2.0 / 3)))
+  }
+
   test("quantizeInt8 codes hit the int8 range with round-half-up") {
     val d = embs((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0))
     val r = Similarity.quantizeInt8(d).collect().head
