@@ -464,13 +464,17 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var it = 0
+    // carried across rounds: re-counting the PREVIOUS edge set every
+    // iteration would add one job per round for a number already known
+    var edgeCount = edges.count()
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
       // both sides are distinct: equal cardinality + one-sided set
       // containment ⇒ set equality ⇒ fixpoint reached
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       it += 1
     }
     // Never return silently-wrong labels: an unfinished contraction

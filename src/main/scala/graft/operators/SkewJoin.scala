@@ -41,6 +41,9 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("graft_salt") &&
+      !dim.columns.contains("graft_salt"),
+      "graft_salt is reserved by saltedJoin")
     val factCols: Seq[Column] = fact.columns.toSeq.map(c => col(s"f.$c"))
     val dimCols: Seq[Column] =
       dim.columns.toSeq.filter(_ != dimKey).map(c => col(s"d.$c"))
