@@ -801,4 +801,114 @@ object TextAnalysis {
         .as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** Bigram language-model quality score — the CCNet-style LM filter
+    * re-expressed without transcendentals: each document's mean
+    * conditional bigram probability p(b|a) = c(a,b)/c(a,·) under the
+    * corpus-trained model. A log-perplexity would hash-differ across
+    * engines (ln is not correctly-rounded everywhere); the mean
+    * probability ranks documents the same way for filtering purposes
+    * and stays exact: each p(b|a) is quantized to micro-units at the
+    * model (one IEEE division + multiply, identical in any engine),
+    * then per-document aggregation is integer sum / one division.
+    * Low avg_p = improbable token sequences (noise, other-language
+    * leakage, shuffled boilerplate).
+    *
+    * Scale shape: two hash aggregates build the model (map-side
+    * partials; keys are bigrams/unigrams, Zipf-skewed but combiners
+    * absorb the head), one shuffle join scores occurrences against it
+    * (both sides partitioned by bigram), one doc_id hash agg. Nothing
+    * is all-pairs and no state is driver-side.
+    */
+  def lmQuality(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val c1 = pairs.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val model = cab.join(c1, "a")
+      .select(col("a"), col("b"),
+        floor((col("cab").cast("double") / col("c1")) * lit(1000000L)
+          + lit(0.5)).as("pq"))
+    pairs.join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_pq").cast("double")
+          / (col("n_bigrams") * lit(1000000L))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
+  /** Salient terms per source: tf–idf with a rational idf (n_docs/df
+    * instead of log(n_docs/df) — monotone in the same direction, and a
+    * ratio of exact integers survives the cross-engine hash gate where
+    * a log cannot). The per-source top-k is the "what is this crawl
+    * about / what leaked into it" report a corpus curator reads next
+    * to [[oovBySource]].
+    *
+    * Scale shape: df is one distinct + hash agg on (doc_id, token), tf
+    * one hash agg on (source, token); the scoring join is keyed by
+    * token; the final top-k window partitions by source (|sources|
+    * partitions, each holding its own vocabulary — bounded by corpus
+    * vocabulary, not corpus size).
+    */
+  def tfidfBySource(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(Dedup.tokens(col("text"))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val srcTotals = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_tokens"))
+    val scored = tf.join(df, "term").join(srcTotals, "source")
+      .crossJoin(broadcast(nDocs))
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        floor(((col("tf").cast("double") / col("n_src_tokens"))
+          * (col("n_docs").cast("double") / col("df")))
+          * lit(1000000L) + lit(0.5)).as("tfidf_micro"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("tfidf_micro"), col("term"))
+    scored.select(col("source"), col("term"), col("tf"), col("df"),
+        col("tfidf_micro"), row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= topK)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** One-row dataset card: the headline numbers a corpus release ships
+    * with — document / token / vocabulary counts, provenance breadth
+    * (languages, sources), exact-duplicate mass, and mean document
+    * length. All counts are exact longs; the two rates are single
+    * divisions.
+    *
+    * Scale shape: one pass with grouping-free aggregates (the three
+    * DISTINCT aggregates expand the scan by a constant factor of 3,
+    * with partial aggregation per distinct key — no driver-side
+    * state), plus one token-explode pass for the vocabulary size;
+    * both reduce to a single row.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("total_chars"))
+    val tokAgg = docs
+      .select(explode(Dedup.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct_tokens"))
+    base.crossJoin(tokAgg).select(
+      col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+      col("n_langs"), col("n_sources"), col("total_chars"),
+      (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+      ((col("n_docs") - col("n_distinct_texts")).cast("double")
+        / col("n_docs")).as("dup_rate"),
+      (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
+  }
 }

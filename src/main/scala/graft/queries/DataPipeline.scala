@@ -1868,6 +1868,107 @@ object DataPipeline {
              |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
              |            AS DOUBLE) / COUNT(*) AS oov_rate
              |FROM tok t LEFT JOIN v ON v.token = t.token
-             |GROUP BY t.source ORDER BY t.source""".stripMargin))
+             |GROUP BY t.source ORDER BY t.source""".stripMargin)),
+
+    // --- Bigram-LM quality score (CCNet-style filter, rational form):
+    //     mean conditional bigram probability under the corpus-trained
+    //     model; p(b|a) micro-quantized at the model so no
+    //     transcendental enters the hash.
+    QueryDef(
+      "q93_lm_quality",
+      (s, dir) => TextAnalysis.lmQuality(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |pr AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, greatest(len(w), 1)),
+             |         i -> {'a': w[i], 'b': w[i+1]})) AS p
+             |  FROM toks
+             |),
+             |pairs AS (SELECT doc_id, p.a AS a, p.b AS b FROM pr),
+             |cab AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+             |c1 AS (SELECT a, COUNT(*) AS c1 FROM pairs GROUP BY a),
+             |model AS (
+             |  SELECT cab.a, cab.b,
+             |         CAST(FLOOR((CAST(cab.cab AS DOUBLE) / c1.c1)
+             |              * 1000000 + 0.5) AS BIGINT) AS pq
+             |  FROM cab JOIN c1 ON c1.a = cab.a
+             |)
+             |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             |       CAST(SUM(m.pq) AS DOUBLE)
+             |         / (COUNT(*) * 1000000) AS avg_p
+             |FROM pairs p JOIN model m ON m.a = p.a AND m.b = p.b
+             |GROUP BY p.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Salient terms per source: tf–idf with rational idf (n/df —
+    //     log-free so the score is a deterministic function of exact
+    //     integers); per-source top-5 under a total order.
+    QueryDef(
+      "q94_tfidf_terms",
+      (s, dir) => TextAnalysis.tfidfBySource(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS term
+             |  FROM documents
+             |),
+             |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |df AS (
+             |  SELECT term, COUNT(*) AS df
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+             |),
+             |tf AS (SELECT source, term, COUNT(*) AS tf
+             |       FROM tok GROUP BY source, term),
+             |st AS (SELECT source, COUNT(*) AS n_src_tokens
+             |       FROM tok GROUP BY source),
+             |scored AS (
+             |  SELECT tf.source, tf.term, tf.tf, df.df,
+             |         CAST(FLOOR(((CAST(tf.tf AS DOUBLE) / st.n_src_tokens)
+             |              * (CAST(nd.n_docs AS DOUBLE) / df.df))
+             |              * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+             |  FROM tf JOIN df ON df.term = tf.term
+             |          JOIN st ON st.source = tf.source
+             |          CROSS JOIN nd
+             |)
+             |SELECT source, term, tf, df, tfidf_micro, rk FROM (
+             |  SELECT source, term, tf, df, tfidf_micro,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |              ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rk
+             |  FROM scored)
+             |WHERE rk <= 5
+             |ORDER BY source, rk""".stripMargin)),
+
+    // --- One-row dataset card: release-readme numbers (doc/token/
+    //     vocab counts, provenance breadth, exact-dup mass, mean doc
+    //     length); exact longs + two single divisions.
+    QueryDef(
+      "q95_corpus_card",
+      (s, dir) => TextAnalysis.corpusCard(Tables(s, dir, "documents")),
+      Some("""WITH base AS (
+             |  SELECT COUNT(*) AS n_docs,
+             |         COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+             |         COUNT(DISTINCT lang) AS n_langs,
+             |         COUNT(DISTINCT source) AS n_sources,
+             |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |  FROM documents
+             |),
+             |tok AS (
+             |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |ta AS (SELECT COUNT(*) AS n_tokens,
+             |              COUNT(DISTINCT t) AS n_distinct_tokens FROM tok)
+             |SELECT b.n_docs, ta.n_tokens, ta.n_distinct_tokens,
+             |       b.n_langs, b.n_sources, b.total_chars,
+             |       b.n_docs - b.n_distinct_texts AS n_dup_docs,
+             |       CAST(b.n_docs - b.n_distinct_texts AS DOUBLE)
+             |         / b.n_docs AS dup_rate,
+             |       CAST(ta.n_tokens AS DOUBLE) / b.n_docs AS avg_doc_tokens
+             |FROM base b CROSS JOIN ta""".stripMargin))
   )
 }

@@ -1118,4 +1118,47 @@ class DataPipelineSpec extends SparkSpec {
     assert(f0.getAs[Long]("sum_sample") == ref.map(_.toLong).sum)
     assert(f0.getAs[Long]("max_abs") == ref.map(s => math.abs(s.toLong)).max)
   }
+
+  test("lmQuality: mean conditional bigram probability, micro-quantized") {
+    // corpus model: c(a,b)=2, c(a,c)=1, c(a,·)=3
+    // pq(a,b) = floor(2/3*1e6 + 0.5) = 666667; pq(a,c) = 333333
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "solo")
+    val r = TextAnalysis.lmQuality(d).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // <2 tokens drop
+    val byDoc = r.map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(byDoc(1L) == ((1L, 666667.0 / 1e6)))
+    assert(byDoc(3L) == ((1L, 333333.0 / 1e6)))
+  }
+
+  test("tfidfBySource: rational idf, per-source total-ordered top-k") {
+    val d = Seq((1L, "a b", "s1"), (2L, "a c", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.tfidfBySource(d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    // s1: b = (1/2)*(2/1)*1e6 = 1000000 beats a = (1/2)*(2/2)*1e6 = 500000
+    assert(r.toSeq == Seq(
+      ("s1", "b", 1L, 1L, 1000000L, 1L),
+      ("s1", "a", 1L, 2L, 500000L, 2L),
+      ("s2", "c", 1L, 1L, 1000000L, 1L),
+      ("s2", "a", 1L, 2L, 500000L, 2L)))
+  }
+
+  test("corpusCard: one-row exact counts and rates") {
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "c")
+    val r = TextAnalysis.corpusCard(d).collect()
+    assert(r.length == 1)
+    val c = r.head
+    assert(c.getAs[Long]("n_docs") == 3L)
+    assert(c.getAs[Long]("n_tokens") == 5L)
+    assert(c.getAs[Long]("n_distinct_tokens") == 3L)
+    assert(c.getAs[Long]("n_langs") == 1L)
+    assert(c.getAs[Long]("n_sources") == 1L)
+    assert(c.getAs[Long]("total_chars") == 7L)
+    assert(c.getAs[Long]("n_dup_docs") == 1L)
+    assert(c.getAs[Double]("dup_rate") == 1.0 / 3)
+    assert(c.getAs[Double]("avg_doc_tokens") == 5.0 / 3)
+  }
 }
