@@ -44,9 +44,9 @@ object ProfileQ03Q22 {
     // n_sessions = 1 + |gaps > 1800| over the sorted per-user seconds;
     // equal-sec ties contribute gap 0 either way, so values match the
     // window formulation exactly.
-    def q22Array: DataFrame =
-      t("events")
-        .select(col("user_id"), expr("ts DIV 1000000000").as("sec"))
+    def q22Array: DataFrame = {
+      val ev = t("events")
+      ev.select(col("user_id"), graft.Tables.epochSec(ev).as("sec"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           array_sort(collect_list(col("sec"))).as("secs"))
@@ -59,6 +59,7 @@ object ProfileQ03Q22 {
             x => x)).cast("long")).as("n_sessions"),
           col("n_events"))
         .orderBy("user_id")
+    }
 
     // q22 candidate: drop event_id from the shuffle and sort — the
     // session count only depends on sec VALUES (equal-sec ties give gap
@@ -67,8 +68,8 @@ object ProfileQ03Q22 {
     def q22Narrow: DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("sec")
-      t("events")
-        .select(col("user_id"), expr("ts DIV 1000000000").as("sec"))
+      val ev = t("events")
+      ev.select(col("user_id"), graft.Tables.epochSec(ev).as("sec"))
         .select(col("user_id"),
           when(lag(col("sec"), 1).over(w).isNull, 1L)
             .when(col("sec") - lag(col("sec"), 1).over(w) > 1800, 1L)

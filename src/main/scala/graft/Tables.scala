@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Readers for the driver-generated test tables (TESTDATA.md).
   *
@@ -17,6 +19,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch-seconds for an event-time column, robust to the physical type
+    * the driver's generator emits for `events.ts` (it has changed across
+    * testdata generations): INT64(nanos) surfaced as a raw Long via
+    * [[sessionConf]]'s `nanosAsLong`, TIMESTAMP_MICROS (TimestampType),
+    * or TIMESTAMP_NTZ. All three floor toward negative infinity —
+    * `DIV` on longs and Spark's timestamp→long cast (a floorDiv on
+    * micros) — so the result is bit-identical to the DuckDB oracle's
+    * `CAST(FLOOR(EPOCH(ts)) AS BIGINT)` in every case. The NTZ branch
+    * casts through TimestampType under the pinned UTC session timezone,
+    * which is lossless.
+    */
+  def epochSec(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => expr(s"$c DIV 1000000000")
+      case _        => col(c).cast(TimestampType).cast(LongType)
+    }
 
   /** Session settings every entry point (Verify/Bench/tests) must share.
     * `nanosAsLong`: events.ts is parquet TIMESTAMP(NANOS), which Spark's

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * the full event stream, no per-user event arrays. Every shuffle is
   * keyed on user_id with map-side partial MINs, so a user's funnel
   * state is one row regardless of how many events they have; stage
-  * DataFrames shrink monotonically. Timestamps compare as raw parquet
-  * nanos (exact longs).
+  * DataFrames shrink monotonically. Timestamps compare as raw `ts`
+  * values (exact for both the long-nanos and timestamp encodings);
+  * second/day/week arithmetic goes through [[graft.Tables.epochSec]]
+  * so the operators are agnostic to the testdata's physical ts type.
   */
 object EventFunnel {
 
@@ -91,8 +93,8 @@ object EventFunnel {
     */
   def dailyAnomalies(events: DataFrame, pctThreshold: Int = 115): DataFrame = {
     val daily = events
-      .select(col("event_type"),
-        expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .select(col("event_type"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -129,7 +131,7 @@ object EventFunnel {
       org.apache.spark.sql.expressions.Window.currentRow)
     events
       .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000000000").as("sec"), col("value"))
+        graft.Tables.epochSec(events).as("sec"), col("value"))
       .withColumn("prev", lag(col("sec"), 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
@@ -153,8 +155,8 @@ object EventFunnel {
     */
   def retention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     val uw = events
-      .select(col("user_id"),
-        expr("ts DIV 1000000000 DIV 604800").as("wk"))
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 604800").as("wk"))
       .distinct()
     val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     uw.join(cohort, "user_id")

@@ -345,9 +345,9 @@ object DataPipeline {
       "q47_asof_join",
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val e = Tables(s, dir, "events")
-          .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000000000").as("sec"), col("event_type"))
+        val ev = Tables(s, dir, "events")
+        val e = ev.select(col("event_id"), col("user_id"),
+            Tables.epochSec(ev).as("sec"), col("event_type"))
         val clicks = e.where(col("event_type") === "click")
           .select("event_id", "user_id", "sec")
         val errs = e.where(col("event_type") === "error")

@@ -647,9 +647,9 @@ object Relational {
     QueryDef(
       "q23_range_join",
       (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000000000").as("sec"), col("event_type"))
+        val ev = t(s, dir, "events")
+        val e = ev.select(col("event_id"), col("user_id"),
+            Tables.epochSec(ev).as("sec"), col("event_type"))
         val clicks = e.where(col("event_type") === "click")
           .select(col("event_id"), col("user_id").as("cu"), col("sec").as("cs"))
         val views = e.where(col("event_type") === "view")
@@ -689,10 +689,10 @@ object Relational {
         // deeper users — like real per-user activity over a fixed
         // window), so collect_list groups stay small at any SF; a
         // corpus with unbounded power-user groups would use the Window
-        // form instead. ts arrives as raw nanos (Tables.sessionConf)
-        // → integer seconds.
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts DIV 1000000000").as("sec"))
+        // form instead. Integer seconds via Tables.epochSec (adaptive
+        // to the testdata generation's physical ts type).
+        val ev = t(s, dir, "events")
+        ev.select(col("user_id"), Tables.epochSec(ev).as("sec"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             array_sort(collect_list(col("sec"))).as("secs"))
