@@ -52,6 +52,28 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
 
+  /** Metadata conflicts among exact duplicates: duplicate groups whose
+    * members disagree on `lang` or `source` — the cases where "keep the
+    * representative" silently discards provenance, so a curation
+    * pipeline must resolve them by policy (e.g. keep the earliest-crawled
+    * source) instead of arbitrarily. Emits one row per conflicted
+    * fingerprint with the disagreement breadth and the canonical member.
+    *
+    * Scale shape: identical to [[exactGroups]] — one hash aggregate
+    * keyed on the 128-bit digest (two extra distinct-aggregates expand
+    * the agg by a constant factor), then a post-agg filter; no extra
+    * shuffle, skew-free key.
+    */
+  def labelConflicts(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("representative"))
+      .where(col("n_docs") > 1 &&
+        (col("n_sources") > 1 || col("n_langs") > 1))
+      .orderBy("representative")
+
   /** SQL spelling of "8 hex chars starting at `start` (1-based) of `h`,
     * as a non-negative long" — pure arithmetic over a position lookup,
     * so it is portable across engines (`posFn` = instr for Spark,

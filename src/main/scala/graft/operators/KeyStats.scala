@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shuffle-key skew diagnostics: the report a pipeline runs BEFORE
+  * choosing a join/aggregation strategy at scale (broadcast vs shuffle,
+  * salt-or-not, AQE skew thresholds). Salting (Dedup.saltedJoin) and the
+  * AQE skew-join handle the mitigation; this operator supplies the
+  * decision input — how concentrated the key distribution actually is.
+  *
+  * Scale shape: ONE hash aggregate over the stream keyed on the
+  * candidate key (map-side partials soak per-partition repetition), then
+  * a second agg over the per-key counts (rows = |keys|, far smaller than
+  * the stream) for the totals, and a TakeOrdered top-k — no global sort
+  * of the key table. The rank/cumulative window runs over exactly k rows
+  * on one partition, which is the intended layout (k is a report-sized
+  * constant).
+  *
+  * All derived measures are exact integer arithmetic (`DIV`), so the
+  * report is bit-stable at any parallelism:
+  *  - share_ppm    = n·10⁶ ∕ total        (key's share of all rows)
+  *  - cum_ppm      = (Σ_{rk'≤rk} n)·10⁶ ∕ total
+  *  - mean_mult_pct= n·|keys|·100 ∕ total (multiple of the mean key
+  *                   load — >100 means hotter than average; the salting
+  *                   trigger is typically O(1000), i.e. 10× mean).
+  */
+object KeyStats {
+
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val ord = Seq(col("n").desc, col(keyCol))
+    val w = Window.orderBy(ord: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .orderBy(ord: _*).limit(k) // TakeOrdered — never a full sort
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .crossJoin(broadcast(totals)) // 1-row totals frame
+      .select(col(keyCol), col("n"), col("rk"),
+        expr("n * 1000000 DIV total").as("share_ppm"),
+        expr("cum_n * 1000000 DIV total").as("cum_ppm"),
+        expr("n * n_keys * 100 DIV total").as("mean_mult_pct"))
+      .orderBy("rk")
+  }
+}

@@ -911,4 +911,77 @@ object TextAnalysis {
         / col("n_docs")).as("dup_rate"),
       (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
   }
+
+  /** Per-source PII incidence: the drift monitor a pipeline alarms on
+    * (one upstream source suddenly shipping unredacted emails is a
+    * release blocker long before model training). Same three patterns as
+    * [[redactPii]]; counts aggregate per source with the docs-affected
+    * rate as exact ppm (`n·10⁶ ∕ docs` integer division, bit-stable).
+    *
+    * Scale shape: per-row codegen'd regex counts (no shuffle), then one
+    * hash aggregate keyed on source — map-side partials reduce each
+    * partition to |sources| rows before the (tiny) shuffle.
+    */
+  def piiStatsBySource(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+          .cast("long").as("e"),
+        size(regexp_extract_all(t, lit(PhonePattern), lit(0)))
+          .cast("long").as("p"),
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0)))
+          .cast("long").as("i"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ips"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"))
+      .withColumn("pii_ppm", expr("n_docs_with_pii * 1000000 DIV n_docs"))
+      .orderBy("source")
+  }
+
+  /** Per-source quality scorecard: the one-page dashboard a curation
+    * pipeline reviews per ingest — volume, exact-duplicate mass, token
+    * volume, vocabulary breadth, and mean document size, one row per
+    * source. The per-corpus counterpart is [[corpusCard]]; this is the
+    * table that decides which SOURCE gets down-weighted or dropped.
+    *
+    * Scale shape: two aggregation branches over the documents scan —
+    * doc-level stats (count / distinct-md5 / char sum) in one hash agg
+    * keyed on source, token-level stats (count / distinct terms) as an
+    * explode + two-level agg — joined on the tiny source key. The
+    * distinct-token count aggregates (source, term) first, so the big
+    * shuffle carries one row per distinct term per source, not one per
+    * token occurrence. Ratios are exact ppm integer divisions; the two
+    * averages are single double divisions of exact longs.
+    */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val docStats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+      sum(col("n_chars")).as("total_chars"))
+    val tok = docs.select(col("source"),
+      explode(Dedup.tokens(col("text"))).as("t"))
+    val tokStats = tok
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_tokens"),
+        count(lit(1)).as("n_distinct_tokens"))
+    docStats.join(tokStats, "source")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+        expr("(n_docs - n_distinct_texts) * 1000000 DIV n_docs")
+          .as("dup_ppm"),
+        col("total_tokens"), col("n_distinct_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_doc_tokens"),
+        (col("total_chars").cast("double") / col("n_docs"))
+          .as("avg_doc_chars"))
+      .orderBy("source")
+  }
 }

@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, EventFunnel, MediaPipeline, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventFunnel, KeyStats, MediaPipeline, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator battery over the provided
   * `documents` / `embeddings` tables: dedup (exact, MinHash-LSH,
@@ -16,6 +17,61 @@ import graft.operators.{AsOfJoin, Dedup, EventFunnel, MediaPipeline, Similarity,
   * accumulate per-element DECIMAL products (order-insensitive).
   */
 object DataPipeline {
+
+  /** Deterministic synthetic-PII augmentation shared by q55/q97: the
+    * documents table has no natural PII (verified), so both gates append
+    * identically-constructed emails/phones/IPs keyed on doc_id. Spark
+    * side; [[PiiAugCte]] is the bit-identical DuckDB spelling.
+    */
+  private def piiAugmented(docs: DataFrame): DataFrame =
+    docs.withColumn("text2", concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com."))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" Call +1-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(((col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+          lit("."))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" From 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 3) % 256).cast("string"),
+          lit("."))).otherwise(lit(""))))
+
+  /** DuckDB spelling of [[piiAugmented]] (carries source for q97).
+    * NOTE: this CTE is interpolated into oracle strings that call
+    * `.stripMargin` AFTER interpolation, so no line here may begin
+    * (after whitespace) with `|` — a leading `||` concat would lose its
+    * first pipe to the outer strip. Every `||` therefore ends a line.
+    */
+  private val PiiAugCte =
+    """aug AS (
+      |  SELECT doc_id, source,
+      |         text ||
+      |         CASE WHEN doc_id % 3 <> 0
+      |              THEN ' Contact user' || CAST(doc_id AS VARCHAR) ||
+      |                   '@example.com.'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN ' Call +1-' ||
+      |                   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |                   '-' ||
+      |                   lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') ||
+      |                   '-' ||
+      |                   lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+      |                   '.'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' From 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |                   '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
+      |                   '.'
+      |              ELSE '' END AS text2
+      |  FROM documents
+      |)""".stripMargin
 
   /** DuckDB spelling of the shared shingle CTE (word 3-grams). */
   private val ShinglesCte =
@@ -830,51 +886,10 @@ object DataPipeline {
     //     flips the hash on the full redacted text.
     QueryDef(
       "q55_pii_redact",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val aug = docs.withColumn("text2", concat(
-          col("text"),
-          when(col("doc_id") % 3 =!= 0,
-            concat(lit(" Contact user"), col("doc_id").cast("string"),
-              lit("@example.com."))).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0,
-            concat(lit(" Call +1-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-              lit("-"),
-              lpad(((col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
-              lit("-"),
-              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
-              lit("."))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" From 10."), (col("doc_id") % 256).cast("string"),
-              lit(".0."), ((col("doc_id") * 3) % 256).cast("string"),
-              lit("."))).otherwise(lit(""))))
-        TextAnalysis.redactPii(aug, "text2")
-      },
+      (s, dir) => TextAnalysis.redactPii(
+        piiAugmented(Tables(s, dir, "documents")), "text2"),
       Some(
-        s"""WITH aug AS (
-           |  SELECT doc_id,
-           |         text ||
-           |         CASE WHEN doc_id % 3 <> 0
-           |              THEN ' Contact user' || CAST(doc_id AS VARCHAR)
-           |                   || '@example.com.'
-           |              ELSE '' END ||
-           |         CASE WHEN doc_id % 4 = 0
-           |              THEN ' Call +1-'
-           |                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-           |                   || '-'
-           |                   || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
-           |                   || '-'
-           |                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
-           |                   || '.'
-           |              ELSE '' END ||
-           |         CASE WHEN doc_id % 5 = 0
-           |              THEN ' From 10.' || CAST(doc_id % 256 AS VARCHAR)
-           |                   || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
-           |                   || '.'
-           |              ELSE '' END AS text2
-           |  FROM documents
-           |)
+        s"""WITH $PiiAugCte
            |SELECT doc_id,
            |       CAST(len(regexp_extract_all(text2, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
            |       CAST(len(regexp_extract_all(text2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
@@ -1969,6 +1984,137 @@ object DataPipeline {
              |       CAST(b.n_docs - b.n_distinct_texts AS DOUBLE)
              |         / b.n_docs AS dup_rate,
              |       CAST(ta.n_tokens AS DOUBLE) / b.n_docs AS avg_doc_tokens
-             |FROM base b CROSS JOIN ta""".stripMargin))
+             |FROM base b CROSS JOIN ta""".stripMargin)),
+
+    // --- Shuffle-key skew report: top-10 hottest event users with exact
+    //     ppm shares and multiple-of-mean — the decision input for
+    //     salting / AQE skew thresholds before a big join. One hash agg
+    //     + TakeOrdered; the window runs over exactly k rows.
+    QueryDef(
+      "q96_heavy_hitters",
+      (s, dir) => KeyStats.heavyHitters(Tables(s, dir, "events"),
+        "user_id", k = 10),
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY user_id
+             |),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+             |r AS (
+             |  SELECT user_id, n,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id)
+             |              AS BIGINT) AS rk,
+             |         CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |              AS BIGINT) AS cum_n
+             |  FROM c
+             |)
+             |SELECT r.user_id, r.n, r.rk,
+             |       r.n * 1000000 // t.total AS share_ppm,
+             |       r.cum_n * 1000000 // t.total AS cum_ppm,
+             |       r.n * t.n_keys * 100 // t.total AS mean_mult_pct
+             |FROM r CROSS JOIN t
+             |WHERE r.rk <= 10
+             |ORDER BY r.rk""".stripMargin)),
+
+    // --- Per-source PII incidence (drift monitor): same patterns and
+    //     synthetic augmentation as q55, aggregated per source with an
+    //     exact-ppm docs-affected rate.
+    QueryDef(
+      "q97_pii_source_stats",
+      (s, dir) => TextAnalysis.piiStatsBySource(
+        piiAugmented(Tables(s, dir, "documents")), "text2"),
+      Some(s"""WITH $PiiAugCte,
+             |per AS (
+             |  SELECT source,
+             |         CAST(len(regexp_extract_all(text2, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS e,
+             |         CAST(len(regexp_extract_all(text2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS p,
+             |         CAST(len(regexp_extract_all(text2, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS i
+             |  FROM aug
+             |),
+             |agg AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(e) AS BIGINT) AS n_emails,
+             |         CAST(SUM(p) AS BIGINT) AS n_phones,
+             |         CAST(SUM(i) AS BIGINT) AS n_ips,
+             |         CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_docs_with_pii
+             |  FROM per GROUP BY source
+             |)
+             |SELECT source, n_docs, n_emails, n_phones, n_ips,
+             |       n_docs_with_pii,
+             |       n_docs_with_pii * 1000000 // n_docs AS pii_ppm
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // --- Metadata conflicts among exact duplicates: duplicate groups
+    //     disagreeing on source/lang, where "keep the representative"
+    //     would silently discard provenance. The corpus has no natural
+    //     cross-source dups, so the gate unions a deterministic 'mirror'
+    //     re-crawl of every 7th doc — identical construction both sides.
+    QueryDef(
+      "q98_label_conflicts",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val mirror = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), lit("mirror").as("source"), col("n_chars"))
+        Dedup.labelConflicts(docs.unionByName(mirror))
+      },
+      Some("""WITH un AS (
+             |  SELECT doc_id, text, lang, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, 'mirror'
+             |  FROM documents WHERE doc_id % 7 = 0
+             |),
+             |g AS (
+             |  SELECT md5(text) AS fingerprint,
+             |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             |         MIN(doc_id) AS representative
+             |  FROM un GROUP BY 1
+             |)
+             |SELECT fingerprint, n_docs, n_sources, n_langs, representative
+             |FROM g
+             |WHERE n_docs > 1 AND (n_sources > 1 OR n_langs > 1)
+             |ORDER BY representative""".stripMargin)),
+
+    // --- Per-source quality scorecard: the one-page per-ingest
+    //     dashboard (volume, dup mass, token volume, vocabulary breadth,
+    //     mean doc size) that decides which source gets down-weighted.
+    QueryDef(
+      "q99_source_scorecard",
+      (s, dir) => TextAnalysis.sourceScorecard(Tables(s, dir, "documents")),
+      Some("""WITH ds AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+             |           AS n_distinct_texts,
+             |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |  FROM documents GROUP BY source
+             |),
+             |tok AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |tt AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM tok GROUP BY source, t),
+             |ts AS (
+             |  SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+             |         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+             |  FROM tt GROUP BY source
+             |)
+             |SELECT ds.source, ds.n_docs,
+             |       ds.n_docs - ds.n_distinct_texts AS n_dup_docs,
+             |       (ds.n_docs - ds.n_distinct_texts) * 1000000 // ds.n_docs
+             |         AS dup_ppm,
+             |       ts.total_tokens, ts.n_distinct_tokens,
+             |       CAST(ts.total_tokens AS DOUBLE) / ds.n_docs
+             |         AS avg_doc_tokens,
+             |       CAST(ds.total_chars AS DOUBLE) / ds.n_docs
+             |         AS avg_doc_chars
+             |FROM ds JOIN ts USING (source)
+             |ORDER BY ds.source""".stripMargin))
   )
 }

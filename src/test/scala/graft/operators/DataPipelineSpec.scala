@@ -1161,4 +1161,68 @@ class DataPipelineSpec extends SparkSpec {
     assert(c.getAs[Double]("dup_rate") == 1.0 / 3)
     assert(c.getAs[Double]("avg_doc_tokens") == 5.0 / 3)
   }
+
+  test("heavyHitters: exact ppm shares, cumulative, multiple-of-mean") {
+    // key 1: 6 rows, key 2: 3 rows, key 3: 1 row — total 10, 3 keys
+    val d = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("event_id", "user_id")
+    val r = KeyStats.heavyHitters(d, "user_id", k = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      // (key, n, rk, share_ppm, cum_ppm, mean_mult_pct)
+      (1L, 6L, 1L, 600000L, 600000L, 180L), // 6*3*100/10
+      (2L, 3L, 2L, 300000L, 900000L, 90L)))
+  }
+
+  test("labelConflicts: only dup groups with metadata disagreement") {
+    val d = Seq(
+      (1L, "same text", "en", "s1"),
+      (2L, "same text", "en", "s2"),   // source conflict with doc 1
+      (3L, "other text", "en", "s1"),
+      (4L, "other text", "en", "s1"),  // dup but NO conflict
+      (5L, "third text", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Dedup.labelConflicts(d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("representative") == 1L)
+    assert(r.head.getAs[Long]("n_docs") == 2L)
+    assert(r.head.getAs[Long]("n_sources") == 2L)
+    assert(r.head.getAs[Long]("n_langs") == 1L)
+  }
+
+  test("piiStatsBySource: per-source counts and exact ppm rate") {
+    val d = Seq(
+      (1L, "mail me at a@b.io now", "s1"),
+      (2L, "clean doc", "s1"),
+      (3L, "two mails a@b.io c@d.org and ip 10.0.0.1 here", "s1"),
+      (4L, "call +1-555-123-4567", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.piiStatsBySource(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      // (source, n_docs, n_emails, n_phones, n_ips, n_docs_with_pii, ppm)
+      ("s1", 3L, 3L, 0L, 1L, 2L, 666666L),
+      ("s2", 1L, 0L, 1L, 0L, 1L, 1000000L)))
+  }
+
+  test("sourceScorecard: per-source dup ppm, token and char averages") {
+    val d = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s1"), (3L, "c", "s1"),
+      (4L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.sourceScorecard(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getDouble(6), x.getDouble(7)))
+    assert(r.toSeq == Seq(
+      ("s1", 3L, 1L, 333333L, 5L, 3L, 5.0 / 3, 7.0 / 3),
+      ("s2", 1L, 0L, 0L, 3L, 3L, 3.0, 5.0)))
+  }
 }
