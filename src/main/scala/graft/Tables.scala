@@ -38,10 +38,11 @@ object Tables {
     }
 
   /** Session settings every entry point (Verify/Bench/tests) must share.
-    * `nanosAsLong`: events.ts is parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType (micros) refuses; reading it as a raw nanos Long is
-    * lossless and all query code derives seconds/timestamps from it
-    * explicitly.
+    * `nanosAsLong`: kept for testdata generations where events.ts is
+    * parquet TIMESTAMP(NANOS) (which Spark's micros TimestampType
+    * refuses) — those surface ts as a lossless raw nanos Long; newer
+    * generations emit TIMESTAMP_MICROS and surface TIMESTAMP_NTZ. Query
+    * code derives seconds through [[epochSec]] so both encodings work.
     */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
