@@ -432,8 +432,14 @@ object Similarity {
     * the executed plan shows ReusedExchange); a naive per-dim
     * self-join instead plans 4 corpus scans.
     */
-  def centroidCosine(emb: DataFrame): DataFrame = {
-    val cents = emb
+  /** Micro-quantized per-label centroids: (label, cv ARRAY<LONG>, nsq)
+    * with each component `floor(mean(floor(x·1e6 + 0.5)))` — exact-long
+    * arithmetic end to end, shared by [[centroidCosine]] and
+    * [[centroidAssignment]] so the two reports agree bit-for-bit on
+    * what "the centroid" is.
+    */
+  private def microCentroids(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(floor(col("v").cast("double") * 1000000d + 0.5).cast("long"))
@@ -446,6 +452,9 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
         s => s.getField("cq")).as("cv"))
       .withColumn("nsq", expr("aggregate(cv, 0L, (a, x) -> a + x * x)"))
+
+  def centroidCosine(emb: DataFrame): DataFrame = {
+    val cents = microCentroids(emb)
     cents.as("x")
       .join(cents.as("y"), col("x.label") < col("y.label"))
       .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
@@ -454,6 +463,52 @@ object Similarity {
           (sqrt(col("x.nsq").cast("double")) *
             sqrt(col("y.nsq").cast("double")))).as("centroid_cosine"))
       .orderBy("label_a", "label_b")
+  }
+
+  /** Nearest-centroid assignment confusion matrix: every vector assigned
+    * to its closest label centroid (by cosine against the
+    * [[microCentroids]] this module uses everywhere), counted against
+    * its ACTUAL label. The label-noise / cluster-quality eval a curator
+    * runs before trusting `label` for IVF partitioning or stratified
+    * sampling — an off-diagonal mass says vectors sit in the wrong
+    * stratum (and predicts q35/q52's probe misses).
+    *
+    * Determinism: the vector side micro-quantizes per row (exact
+    * longs), the dot is an integer sum (≤ 64·1e12 per pair — 5 orders
+    * of long headroom), and the comparison score divides by the
+    * centroid norm only (the query norm is constant within a vector's
+    * candidates) — one IEEE divide of exact-long-derived doubles, so
+    * every engine ranks identically; ties break by label.
+    *
+    * Scale shape: centroids are |labels| rows → broadcast; assignment
+    * is one corpus pass (per-row codegen'd zip_with against ≤|labels|
+    * arrays). The argmax is a struct-MAX aggregate, NOT a window: a
+    * vector's |labels| candidate rows are produced consecutively from
+    * its single input row, so map-side partial aggregation collapses
+    * them to ONE row before the vec_id shuffle — a window
+    * (row_number over vec_id) would shuffle N·|labels| rows instead.
+    * The final confusion agg is |labels|²-bounded.
+    */
+  def centroidAssignment(emb: DataFrame): DataFrame = {
+    val cents = microCentroids(emb)
+      .select(col("label").as("cand"), col("cv"), col("nsq"))
+    val vq = emb.select(col("vec_id"), col("label").as("true_label"),
+      expr("transform(embedding, " +
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))")
+        .as("qv"))
+    vq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("true_label"), col("cand"),
+        (expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), " +
+          "0L, (acc, p) -> acc + p)").cast("double") /
+          sqrt(col("nsq").cast("double"))).as("score"))
+      // argmax score, ties to the SMALLEST candidate label (negated
+      // field makes lexicographic struct MAX break ties downward)
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("true_label"), (-col("m.nc")).as("assigned"))
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
   }
 
   /** ANN recall report: per query, how many of the exact cosine top-k

@@ -984,4 +984,56 @@ object TextAnalysis {
           .as("avg_doc_chars"))
       .orderBy("source")
   }
+
+  /** Collocation mining: the top-k token bigrams by pointwise mutual
+    * information — phrase-vocabulary candidates for a tokenizer ("new
+    * york"-style units whose joint frequency far exceeds chance).
+    * Complements the raw-frequency pair ranking ([[TextAnalysis]] BPE
+    * pairs): PMI surfaces ASSOCIATION, so rare-but-inseparable pairs
+    * outrank ubiquitous-but-independent ones.
+    *
+    * PMI is kept as the RATIO form p(ab)/(p(a)·p(b)) =
+    * c_ab·Nu²/(Nb·c_a·c_b) — no log, so the score is one fixed-order
+    * IEEE expression over exact longs (numerator and denominator each
+    * < 2⁵³ until petabyte token counts; both engines compute identical
+    * bits, which is what lets the gate hash the doubles). `minCount`
+    * suppresses the unstable rare-pair tail (classic PMI failure mode)
+    * and bounds the scored set.
+    *
+    * Scale shape: two corpus passes (bigram explode, unigram explode) —
+    * both collapse map-side into vocabulary-sized count tables, which
+    * are persisted so the totals aggregates do NOT rescan the corpus
+    * (same shared-subtree trap as KeyStats.heavyHitters). The scoring
+    * join is keyed on single tokens against the (persisted) unigram
+    * table; the result is TakeOrdered top-k, never a full sort.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = docs
+      .select(Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2) // sequence(1, 0) DESCENDS, not empty
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val unig = docs.select(explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = cab.agg(sum(col("n_ab")).as("nb"))
+      .crossJoin(unig.agg(sum(col("c")).as("nu")))
+    cab.where(col("n_ab") >= minCount)
+      .join(unig.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(unig.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
+        (col("n_ab").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("c_a") * col("c_b")))
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(topK)
+  }
 }

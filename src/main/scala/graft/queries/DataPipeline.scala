@@ -2115,6 +2115,95 @@ object DataPipeline {
              |       CAST(ds.total_chars AS DOUBLE) / ds.n_docs
              |         AS avg_doc_chars
              |FROM ds JOIN ts USING (source)
-             |ORDER BY ds.source""".stripMargin))
+             |ORDER BY ds.source""".stripMargin)),
+
+    // --- Nearest-centroid assignment confusion matrix: label-noise /
+    //     cluster-quality eval over the same micro-quantized centroids
+    //     as q91. Argmax is exact (integer dot ÷ centroid norm, one
+    //     IEEE divide; ties to the smallest label); the oracle replays
+    //     it with a window, the Spark side with a map-side struct-MAX
+    //     (same semantics, no N·|labels| shuffle).
+    QueryDef(
+      "q100_centroid_assignment",
+      (s, dir) => Similarity.centroidAssignment(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT e.vec_id, e.label, d.i AS dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+             |              * 1000000 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings e
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+             |),
+             |c AS (
+             |  SELECT label, dim,
+             |         CAST(FLOOR(CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+             |              / COUNT(*)) AS BIGINT) AS cq
+             |  FROM q GROUP BY label, dim
+             |),
+             |n AS (
+             |  SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS nsq
+             |  FROM c GROUP BY label
+             |),
+             |dotp AS (
+             |  SELECT q.vec_id, q.label AS true_label, c.label AS cand,
+             |         CAST(SUM(q.qv * c.cq) AS BIGINT) AS dot
+             |  FROM q JOIN c ON c.dim = q.dim
+             |  GROUP BY q.vec_id, q.label, c.label
+             |),
+             |scored AS (
+             |  SELECT d.vec_id, d.true_label, d.cand,
+             |         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nsq AS DOUBLE))
+             |           AS score
+             |  FROM dotp d JOIN n ON n.label = d.cand
+             |),
+             |asg AS (
+             |  SELECT vec_id, true_label, cand,
+             |         ROW_NUMBER() OVER (PARTITION BY vec_id
+             |              ORDER BY score DESC, cand) AS rk
+             |  FROM scored
+             |)
+             |SELECT true_label AS label, cand AS assigned,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM asg WHERE rk = 1
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // --- Collocation mining: top-20 bigrams by ratio-form PMI
+    //     (c_ab·Nu²/(Nb·c_a·c_b) — log-free, one fixed-order IEEE
+    //     expression over exact longs, so the doubles hash-match);
+    //     min-support 5 suppresses the unstable rare-pair tail.
+    QueryDef(
+      "q101_collocations",
+      (s, dir) => TextAnalysis.collocations(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |pr AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+             |         i -> {'a': w[i], 'b': w[i+1]})) AS p
+             |  FROM toks
+             |),
+             |pairs AS (SELECT p.a AS a, p.b AS b FROM pr),
+             |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+             |        FROM pairs GROUP BY a, b),
+             |unig AS (
+             |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(w) AS t FROM toks)
+             |  GROUP BY t
+             |),
+             |tot AS (SELECT CAST((SELECT SUM(n_ab) FROM cab) AS BIGINT) AS nb,
+             |               CAST((SELECT SUM(c) FROM unig) AS BIGINT) AS nu)
+             |SELECT cab.a, cab.b, cab.n_ab,
+             |       ua.c AS c_a, ub.c AS c_b,
+             |       CAST(cab.n_ab AS DOUBLE) * tot.nu * tot.nu
+             |         / (CAST(tot.nb AS DOUBLE) * ua.c * ub.c) AS pmi
+             |FROM cab
+             |JOIN unig ua ON ua.t = cab.a
+             |JOIN unig ub ON ub.t = cab.b
+             |CROSS JOIN tot
+             |WHERE cab.n_ab >= 5
+             |ORDER BY pmi DESC, cab.a, cab.b
+             |LIMIT 20""".stripMargin))
   )
 }

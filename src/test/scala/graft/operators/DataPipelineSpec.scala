@@ -1225,4 +1225,33 @@ class DataPipelineSpec extends SparkSpec {
       ("s1", 3L, 1L, 333333L, 5L, 3L, 5.0 / 3, 7.0 / 3),
       ("s2", 1L, 0L, 0L, 3L, 3L, 3.0, 5.0)))
   }
+
+  test("centroidAssignment: mislabeled vector lands off-diagonal") {
+    // label 0 holds two x-axis vectors plus one MISLABELED y-axis
+    // vector; label 1 holds two y-axis vectors. The y-axis stray must
+    // assign to label 1's centroid.
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0), // mislabeled
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidAssignment(d).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0, 0, 2L), (0, 1, 1L), (1, 1, 2L)))
+  }
+
+  test("collocations: ratio-form PMI ranks association over frequency") {
+    // "x y x y z": bigrams xy=2, yx=1, yz=1; unigrams x=2 y=2 z=1;
+    // Nu=5, Nb=4. pmi(xy) = 2*25/(4*2*2) = 3.125, pmi(yz) =
+    // 1*25/(4*2*1) = 3.125 (rarer pair, same association),
+    // pmi(yx) = 1.5625. Ties break on (a, b).
+    val d = docs(1L -> "x y x y z")
+    val r = TextAnalysis.collocations(d, minCount = 1, topK = 3).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      ("x", "y", 2L, 2L, 2L, 3.125),
+      ("y", "z", 1L, 2L, 1L, 3.125),
+      ("y", "x", 1L, 2L, 2L, 1.5625)))
+  }
 }
