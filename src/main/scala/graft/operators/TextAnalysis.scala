@@ -1036,4 +1036,34 @@ object TextAnalysis {
       .orderBy(desc("pmi"), col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Corpus snapshot delta: per-source added / removed / changed /
+    * unchanged counts between two corpus versions — the ingest report a
+    * pipeline emits on every re-crawl (and the precondition for
+    * incremental reprocessing: only 'added'+'changed' docs re-enter the
+    * dedup/quality stages, see the incremental-dedup operator).
+    * Change detection is by content fingerprint (md5), not timestamps,
+    * so a re-crawl that rewrites identical bytes reports 'unchanged'.
+    *
+    * Scale shape: each side reduces to (doc_id, source, fingerprint) —
+    * 3 narrow columns regardless of document size — then ONE full-outer
+    * join keyed on doc_id (both sides shuffle co-partitioned; at 100 TB
+    * both snapshots would be bucketed by doc_id and the join is
+    * shuffle-free) and a |sources|×4-bounded hash agg.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val fa = prev.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("fa"))
+    val fb = next.select(col("doc_id"), col("source").as("source_b"),
+      md5(col("text").cast("binary")).as("fb"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("source"),
+        when(col("fa").isNull, "added")
+          .when(col("fb").isNull, "removed")
+          .when(col("fa") === col("fb"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+  }
 }

@@ -2204,6 +2204,48 @@ object DataPipeline {
              |CROSS JOIN tot
              |WHERE cab.n_ab >= 5
              |ORDER BY pmi DESC, cab.a, cab.b
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // --- Corpus snapshot delta: per-source added/removed/changed/
+    //     unchanged between two versions, by content fingerprint. The
+    //     'next' snapshot is synthesized deterministically (drop every
+    //     11th doc, append ' v2' to every 5th, re-crawl every 13th into
+    //     a new source) — identical construction both sides.
+    QueryDef(
+      "q102_corpus_diff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bBase = docs.where(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        val bNew = docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("lang"), lit("new_crawl").as("source"), col("n_chars"))
+        TextAnalysis.corpusDiff(docs, bBase.unionByName(bNew))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |              ELSE text END AS text,
+             |         source
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text, 'new_crawl'
+             |  FROM documents WHERE doc_id % 13 = 0
+             |),
+             |fa AS (SELECT doc_id, source, md5(text) AS f FROM documents),
+             |fb AS (SELECT doc_id, source, md5(text) AS f FROM b),
+             |j AS (
+             |  SELECT COALESCE(fa.source, fb.source) AS source,
+             |         CASE WHEN fa.f IS NULL THEN 'added'
+             |              WHEN fb.f IS NULL THEN 'removed'
+             |              WHEN fa.f = fb.f THEN 'unchanged'
+             |              ELSE 'changed' END AS status
+             |  FROM fa FULL OUTER JOIN fb ON fb.doc_id = fa.doc_id
+             |)
+             |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM j GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1254,4 +1254,20 @@ class DataPipelineSpec extends SparkSpec {
       ("y", "z", 1L, 2L, 1L, 3.125),
       ("y", "x", 1L, 2L, 2L, 1.5625)))
   }
+
+  test("corpusDiff: added/removed/changed/unchanged by fingerprint") {
+    def snap(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val prev = snap((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+    val next = snap((1L, "a", "s1"),      // unchanged
+      (2L, "b CHANGED", "s1"),            // changed
+      (4L, "d", "s2"))                    // added; doc 3 removed
+    val r = TextAnalysis.corpusDiff(prev, next).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("s1", "changed", 1L), ("s1", "unchanged", 1L),
+      ("s2", "added", 1L), ("s2", "removed", 1L)))
+  }
 }
