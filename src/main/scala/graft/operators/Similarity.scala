@@ -511,6 +511,29 @@ object Similarity {
       .orderBy("label", "assigned")
   }
 
+  /** Embedding-index coverage: per source, how many documents have a
+    * vector in the embedding index — the readiness check a pipeline
+    * runs before routing retrieval/near-dup screening through ANN
+    * (a source with coverage below threshold silently falls out of
+    * semantic dedup). Exact-ppm coverage rate.
+    *
+    * Scale shape: the index side reduces to its id column only; one
+    * doc_id-keyed left join (both sides bucketable by id at scale →
+    * shuffle-free) and a |sources|-bounded hash agg with map-side
+    * partials.
+    */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val idx = emb.select(col("vec_id").as("doc_id"), lit(1L).as("has"))
+    docs.select(col("doc_id"), col("source"))
+      .join(idx, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has"), lit(0L))).as("n_indexed"))
+      .withColumn("n_missing", col("n_docs") - col("n_indexed"))
+      .withColumn("coverage_ppm", expr("n_indexed * 1000000 DIV n_docs"))
+      .orderBy("source")
+  }
+
   /** ANN recall report: per query, how many of the exact cosine top-k
     * ([[cosineTopK]]) the trained IVF ([[trainedIvfTopK]]) retrieved —
     * the eval a pipeline runs when tuning nprobe/k before trusting the

@@ -2246,6 +2246,31 @@ object DataPipeline {
              |)
              |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
              |FROM j GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // --- Embedding-index coverage per source: docs joined to the
+    //     vector index by id, exact-ppm coverage. The index is
+    //     synthesized with deterministic gaps (drop every 9th vector)
+    //     so the report exercises real missing mass.
+    QueryDef(
+      "q103_embedding_coverage",
+      (s, dir) => Similarity.embeddingCoverage(
+        Tables(s, dir, "documents"),
+        Tables(s, dir, "embeddings").where(col("vec_id") % 9 =!= 0)),
+      Some("""WITH idx AS (
+             |  SELECT vec_id AS doc_id FROM embeddings WHERE vec_id % 9 <> 0
+             |),
+             |j AS (
+             |  SELECT d.source,
+             |         CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END AS has
+             |  FROM documents d LEFT JOIN idx i ON i.doc_id = d.doc_id
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(has) AS BIGINT) AS n_indexed,
+             |       CAST(COUNT(*) - SUM(has) AS BIGINT) AS n_missing,
+             |       CAST(SUM(has) AS BIGINT) * 1000000 // COUNT(*)
+             |         AS coverage_ppm
+             |FROM j GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

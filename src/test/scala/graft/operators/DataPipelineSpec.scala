@@ -1270,4 +1270,19 @@ class DataPipelineSpec extends SparkSpec {
       ("s1", "changed", 1L), ("s1", "unchanged", 1L),
       ("s2", "added", 1L), ("s2", "removed", 1L)))
   }
+
+  test("embeddingCoverage: per-source indexed counts and exact ppm") {
+    val d = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val e = Seq((1L, Array(1.0f), 0), (3L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingCoverage(d, e).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("s1", 2L, 1L, 1L, 500000L),
+      ("s2", 1L, 1L, 0L, 1000000L)))
+  }
 }
