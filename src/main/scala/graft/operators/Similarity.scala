@@ -437,21 +437,26 @@ object Similarity {
     * arithmetic end to end, shared by [[centroidCosine]] and
     * [[centroidAssignment]] so the two reports agree bit-for-bit on
     * what "the centroid" is.
+    *
+    * Computed with the [[graft.functions.VecSumAgg]] typed aggregator:
+    * one pass folding each vector into a d-long buffer with map-side
+    * combine, so the shuffle carries |partitions|·|labels| buffers —
+    * the posexplode spelling this replaced shuffled |corpus|·d
+    * (label, dim) rows instead (measured 1.52 → see PERF_NOTES r8).
+    * The per-row arithmetic is the identical IEEE sequence, so the
+    * result is bit-equal (gates q91/q100 pin it against the DuckDB
+    * explode oracle).
     */
-  private def microCentroids(emb: DataFrame): DataFrame =
-    emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(floor(col("v").cast("double") * 1000000d + 0.5).cast("long"))
-        .as("sq"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
-        floor(col("sq").cast("double") / col("n")).cast("long").as("cq"))
-      .groupBy(col("label"))
-      // dim is unique per label, so the sort is total and the array
-      // deterministic despite collect_list's arbitrary arrival order
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
-        s => s.getField("cq")).as("cv"))
+  private def microCentroids(emb: DataFrame): DataFrame = {
+    val vecSum = udaf(graft.functions.VecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    emb.groupBy(col("label"))
+      .agg(vecSum(col("embedding")).as("s"))
+      .select(col("label"), expr(
+        "transform(s.sums, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s.n) AS BIGINT))")
+        .as("cv"))
       .withColumn("nsq", expr("aggregate(cv, 0L, (a, x) -> a + x * x)"))
+  }
 
   def centroidCosine(emb: DataFrame): DataFrame = {
     val cents = microCentroids(emb)
