@@ -1066,4 +1066,149 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "status")
   }
+
+  /** Boilerplate-span report: the top-k word 3-gram shingles by DOCUMENT
+    * frequency (distinct docs containing the span) with an exact-ppm
+    * doc share — the C4/RefinedWeb-style signal for template text
+    * (navigation chrome, license footers) that should be stripped
+    * before training. Uses [[Dedup.shingles]] (distinct per doc), so a
+    * span repeated inside one doc counts once.
+    *
+    * Scale shape: one shingle explode + hash agg keyed on the span
+    * (map-side partials soak the Zipf head), then TakeOrdered top-k —
+    * never a full sort. The 1-row corpus count broadcasts.
+    */
+  def boilerplateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    Dedup.shingles(docs)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"), col("df"),
+        expr("df * 1000000 DIV n_docs").as("df_ppm"))
+      .orderBy(desc("df"), col("shingle"))
+      .limit(k)
+  }
+
+  /** Gopher-style quality-filter funnel: evaluates the standard
+    * heuristic filter battery per document (length bounds, mean token
+    * length, top-unigram repetition share, stopword incidence) and
+    * reports, per filter, how many documents fail it — plus the
+    * survivors that pass every filter. This is the one-page report a
+    * curation run publishes before committing thresholds; thresholds
+    * here are calibrated to the synthetic corpus so every filter has
+    * non-trivial mass (measured deciles: n_tokens 10-99, mean
+    * token-length ×100 370-530, top-share 70k-141k ppm, stopword
+    * 13k-106k ppm).
+    *
+    * Determinism: every metric is exact integer arithmetic (`DIV`
+    * ratios); the report is a constant-size stack of aggregate sums.
+    * Scale shape: one corpus scan computes the per-row metrics inside
+    * the row (higher-order functions, no explode); the top-unigram
+    * share needs the (doc, token) aggregate — one shuffle keyed on
+    * doc_id+token, skew-free — and the final agg is a single row.
+    */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    val perRow = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("aggregate(transform(w, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("sum_len"),
+        expr("size(filter(w, t -> t IN ('the', 'a')))").cast("long")
+          .as("n_stop"))
+    val topShare = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"))
+    val flags = perRow.join(topShare, "doc_id")
+      .select(
+        when(col("n_tokens") < 25, 1L).otherwise(0L).as("f_short"),
+        when(col("n_tokens") > 90, 1L).otherwise(0L).as("f_long"),
+        when(expr("sum_len * 100 DIV n_tokens") < 380 ||
+          expr("sum_len * 100 DIV n_tokens") > 520, 1L).otherwise(0L)
+          .as("f_toklen"),
+        when(expr("top_n * 1000000 DIV n_tokens") > 120000, 1L)
+          .otherwise(0L).as("f_rep"),
+        when(expr("n_stop * 1000000 DIV n_tokens") < 20000, 1L)
+          .otherwise(0L).as("f_stop"))
+      .withColumn("f_pass",
+        when(col("f_short") + col("f_long") + col("f_toklen") +
+          col("f_rep") + col("f_stop") === 0L, 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"),
+        sum(col("f_long")).as("n_long"),
+        sum(col("f_toklen")).as("n_toklen"),
+        sum(col("f_rep")).as("n_rep"),
+        sum(col("f_stop")).as("n_stop"),
+        sum(col("f_pass")).as("n_pass"))
+      .selectExpr("n_docs", """stack(6,
+          1L, 'too_short',      n_short,
+          2L, 'too_long',       n_long,
+          3L, 'odd_token_len',  n_toklen,
+          4L, 'repetitive',     n_rep,
+          5L, 'low_stopword',   n_stop,
+          6L, 'pass_all',       n_pass) AS (stage, filter_name, n)""")
+      .select(col("stage"), col("filter_name"), col("n"),
+        expr("n * 1000000 DIV n_docs").as("ppm"))
+      .orderBy("stage")
+  }
+
+  /** Per-source Pearson correlation between document length (chars) and
+    * token count — the sanity check that a source's `n_chars` metadata
+    * actually tracks its content (a low r flags metadata drift or
+    * non-text payloads mis-ingested as text).
+    *
+    * Determinism at any parallelism: the five sufficient statistics are
+    * EXACT integer sums (every product < 2^53 by construction at these
+    * magnitudes), and r is one fixed-order IEEE expression over them
+    * (multiply/divide/sqrt are exactly-rounded, so both engines emit
+    * identical bits). Scale shape: one scan, one hash agg keyed on
+    * source — the textbook map-side-combine aggregate.
+    */
+  def lengthTokenCorr(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        size(Dedup.tokens(col("text"))).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sum_chars"),
+        sum(col("y")).as("sum_tokens"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("sum_tokens"),
+        ((col("n_docs") * col("sxy") - col("sum_chars") * col("sum_tokens"))
+          .cast("double") /
+          (sqrt((col("n_docs") * col("sxx") -
+            col("sum_chars") * col("sum_chars")).cast("double")) *
+            sqrt((col("n_docs") * col("syy") -
+              col("sum_tokens") * col("sum_tokens")).cast("double"))))
+          .as("corr"))
+      .orderBy("source")
+
+  /** Corpus-wide token-length histogram with exact-ppm shares — the
+    * length distribution a subword-tokenizer design reads before
+    * choosing merges (long-tail lengths ⇒ under-merged vocabulary).
+    * The counts table is persisted so the total-mass aggregate does
+    * not rescan the corpus (same shared-subtree rule as the
+    * heavy-hitters report); its key space is tiny (≈ max word length).
+    */
+  def tokenLengthHist(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(Dedup.tokens(col("text"))).as("t"))
+      .select(length(col("t")).cast("long").as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("len"), col("n"),
+        expr("n * 1000000 DIV total").as("share_ppm"))
+      .orderBy("len")
+  }
 }

@@ -2271,6 +2271,130 @@ object DataPipeline {
              |       CAST(SUM(has) AS BIGINT) * 1000000 // COUNT(*)
              |         AS coverage_ppm
              |FROM j GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // --- Boilerplate spans: top-20 word 3-grams by document frequency
+    //     (C4-style template-text detector). Distinct-per-doc shingles,
+    //     TakeOrdered top-k.
+    QueryDef(
+      "q104_boilerplate_spans",
+      (s, dir) => TextAnalysis.boilerplateSpans(Tables(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+             |d AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+             |      FROM sh GROUP BY shingle),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+             |SELECT d.shingle, d.df, d.df * 1000000 // t.n_docs AS df_ppm
+             |FROM d CROSS JOIN t
+             |ORDER BY d.df DESC, d.shingle
+             |LIMIT 20""".stripMargin)),
+
+    // --- Gopher-style quality-filter funnel: per-filter fail counts +
+    //     exact-ppm rates, thresholds calibrated to the corpus deciles
+    //     so every filter carries non-trivial mass.
+    QueryDef(
+      "q105_quality_funnel",
+      (s, dir) => TextAnalysis.qualityFunnel(Tables(s, dir, "documents")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     x -> x <> '') AS w
+             |  FROM documents
+             |),
+             |per AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |         CAST(list_aggregate(list_transform(w, x -> len(x)),
+             |              'sum') AS BIGINT) AS sum_len,
+             |         CAST(len(list_filter(w, x -> x IN ('the', 'a')))
+             |              AS BIGINT) AS n_stop
+             |  FROM t
+             |),
+             |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+             |c AS (SELECT doc_id, tk, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+             |mx AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_n
+             |       FROM c GROUP BY 1),
+             |f AS (
+             |  SELECT CASE WHEN per.n_tokens < 25 THEN 1 ELSE 0 END
+             |           AS f_short,
+             |         CASE WHEN per.n_tokens > 90 THEN 1 ELSE 0 END
+             |           AS f_long,
+             |         CASE WHEN per.sum_len * 100 // per.n_tokens < 380
+             |               OR per.sum_len * 100 // per.n_tokens > 520
+             |              THEN 1 ELSE 0 END AS f_toklen,
+             |         CASE WHEN mx.top_n * 1000000 // per.n_tokens > 120000
+             |              THEN 1 ELSE 0 END AS f_rep,
+             |         CASE WHEN per.n_stop * 1000000 // per.n_tokens < 20000
+             |              THEN 1 ELSE 0 END AS f_stop
+             |  FROM per JOIN mx USING (doc_id)
+             |),
+             |a AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(f_short) AS BIGINT) AS n_short,
+             |         CAST(SUM(f_long) AS BIGINT) AS n_long,
+             |         CAST(SUM(f_toklen) AS BIGINT) AS n_toklen,
+             |         CAST(SUM(f_rep) AS BIGINT) AS n_rep,
+             |         CAST(SUM(f_stop) AS BIGINT) AS n_stopf,
+             |         CAST(SUM(CASE WHEN f_short + f_long + f_toklen
+             |                        + f_rep + f_stop = 0
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+             |  FROM f
+             |),
+             |s AS (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'too_short' AS filter_name,
+             |         n_short AS n, n_docs FROM a
+             |  UNION ALL SELECT 2, 'too_long', n_long, n_docs FROM a
+             |  UNION ALL SELECT 3, 'odd_token_len', n_toklen, n_docs FROM a
+             |  UNION ALL SELECT 4, 'repetitive', n_rep, n_docs FROM a
+             |  UNION ALL SELECT 5, 'low_stopword', n_stopf, n_docs FROM a
+             |  UNION ALL SELECT 6, 'pass_all', n_pass, n_docs FROM a
+             |)
+             |SELECT stage, filter_name, n, n * 1000000 // n_docs AS ppm
+             |FROM s ORDER BY stage""".stripMargin)),
+
+    // --- Metadata-vs-content correlation: per-source Pearson r between
+    //     n_chars and token count from exact integer sufficient
+    //     statistics (one fixed-order IEEE expression → hashable).
+    QueryDef(
+      "q106_length_token_corr",
+      (s, dir) => TextAnalysis.lengthTokenCorr(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |              t -> t <> '')) AS BIGINT) AS y
+             |  FROM documents
+             |),
+             |a AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(x) AS BIGINT) AS sum_chars,
+             |         CAST(SUM(y) AS BIGINT) AS sum_tokens,
+             |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |         CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM per GROUP BY source
+             |)
+             |SELECT source, n_docs, sum_chars, sum_tokens,
+             |       CAST(n_docs * sxy - sum_chars * sum_tokens AS DOUBLE) /
+             |       (sqrt(CAST(n_docs * sxx - sum_chars * sum_chars
+             |                  AS DOUBLE)) *
+             |        sqrt(CAST(n_docs * syy - sum_tokens * sum_tokens
+             |                  AS DOUBLE))) AS corr
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // --- Token-length histogram with exact-ppm shares (subword
+    //     tokenizer design input); counts table persisted against a
+    //     double corpus scan.
+    QueryDef(
+      "q107_token_length_hist",
+      (s, dir) => TextAnalysis.tokenLengthHist(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |c AS (SELECT CAST(len(t) AS BIGINT) AS len,
+             |             CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM tok GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+             |SELECT c.len, c.n, c.n * 1000000 // tt.total AS share_ppm
+             |FROM c CROSS JOIN tt ORDER BY c.len""".stripMargin))
   )
 }

@@ -47,7 +47,12 @@ def main(sf_dir: str, out_dir: str, strict_dtype: bool = True) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    n_skip = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # subset Verify run (dev-only filter arg)
+            continue
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
@@ -80,7 +85,9 @@ def main(sf_dir: str, out_dir: str, strict_dtype: bool = True) -> int:
             continue
         tag = f" (dtype diff: {dtype_diff})" if dtype_diff else ""
         print(f"OK   {name}: {got.shape[0]} rows{tag}")
-    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
+    checked = len(oracle) - n_skip
+    skip_tag = f" ({n_skip} skipped: no result dir)" if n_skip else ""
+    print(f"\n{checked - n_bad}/{checked} queries match{skip_tag}")
     return 1 if n_bad else 0
 
 
