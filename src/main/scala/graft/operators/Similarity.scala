@@ -288,11 +288,14 @@ object Similarity {
     * bucketed by cluster id at scale; the probe join streams only the
     * probed clusters' vectors — never all-pairs.
     */
-  def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
-      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.install(emb.sparkSession)
-    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+  /** Per-vector similarity scores against a trained centroid table:
+    * (vec_id, k, score) with the pico-quantized exact arithmetic the
+    * oracle replays. Shared by [[trainedIvfTopK]] (probes + inverted
+    * file) and [[knnGraph]] (blocking assignment). Centroids broadcast
+    * (k×dim rows at any corpus size); the score agg is one corpus pass
+    * with map-side partials.
+    */
+  private def trainedScores(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cn = cent.groupBy("k")
       .agg((sum(floor(col("c") * col("c") * Q + 0.5)).cast("double") / Q)
         .as("cn2"))
@@ -300,12 +303,20 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
         col("vf").cast("double").as("v"))
-    val scores = dims.join(broadcast(cent), "i")
+    dims.join(broadcast(cent), "i")
       .groupBy(col("vec_id"), col("k"))
       .agg(sum(floor(col("v") * col("c") * Q + 0.5)).as("dq"))
       .join(broadcast(cn), "k")
       .select(col("vec_id"), col("k"),
         (col("dq").cast("double") / Q / sqrt(col("cn2"))).as("score"))
+  }
+
+  def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
+      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val scores = trainedScores(emb, cent)
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
     val assign = scores
@@ -335,6 +346,93 @@ object Similarity {
         row_number().over(w).cast("long").as("rnk"))
       .where(col("rnk") <= topK)
       .orderBy("qid", "rnk")
+  }
+
+  /** Approximate k-nearest-neighbor GRAPH over the whole corpus (every
+    * vector, not a bounded query set): each vector's top `neighbors`
+    * most-cosine-similar vectors within its trained-centroid block —
+    * the structure semantic-dedup clustering, diversity sampling, and
+    * graph-based label propagation all start from.
+    *
+    * Blocked, never all-pairs: vectors are assigned to their nearest
+    * trained centroid (the q52 quantizer — identical training), and
+    * candidates are the block self-join, so the pair count is
+    * Σ|block|² instead of N². At 100 TB the centroid count scales with
+    * N (k ≈ √N keeps blocks ~√N), the assignment table is written
+    * bucketed by k, and the self-join is shuffle-keyed on k — each
+    * block's pairs materialize only inside its partition. A vector
+    * whose block is a singleton emits no edges (matching the oracle).
+    *
+    * Determinism: assignment replays q52's exact pico-quantized
+    * scoring; edge cosines are [[graft.functions.CosineSimQ]]'s exact
+    * quantized arithmetic; ranks break ties on neighbor id.
+    */
+  def knnGraph(emb: DataFrame, neighbors: Int = 3, k: Int = 8,
+      sampleN: Int = 256, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("score"), col("k"))
+    val assign = trainedScores(emb, cent)
+      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("k"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cosine"), col("nbr"))
+    assign.select(col("vec_id").as("qid"), col("k"))
+      .join(assign.select(col("vec_id").as("nbr"), col("k")), "k")
+      .where(col("nbr") =!= col("qid"))
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid")
+      .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("nv")),
+        "nbr")
+      .select(col("qid").as("vec_id"), col("nbr"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+      .select(col("vec_id"), col("nbr"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= neighbors)
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Label outliers: for each label, the `k` member vectors with the
+    * LOWEST cosine to their own label's micro-centroid — the ranked
+    * label-noise worklist (mislabeled or out-of-distribution members)
+    * a curation pass reviews before trusting `label` as a stratum.
+    * Complements [[centroidAssignment]] (which says how much mass is
+    * misassigned; this names the specific vectors).
+    *
+    * Determinism: true cosine — integer dot of the micro-quantized
+    * vector against the shared [[microCentroids]], divided by
+    * (sqrt(|q|²)·sqrt(|c|²)) of exact-long norms in one fixed-order
+    * IEEE expression; ties rank by vec_id.
+    *
+    * Scale shape: centroids broadcast (|labels| rows); one corpus pass
+    * computes each vector's single own-label score (no candidate
+    * fan-out at all). The per-label bottom-k window shuffles 3 narrow
+    * columns keyed on label; with few labels and huge N, production
+    * would swap the window for a bounded k-heap aggregate per label —
+    * the composition is otherwise unchanged.
+    */
+  def labelOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
+    val cents = microCentroids(emb)
+    val vq = emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, " +
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))")
+        .as("qv"))
+      .withColumn("nq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score"), col("vec_id"))
+    vq.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), " +
+          "0L, (acc, p) -> acc + p)").cast("double") /
+          (sqrt(col("nq").cast("double")) *
+            sqrt(col("nsq").cast("double")))).as("score"))
+      .select(col("label"), col("vec_id"), col("score"),
+        row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= k)
+      .orderBy("label", "rk")
   }
 
   /** IVF top-k: assign each query to its nearest centroid (1-probe),

@@ -282,28 +282,55 @@ object DataPipeline {
            |cand AS (
            |  SELECT p.qid, a.tid
            |  FROM probes p JOIN assign a ON a.k = p.k AND a.tid <> p.qid),
-           |dot AS (
-           |  SELECT c.qid, c.tid,
-           |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
-           |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
-           |  FROM cand c JOIN dims q ON q.vec_id = c.qid
-           |              JOIN dims t ON t.vec_id = c.tid AND t.i = q.i
-           |  GROUP BY c.qid, c.tid),
-           |scored AS (
-           |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
-           |  FROM dot JOIN norm nq ON nq.vec_id = qid
-           |           JOIN norm nt ON nt.vec_id = tid),
-           |ranked AS (
-           |  SELECT qid, tid, cosine,
-           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
-           |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
-           |  FROM scored)""".stripMargin
+           |$IvfDotRankCte""".stripMargin
   }
+
+  /** Exact-rerank tail shared by every trained-quantizer oracle: a
+    * `cand(qid, tid)` set → pico-quantized dots → cosines → per-qid
+    * rank. Referenced by [[TrainedIvfChain]] (q52/q87) and the
+    * KNN-graph oracle (q108), which differ only in how `cand` is built
+    * (query probes vs whole-corpus block self-join).
+    */
+  private val IvfDotRankCte: String =
+    """dot AS (
+      |  SELECT c.qid, c.tid,
+      |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+      |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+      |  FROM cand c JOIN dims q ON q.vec_id = c.qid
+      |              JOIN dims t ON t.vec_id = c.tid AND t.i = q.i
+      |  GROUP BY c.qid, c.tid),
+      |scored AS (
+      |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cosine
+      |  FROM dot JOIN norm nq ON nq.vec_id = qid
+      |           JOIN norm nt ON nt.vec_id = tid),
+      |ranked AS (
+      |  SELECT qid, tid, cosine,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |              ORDER BY cosine DESC, tid) AS BIGINT) AS rnk
+      |  FROM scored)""".stripMargin
 
   private lazy val TrainedIvfOracle: String =
     "WITH " + DimsCte + ",\n" + TrainedIvfChain + "\n" +
       "SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 5\n" +
       "ORDER BY qid, rnk"
+
+  /** KNN-graph oracle: the same trained assignment as q52
+    * ([[TrainedIvfChain]]'s prefix, reused verbatim through `assign`)
+    * with candidates = whole-corpus block self-join, then the shared
+    * exact-rerank tail. Kept as prefix-splice rather than a copy so
+    * the two oracles can never drift.
+    */
+  private lazy val KnnGraphOracle: String = {
+    val prefix = TrainedIvfChain.substring(0,
+      TrainedIvfChain.indexOf(",\nprobes AS ("))
+    "WITH " + DimsCte + ",\n" + prefix + ",\n" +
+      """cand AS (
+        |  SELECT x.tid AS qid, y.tid AS tid
+        |  FROM assign x JOIN assign y ON y.k = x.k AND y.tid <> x.tid),
+        |""".stripMargin + IvfDotRankCte + "\n" +
+      "SELECT qid AS vec_id, tid AS nbr, cosine, rnk FROM ranked\n" +
+      "WHERE rnk <= 3 ORDER BY vec_id, rnk"
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2395,6 +2422,64 @@ object DataPipeline {
              |      FROM tok GROUP BY 1),
              |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
              |SELECT c.len, c.n, c.n * 1000000 // tt.total AS share_ppm
-             |FROM c CROSS JOIN tt ORDER BY c.len""".stripMargin))
+             |FROM c CROSS JOIN tt ORDER BY c.len""".stripMargin)),
+
+    // --- Whole-corpus approximate KNN graph, blocked by the q52
+    //     trained quantizer (identical training, spliced oracle
+    //     prefix) — Σ|block|² candidate pairs, never N².
+    QueryDef(
+      "q108_knn_graph",
+      (s, dir) => Similarity.knnGraph(Tables(s, dir, "embeddings")),
+      Some(KnnGraphOracle)),
+
+    // --- Label-noise worklist: per label, the 3 members with the
+    //     lowest cosine to their own label's micro-centroid (exact
+    //     quantized arithmetic shared with q91/q100).
+    QueryDef(
+      "q109_label_outliers",
+      (s, dir) => Similarity.labelOutliers(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT e.vec_id, e.label, d.i AS dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+             |              * 1000000 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings e
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+             |),
+             |c AS (
+             |  SELECT label, dim,
+             |         CAST(FLOOR(CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+             |              / COUNT(*)) AS BIGINT) AS cq
+             |  FROM q GROUP BY label, dim
+             |),
+             |n AS (
+             |  SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS nsq
+             |  FROM c GROUP BY label
+             |),
+             |vn AS (
+             |  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq
+             |  FROM q GROUP BY vec_id
+             |),
+             |dotp AS (
+             |  SELECT q.vec_id, q.label,
+             |         CAST(SUM(q.qv * c.cq) AS BIGINT) AS dot
+             |  FROM q JOIN c ON c.label = q.label AND c.dim = q.dim
+             |  GROUP BY q.vec_id, q.label
+             |),
+             |scored AS (
+             |  SELECT d.vec_id, d.label,
+             |         CAST(d.dot AS DOUBLE)
+             |           / (sqrt(CAST(vn.nq AS DOUBLE))
+             |              * sqrt(CAST(n.nsq AS DOUBLE))) AS score
+             |  FROM dotp d JOIN n ON n.label = d.label
+             |              JOIN vn ON vn.vec_id = d.vec_id
+             |),
+             |r AS (
+             |  SELECT label, vec_id, score,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY label
+             |              ORDER BY score, vec_id) AS BIGINT) AS rk
+             |  FROM scored
+             |)
+             |SELECT label, vec_id, score, rk FROM r
+             |WHERE rk <= 3 ORDER BY label, rk""".stripMargin))
   )
 }
