@@ -343,6 +343,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup ATTRIBUTION: for each batch document, its
+    * single best verified match in the existing corpus (max Jaccard,
+    * ties to the smallest corpus id) — the step after
+    * [[incrementalStatus]]'s keep/drop verdict: joining a new document
+    * to the CLUSTER it belongs to, so an incremental ingest can extend
+    * existing duplicate groups instead of re-clustering the corpus.
+    *
+    * Same candidate discipline as every near-dup operator here: LSH
+    * band buckets joined batch×index (cost scales with the BATCH, not
+    * the corpus), exact-Jaccard verification over candidate pairs
+    * only, then a struct-MAX argmax per batch doc (map-side partials;
+    * no window over the pair set). At 100 TB the corpus-side band
+    * table is the persisted LSH index [[incrementalStatus]] documents;
+    * nothing rescans the corpus text except the candidate shingle
+    * join, which is keyed on the candidates' doc ids.
+    */
+  def incrementalBestMatch(batch: DataFrame, existing: DataFrame,
+      threshold: Double = 0.5, bands: Int = 8): DataFrame = {
+    val bMh = minhash(batch, bands)
+    val eMh = minhash(existing, bands)
+      .select(col("band").as("eband"), col("minhash").as("eminhash"),
+        col("doc_id").as("eid"))
+    val cand = bMh
+      .join(eMh, col("band") === col("eband") &&
+        col("minhash") === col("eminhash"))
+      .select(col("doc_id"), col("eid")).distinct()
+    val bSh = shingles(batch)
+    val eSh = shingles(existing)
+      .select(col("doc_id").as("eid"), col("shingle"))
+    val bCnt = bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val eCnt = eSh.groupBy(col("eid")).agg(count(lit(1)).as("en"))
+    val verified = cand
+      .join(bSh.as("s1"), Seq("doc_id"))
+      .join(eSh.as("s2"),
+        col("s2.eid") === cand("eid") &&
+          col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("doc_id"), cand("eid"))
+      .agg(count(lit(1)).as("i"))
+      .join(bCnt, "doc_id").join(eCnt, "eid")
+      .select(col("doc_id"), col("eid"),
+        (col("i").cast("double") / (col("bn") + col("en") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val best = verified.groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("eid")).as("ne"))).as("m"))
+      .select(col("doc_id"), (-col("m.ne")).as("match_id"),
+        col("m.jaccard").as("jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("jaccard"),
+        when(col("match_id").isNotNull, "near_dup").otherwise("novel")
+          .as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Containment near-duplicates: ordered pairs where |A∩B|/|A| ≥
     * `threshold` — the ASYMMETRIC overlap that catches a document
     * embedded inside a larger one (quote inclusion, boilerplate

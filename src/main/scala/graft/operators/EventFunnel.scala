@@ -166,4 +166,53 @@ object EventFunnel {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy("cohort_week", "offset")
   }
+
+  /** Per-event-type inter-arrival profile: EXACT percentiles (lower
+    * median and ceil-p90) of the gaps in seconds between a user's
+    * consecutive events of the same type — the cadence signal that
+    * separates heartbeat-like telemetry from human-paced actions, and
+    * the input for sessionization-timeout and rate-limit tuning.
+    *
+    * Exact at scale without sorting the gap stream: gaps collapse into
+    * a (event_type, gap)-keyed count table (map-side partials; the
+    * distinct-gap domain is orders of magnitude smaller than the event
+    * count), percentiles read off the cumulative window over that
+    * DISTINCT-VALUE table, and the target ranks are integer
+    * arithmetic — `(n+1) DIV 2` and `ceil(0.9n) = (9n+9) DIV 10` —
+    * so the result is bit-identical on any engine at any parallelism
+    * (unlike approx_percentile, whose sketch merges are
+    * nondeterministic).
+    *
+    * Shuffles: one per-(user, type) window (the sessionize layout),
+    * one hash agg to the count table, one |distinct gaps|-sized
+    * window. Event-time arithmetic goes through [[graft.Tables
+    * .epochSec]], so the operator is agnostic to ts's physical type.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.Tables.epochSec(events).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .where(col("gap").isNotNull)
+    val c = gaps.groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // shared by the cumulative window and the totals agg
+    val t = c.groupBy("event_type").agg(sum(col("n")).as("n_gaps"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("gap"))
+    c.withColumn("cum", sum(col("n")).over(wc))
+      .join(t, "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n_gaps")).as("n_gaps"),
+        min(col("gap")).as("min_gap"),
+        min(when(col("cum") >= expr("(n_gaps + 1) DIV 2"), col("gap")))
+          .as("p50_gap"),
+        min(when(col("cum") >= expr("(9 * n_gaps + 9) DIV 10"), col("gap")))
+          .as("p90_gap"),
+        max(col("gap")).as("max_gap"))
+      .orderBy("event_type")
+  }
 }

@@ -111,6 +111,43 @@ object DataPipeline {
        |    ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND a.f % 2 = 0
        |)""".stripMargin
 
+  /** Parameterized variant of [[MinhashCte]] for oracles that need
+    * signatures over a relation OTHER than `documents` (e.g. a
+    * synthesized ingest batch): emits `{p}toks/{p}sh/{p}hh/{p}mins/
+    * {p}mh` over `rel` (which must expose doc_id + text). Identical
+    * hash family, banding, and key format; requires a shared
+    * `fns AS (SELECT unnest(range(16)) AS f)` CTE in scope. Returned
+    * pre-stripped so callers can splice it before their own
+    * `.stripMargin`.
+    */
+  private def minhashCteFor(rel: String, p: String): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+       |  FROM $rel
+       |),
+       |${p}sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM ${p}toks
+       |),
+       |${p}hh AS (
+       |  SELECT doc_id,
+       |         ${Dedup.hexToLongSql("md5(shingle)", 1, "strpos")} AS h1,
+       |         ${Dedup.hexToLongSql("md5(shingle)", 9, "strpos")} AS h2
+       |  FROM ${p}sh
+       |),
+       |${p}mins AS (
+       |  SELECT doc_id, f, MIN((h1 + f * h2) % 4294967296) AS mh
+       |  FROM ${p}hh CROSS JOIN fns
+       |  GROUP BY doc_id, f
+       |),
+       |${p}mh AS (
+       |  SELECT a.doc_id, a.f // 2 AS band, a.mh || '|' || b.mh AS minhash
+       |  FROM ${p}mins a JOIN ${p}mins b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND a.f % 2 = 0
+       |)""".stripMargin
+
   /** DuckDB spelling of the verified near-dup cluster labeling (extends
     * [[MinhashCte]]): banded candidates → exact-Jaccard verification →
     * recursive-CTE reachability closure → component-min labels `lab`
@@ -2431,6 +2468,112 @@ object DataPipeline {
       "q108_knn_graph",
       (s, dir) => Similarity.knnGraph(Tables(s, dir, "embeddings")),
       Some(KnnGraphOracle)),
+
+    // --- Exact inter-arrival percentiles per event type (lower median
+    //     + ceil-p90 of same-type per-user gaps) from the distinct-gap
+    //     cumulative table — deterministic, unlike approx_percentile.
+    QueryDef(
+      "q110_interarrival",
+      (s, dir) => EventFunnel.interArrival(Tables(s, dir, "events")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+             |  FROM events
+             |),
+             |g AS (
+             |  SELECT event_type,
+             |         sec - LAG(sec) OVER (PARTITION BY user_id, event_type
+             |              ORDER BY sec, event_id) AS gap
+             |  FROM e
+             |),
+             |c AS (
+             |  SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+             |),
+             |cum AS (
+             |  SELECT event_type, gap, n,
+             |         CAST(SUM(n) OVER (PARTITION BY event_type
+             |              ORDER BY gap) AS BIGINT) AS cum
+             |  FROM c
+             |),
+             |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_gaps
+             |      FROM c GROUP BY 1)
+             |SELECT cum.event_type, MIN(t.n_gaps) AS n_gaps,
+             |       MIN(cum.gap) AS min_gap,
+             |       MIN(CASE WHEN cum.cum >= (t.n_gaps + 1) // 2
+             |                THEN cum.gap END) AS p50_gap,
+             |       MIN(CASE WHEN cum.cum >= (9 * t.n_gaps + 9) // 10
+             |                THEN cum.gap END) AS p90_gap,
+             |       MAX(cum.gap) AS max_gap
+             |FROM cum JOIN t USING (event_type)
+             |GROUP BY cum.event_type
+             |ORDER BY cum.event_type""".stripMargin)),
+
+    // --- Incremental near-dup attribution: each batch doc's best
+    //     verified corpus match (cluster join for incremental ingest).
+    //     The batch is synthesized deterministically: every 17th doc
+    //     re-crawled with an appended token (a near-dup), every 23rd
+    //     token-reversed (novel) — identical construction both sides.
+    QueryDef(
+      "q111_incremental_match",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val nd = docs.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" upd")).as("text"))
+        val nov = docs.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        Dedup.incrementalBestMatch(nd.unionByName(nov), docs)
+      },
+      Some(s"""WITH fns AS (SELECT unnest(range(16)) AS f),
+             |batch AS (
+             |  SELECT doc_id + 3000000 AS doc_id, text || ' upd' AS text
+             |  FROM documents WHERE doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 4000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM documents WHERE doc_id % 23 = 0
+             |),
+             |${minhashCteFor("documents", "e")},
+             |${minhashCteFor("batch", "b")},
+             |cand AS (
+             |  SELECT DISTINCT b.doc_id AS new_id, e.doc_id AS old_id
+             |  FROM bmh b JOIN emh e
+             |    ON e.band = b.band AND e.minhash = b.minhash
+             |),
+             |bcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bn
+             |         FROM bsh GROUP BY 1),
+             |ecnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS en
+             |         FROM esh GROUP BY 1),
+             |inter AS (
+             |  SELECT c.new_id, c.old_id, CAST(COUNT(*) AS BIGINT) AS i
+             |  FROM cand c
+             |  JOIN bsh s1 ON s1.doc_id = c.new_id
+             |  JOIN esh s2 ON s2.doc_id = c.old_id
+             |               AND s2.shingle = s1.shingle
+             |  GROUP BY 1, 2
+             |),
+             |ver AS (
+             |  SELECT i.new_id, i.old_id,
+             |         CAST(i.i AS DOUBLE) / (bc.bn + ec.en - i.i) AS jaccard
+             |  FROM inter i JOIN bcnt bc ON bc.doc_id = i.new_id
+             |               JOIN ecnt ec ON ec.doc_id = i.old_id
+             |  WHERE CAST(i.i AS DOUBLE) / (bc.bn + ec.en - i.i) >= 0.5
+             |),
+             |best AS (
+             |  SELECT new_id, old_id, jaccard,
+             |         ROW_NUMBER() OVER (PARTITION BY new_id
+             |              ORDER BY jaccard DESC, old_id) AS rn
+             |  FROM ver
+             |)
+             |SELECT b.doc_id, best.old_id AS match_id, best.jaccard,
+             |       CASE WHEN best.old_id IS NULL THEN 'novel'
+             |            ELSE 'near_dup' END AS status
+             |FROM batch b LEFT JOIN best
+             |  ON best.new_id = b.doc_id AND best.rn = 1
+             |ORDER BY b.doc_id""".stripMargin)),
 
     // --- Label-noise worklist: per label, the 3 members with the
     //     lowest cosine to their own label's micro-centroid (exact
