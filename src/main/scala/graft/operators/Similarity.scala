@@ -316,7 +316,13 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
     val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    // Scores feed BOTH the inverted-file assignment and the probe
+    // ranking; Catalyst does not dedup shared subtrees, so without the
+    // persist the full corpus scoring pass runs twice (the q96 lesson).
+    // N·k narrow rows — MEMORY_AND_DISK spills rather than OOMs; at
+    // real scale this is the materialized inverted file.
     val scores = trainedScores(emb, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
     val assign = scores
@@ -373,10 +379,16 @@ object Similarity {
     val cent = trainedCentroids(emb, k, sampleN, iters).persist()
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
+    // The assignment table joins with ITSELF on k; unpersisted, each
+    // side re-runs the whole corpus scoring pass (the static plan
+    // showed 146 parquet scans before this persist). N 2-long-column
+    // rows — this is exactly the inverted file that would be written
+    // bucketed by k at real scale.
     val assign = trainedScores(emb, cent)
       .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cosine"), col("nbr"))
