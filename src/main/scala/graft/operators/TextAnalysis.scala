@@ -1211,4 +1211,47 @@ object TextAnalysis {
         expr("n * 1000000 DIV total").as("share_ppm"))
       .orderBy("len")
   }
+
+  /** Sub-document SEGMENT dedup report — the C4/RefinedWeb line-dedup
+    * analog for a corpus without natural line breaks: text splits into
+    * consecutive non-overlapping `segLen`-token segments (trailing
+    * partial kept), each segment is md5-fingerprinted, and a segment
+    * OCCURRENCE is "duplicated" when its fingerprint appears more than
+    * once corpus-wide. Per source: doc/segment counts, duplicated
+    * occurrences with exact-ppm rate, and the token mass inside
+    * duplicated segments — the "how much would line-dedup delete"
+    * planning number a curation run reads before enabling
+    * sub-document dedup.
+    *
+    * Scale shape: segments are built INSIDE the row (transform over
+    * sequence + slice — no token explode); the df table aggregates on
+    * the 128-bit digest (skew-free key); one digest-keyed join fans df
+    * back to occurrences (both sides bucketable by digest at 100 TB);
+    * the final agg is |sources|-bounded. Exact integer ppm via DIV.
+    */
+  def segmentDedup(docs: DataFrame, segLen: Int = 10): DataFrame = {
+    val occ = docs
+      .select(col("source"), col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("source"), col("doc_id"),
+        explode(when(size(col("w")) < 1, array()).otherwise(expr(
+          s"transform(sequence(1, (size(w) + ${segLen - 1}) div $segLen), " +
+            s"i -> concat_ws(' ', slice(w, (i - 1) * $segLen + 1, $segLen)))")))
+          .as("seg"))
+      .select(col("source"), col("doc_id"),
+        md5(col("seg").cast("binary")).as("fp"),
+        size(split(col("seg"), " ")).cast("long").as("n_tok"))
+    val df = occ.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    occ.join(df, "fp")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_segments"),
+        sum(when(col("df") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_segments"),
+        col("dup_segments"),
+        expr("dup_segments * 1000000 DIV n_segments").as("dup_seg_ppm"),
+        col("dup_tokens"))
+      .orderBy("source")
+  }
 }

@@ -2623,6 +2623,46 @@ object DataPipeline {
              |  FROM scored
              |)
              |SELECT label, vec_id, score, rk FROM r
-             |WHERE rk <= 3 ORDER BY label, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY label, rk""".stripMargin)),
+
+    // --- Sub-document segment dedup report (C4/RefinedWeb line-dedup
+    //     analog): non-overlapping 10-token segments, corpus-df on the
+    //     md5 fingerprint, per-source duplicated-occurrence mass.
+    QueryDef(
+      "q112_segment_dedup",
+      (s, dir) => TextAnalysis.segmentDedup(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |segs AS (
+             |  SELECT source, doc_id,
+             |         unnest(list_transform(range(1, (len(w) + 9) // 10 + 1),
+             |                i -> array_to_string(
+             |                       w[(i-1)*10+1 : (i-1)*10+10], ' ')))
+             |           AS seg
+             |  FROM toks
+             |),
+             |occ AS (
+             |  SELECT source, doc_id, md5(seg) AS fp,
+             |         CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tok
+             |  FROM segs
+             |),
+             |d AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df
+             |      FROM occ GROUP BY fp)
+             |SELECT o.source,
+             |       CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+             |       CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS dup_segments,
+             |       CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)
+             |            * 1000000 // COUNT(*) AS BIGINT) AS dup_seg_ppm,
+             |       CAST(SUM(CASE WHEN d.df > 1 THEN o.n_tok ELSE 0 END)
+             |            AS BIGINT) AS dup_tokens
+             |FROM occ o JOIN d USING (fp)
+             |GROUP BY o.source
+             |ORDER BY o.source""".stripMargin))
   )
 }

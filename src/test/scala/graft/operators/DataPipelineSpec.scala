@@ -1285,4 +1285,22 @@ class DataPipelineSpec extends SparkSpec {
       ("s1", 2L, 1L, 1L, 500000L),
       ("s2", 1L, 1L, 0L, 1000000L)))
   }
+
+  test("segmentDedup: shared segment counted per occurrence, partial tail kept") {
+    // segLen=3: doc1 = [a b c][d e f][g], doc2 = [a b c][x y]
+    // "a b c" has df=2 → 2 dup occurrences (3 tokens each);
+    // doc1 contributes 3 segments (incl. 1-token tail), doc2 two.
+    val d = Seq(
+      (1L, "a b c d e f g", "s1"),
+      (2L, "a b c x y", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.segmentDedup(d, segLen = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("s1", 1L, 3L, 1L, 333333L, 3L),
+      ("s2", 1L, 2L, 1L, 500000L, 3L)))
+  }
 }
