@@ -1254,4 +1254,26 @@ object TextAnalysis {
         col("dup_tokens"))
       .orderBy("source")
   }
+
+  /** Normalization dedup gain: how many additional documents exact
+    * dedup would collapse if texts were canonicalized first (lowercase
+    * + whitespace squeeze + trim) — the report that decides whether a
+    * normalize-then-dedup stage pays for itself on a crawl whose
+    * re-ingests differ only in casing/spacing. One corpus pass, two
+    * digest distinct-counts (the distinct runs on 128-bit md5 digests,
+    * never on payloads — the at-scale spelling), one output row.
+    */
+  def normalizationGain(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    docs
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("raw_distinct"),
+        countDistinct(md5(norm.cast("binary"))).as("norm_distinct"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("raw_distinct")).as("raw_redundant"),
+        (col("n_docs") - col("norm_distinct")).as("norm_redundant"),
+        (col("raw_distinct") - col("norm_distinct"))
+          .as("normalization_gain"))
+  }
 }

@@ -2663,6 +2663,41 @@ object DataPipeline {
              |            AS BIGINT) AS dup_tokens
              |FROM occ o JOIN d USING (fp)
              |GROUP BY o.source
-             |ORDER BY o.source""".stripMargin))
+             |ORDER BY o.source""".stripMargin)),
+
+    // --- Normalization dedup gain: the corpus unioned with a
+    //     deterministic noisy re-crawl (every 13th doc uppercased with
+    //     doubled spaces); reports how many extra docs collapse when
+    //     exact dedup runs on canonicalized text instead of raw bytes.
+    QueryDef(
+      "q114_norm_dedup_gain",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val noisy = docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            expr("replace(upper(text), ' ', '  ')").as("text"))
+        TextAnalysis.normalizationGain(
+          docs.select("doc_id", "text").unionByName(noisy))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 5000000, replace(upper(text), ' ', '  ')
+             |  FROM documents WHERE doc_id % 13 = 0
+             |),
+             |n AS (
+             |  SELECT md5(text) AS raw_fp,
+             |         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             |           AS norm_fp
+             |  FROM all_docs
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT)
+             |         AS raw_redundant,
+             |       CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS BIGINT)
+             |         AS norm_redundant,
+             |       CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp)
+             |            AS BIGINT) AS normalization_gain
+             |FROM n""".stripMargin))
   )
 }

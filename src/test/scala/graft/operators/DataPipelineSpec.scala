@@ -1303,4 +1303,15 @@ class DataPipelineSpec extends SparkSpec {
       ("s1", 1L, 3L, 1L, 333333L, 3L),
       ("s2", 1L, 2L, 1L, 500000L, 3L)))
   }
+
+  test("normalizationGain: casing/spacing dups collapse only after canon") {
+    // 1=2 raw dups; 3 is 1 uppercased+double-spaced (norm dup only);
+    // 4 unique. raw: 4 docs, 3 distinct; norm: 2 distinct.
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "A  B  C"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.normalizationGain(d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 1L, 2L, 1L))
+  }
 }
