@@ -1276,4 +1276,65 @@ object TextAnalysis {
         (col("raw_distinct") - col("norm_distinct"))
           .as("normalization_gain"))
   }
+
+  /** Robust-winnowing fingerprint density report (the MOSS scheme):
+    * positional word 3-gram hashes, a sliding window of `w` consecutive
+    * hashes, and from each window the MINIMUM hash is selected
+    * (ties → leftmost, enforced by packing the position into the low
+    * bits); consecutive windows that pick the same (hash, position)
+    * collapse, so the selected set has expected density 2/(w+1) while
+    * GUARANTEEING every `w+k-1`-token match window shares a selected
+    * fingerprint — the property plain min-k sketches (q38) lack.
+    * Reports per-source selection density — the index-size planning
+    * number for a winnowed plagiarism/contamination index.
+    *
+    * Determinism: hash = first 8 md5 hex digits as a long (the shared
+    * [[Dedup.hexToLongSql]] arithmetic); packed = hash·2²⁰ + (pos−1)
+    * (exact in a long for documents up to 2²⁰ shingles — 100× the
+    * corpus max; a longer doc would chunk first). Window MIN over a
+    * doc-keyed frame ordered by the unique position is total-ordered.
+    *
+    * Scale shape: the positional shingle frame shuffles once keyed on
+    * doc_id for the window (the sessionize layout — at 100 TB this is
+    * the one unavoidable shuffle, and it carries (source, doc_id, p,
+    * pos, packed) only); per-source totals come from row-level token
+    * arithmetic on `documents`, NOT a rescan of the window input; the
+    * final join is |sources|-bounded.
+    */
+  def winnowReport(docs: DataFrame, w: Int = 4): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val posFrame = toks
+      .select(col("source"), col("doc_id"),
+        (size(col("w")) - 2).as("p"),
+        posexplode(when(size(col("w")) < 3, array()).otherwise(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', slice(w, i, 3)))")))
+          .as(Seq("pos0", "shingle")))
+      .select(col("source"), col("doc_id"), col("p"),
+        (col("pos0") + 1).as("pos"),
+        (expr(Dedup.hexToLongSql("md5(cast(shingle as binary))", 1,
+          "instr")) * (1L << 20) + col("pos0")).as("packed"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = posFrame
+      .withColumn("msel", min(col("packed")).over(win))
+      .where(col("pos") <= greatest(col("p") - (w - 1), lit(1)))
+      .select(col("source"), col("doc_id"), col("msel"))
+      .distinct()
+    val perSrc = sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_prints"),
+        countDistinct(expr(s"msel div ${1L << 20}")).as("distinct_hashes"))
+    val totals = toks.groupBy(col("source"))
+      .agg(
+        sum(when(size(col("w")) >= 3, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(size(col("w")) >= 3, (size(col("w")) - 2).cast("long"))
+          .otherwise(0L)).as("n_positions"))
+    totals.join(perSrc, "source")
+      .select(col("source"), col("n_docs"), col("n_positions"),
+        col("n_prints"),
+        expr("n_prints * 1000000 DIV n_positions").as("print_ppm"),
+        col("distinct_hashes"))
+      .orderBy("source")
+  }
 }

@@ -2698,6 +2698,62 @@ object DataPipeline {
              |         AS norm_redundant,
              |       CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp)
              |            AS BIGINT) AS normalization_gain
-             |FROM n""".stripMargin))
+             |FROM n""".stripMargin)),
+
+    // --- Robust-winnowing fingerprint density (MOSS scheme): window
+    //     minimum over positional 3-gram hashes (w=4), leftmost
+    //     tie-break via position packed in the low 20 bits.
+    QueryDef(
+      "q113_winnow_density",
+      (s, dir) => TextAnalysis.winnowReport(Tables(s, dir, "documents")),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |shp AS (
+             |  SELECT source, doc_id, len(w) - 2 AS p,
+             |         unnest(range(1, greatest(len(w) - 1, 1))) AS pos,
+             |         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+             |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+             |  FROM toks
+             |),
+             |pf AS (
+             |  SELECT source, doc_id, p, pos,
+             |         ${Dedup.hexToLongSql("md5(shingle)", 1, "strpos")}
+             |           * 1048576 + (pos - 1) AS packed
+             |  FROM shp
+             |),
+             |sel AS (
+             |  SELECT DISTINCT source, doc_id, msel
+             |  FROM (
+             |    SELECT source, doc_id, p, pos,
+             |           MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             |             AS msel
+             |    FROM pf)
+             |  WHERE pos <= greatest(p - 3, 1)
+             |),
+             |per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prints,
+             |         CAST(COUNT(DISTINCT msel // 1048576) AS BIGINT)
+             |           AS distinct_hashes
+             |  FROM sel GROUP BY source
+             |),
+             |tot AS (
+             |  SELECT source,
+             |         CAST(SUM(CASE WHEN len(w) >= 3 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_docs,
+             |         CAST(SUM(CASE WHEN len(w) >= 3 THEN len(w) - 2
+             |                       ELSE 0 END) AS BIGINT) AS n_positions
+             |  FROM toks GROUP BY source
+             |)
+             |SELECT t.source, t.n_docs, t.n_positions, p.n_prints,
+             |       CAST(p.n_prints * 1000000 // t.n_positions AS BIGINT)
+             |         AS print_ppm,
+             |       p.distinct_hashes
+             |FROM tot t JOIN per p USING (source)
+             |ORDER BY t.source""".stripMargin))
   )
 }

@@ -1314,4 +1314,26 @@ class DataPipelineSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       (4L, 1L, 2L, 1L))
   }
+
+  test("winnowReport: 3-token doc selects its only hash; identical docs " +
+    "in different sources report identically") {
+    val d = Seq(
+      (1L, "a b c", "s1"),                       // P=1 → 1 selected print
+      (2L, "p q r s t u v w x y", "s2"),         // P=8
+      (3L, "p q r s t u v w x y", "s3"))         // same text, same prints
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.winnowReport(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    val Seq(s1, s2, s3) = r
+    assert(s1 == ("s1", 1L, 1L, 1L, 1000000L, 1L))
+    // identical text → identical selection (winnowing is content-pure)
+    assert(s2._2 == 1L && s2._3 == 8L)
+    assert(s2.copy(_1 = "s3") == s3)
+    // density bounded: selected ≤ window starts = P - w + 1 bounded
+    // below by 1; for P=8, w=4 → ≤ 5 starts, ≥ ceil(P/w)=2 distinct
+    assert(s2._4 >= 2L && s2._4 <= 5L)
+  }
 }
