@@ -632,4 +632,38 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sim(col("h")).as("simhash"))
   }
+
+  /** Shard-stitch detection: pairs (left, right) where the LAST `k`
+    * tokens of one document equal the FIRST `k` tokens of another —
+    * the signature of a crawl record split across shard boundaries
+    * with overlap, which a re-assembly pass would concatenate instead
+    * of keeping two truncated fragments (a common crawl-ingest defect
+    * that inflates doc counts and truncates training sequences).
+    *
+    * The join keys on the k-token phrase itself; phrases carried by
+    * more than `maxDf` documents on either side are dropped first —
+    * those are boilerplate openings/closings (q83's territory), not
+    * split points, and the cap bounds the per-phrase pair fan-out at
+    * maxDf² regardless of corpus size. One scan builds both boundary
+    * tables; at 100 TB both sides hash-partition on the phrase.
+    */
+  def stitchPairs(docs: DataFrame, k: Int = 5,
+      maxDf: Int = 100): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= k)
+    val lft = t.select(col("doc_id").as("left_id"),
+      expr(s"concat_ws(' ', slice(w, size(w) - ${k - 1}, $k))").as("phrase"))
+    val rgt = t.select(col("doc_id").as("right_id"),
+      expr(s"concat_ws(' ', slice(w, 1, $k))").as("phrase"))
+    val lc = lft.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+      .where(col("c") <= maxDf).select(col("phrase"))
+    val rc = rgt.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+      .where(col("c") <= maxDf).select(col("phrase"))
+    lft.join(rgt, "phrase")
+      .join(lc, Seq("phrase"), "left_semi")
+      .join(rc, Seq("phrase"), "left_semi")
+      .where(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"), col("phrase"))
+      .orderBy("left_id", "right_id")
+  }
 }

@@ -2754,6 +2754,71 @@ object DataPipeline {
              |         AS print_ppm,
              |       p.distinct_hashes
              |FROM tot t JOIN per p USING (source)
-             |ORDER BY t.source""".stripMargin))
+             |ORDER BY t.source""".stripMargin)),
+
+    // --- Shard-stitch detection: the corpus unioned with a
+    //     deterministic split mirror (every 19th doc >= 12 tokens cut
+    //     at the midpoint with a 5-token overlap); the operator finds
+    //     suffix == prefix pairs, df-capped against boilerplate.
+    QueryDef(
+      "q116_stitch_pairs",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val sp = docs
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+          .where(col("doc_id") % 19 === 0 && size(col("w")) >= 12)
+          .withColumn("m", expr("size(w) div 2"))
+        val partA = sp.select((col("doc_id") + 6000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(w, 1, m + 4))").as("text"))
+        val partB = sp.select((col("doc_id") + 7000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(w, m, size(w) - m + 1))").as("text"))
+        Dedup.stitchPairs(docs.select("doc_id", "text")
+          .unionByName(partA).unionByName(partB))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |sp AS (
+             |  SELECT doc_id, w, len(w) // 2 AS m
+             |  FROM toks WHERE doc_id % 19 = 0 AND len(w) >= 12
+             |),
+             |all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 6000000, array_to_string(w[1:m+4], ' ')
+             |  FROM sp
+             |  UNION ALL
+             |  SELECT doc_id + 7000000, array_to_string(w[m:len(w)], ' ')
+             |  FROM sp
+             |),
+             |tw AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM all_docs WHERE len(list_filter(
+             |    string_split(lower(text), ' '), t -> t <> '')) >= 5
+             |),
+             |lft AS (
+             |  SELECT doc_id AS left_id,
+             |         array_to_string(w[len(w)-4:len(w)], ' ') AS phrase
+             |  FROM tw
+             |),
+             |rgt AS (
+             |  SELECT doc_id AS right_id,
+             |         array_to_string(w[1:5], ' ') AS phrase
+             |  FROM tw
+             |),
+             |lc AS (SELECT phrase FROM lft GROUP BY phrase
+             |       HAVING COUNT(*) <= 100),
+             |rc AS (SELECT phrase FROM rgt GROUP BY phrase
+             |       HAVING COUNT(*) <= 100)
+             |SELECT l.left_id, r.right_id, l.phrase
+             |FROM lft l JOIN rgt r USING (phrase)
+             |JOIN lc USING (phrase) JOIN rc USING (phrase)
+             |WHERE l.left_id <> r.right_id
+             |ORDER BY l.left_id, r.right_id""".stripMargin))
   )
 }

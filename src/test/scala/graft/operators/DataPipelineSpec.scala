@@ -1336,4 +1336,19 @@ class DataPipelineSpec extends SparkSpec {
     // below by 1; for P=8, w=4 → ≤ 5 starts, ≥ ceil(P/w)=2 distinct
     assert(s2._4 >= 2L && s2._4 <= 5L)
   }
+
+  test("stitchPairs: suffix==prefix pairs found, boilerplate df-capped") {
+    val d = docs(
+      1L -> "a b c d e f g",   // ends with "c d e f g"
+      2L -> "c d e f g h i",   // starts with "c d e f g" → (1, 2)
+      3L -> "x y z w v u t")   // unrelated
+    val r = Dedup.stitchPairs(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq((1L, 2L, "c d e f g")))
+    // cap: a phrase shared by maxDf+1 right-sides drops entirely
+    val many = (10L to 12L).map(i => i -> "p q r s t tail")
+    val capped = docs((1L -> "x p q r s t") +: many: _*)
+    assert(Dedup.stitchPairs(capped, maxDf = 2).collect()
+      .forall(_.getString(2) != "p q r s t"))
+  }
 }
