@@ -142,6 +142,98 @@ object MediaPipeline {
     }.toDF().orderBy("media_id")
   }
 
+  /** Per-image perceptual hash row. */
+  final case class AHashRow(media_id: Long, ahash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
+    * raster: 8×8 strided downsample (integer strides w/8 × h/8 — exact
+    * for the generator's dimension family), integer mean, one bit per
+    * sample (`sample > mean`), packed little-endian-within-nibble into
+    * a 16-hex-char string — the same signature layout as
+    * [[Dedup.simhash]], so block bucketing and hex-digit hamming
+    * machinery apply unchanged. Brightness-shift-tolerant by
+    * construction (a non-wrapping constant shift moves samples and
+    * mean together, leaving every bit unchanged), which is exactly the
+    * near-dup class pixel-exact hashing misses.
+    */
+  def imageAHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeImage(pngMediaFromDocs(docs)).map { d =>
+      val sx = d.width / 8
+      val sy = d.height / 8
+      val s = new Array[Int](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = d.pixels(y * sy * d.width + x * sx) & 0xff
+          s(y * 8 + x) = v
+          sum += v
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      val sb = new StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        var n = 0
+        var b = 0
+        while (b < 4) {
+          if (s(4 * j + b) > mean) n |= 1 << b
+          b += 1
+        }
+        sb.append("0123456789abcdef".charAt(n))
+        j += 1
+      }
+      AHashRow(d.media_id, sb.toString)
+    }.toDF()
+  }
+
+  /** Image perceptual near-duplicate report: images collapse to their
+    * aHash first (exact perceptual groups — LINEAR, one hash agg),
+    * then near-links are found between GROUP REPRESENTATIVES via the
+    * q46 machinery: 4×4-hex-digit block bucketing (pigeonhole-complete
+    * for hamming ≤ 3) + per-hex-digit XOR popcount. Joining
+    * representatives, not members, bounds the pair join by the number
+    * of DISTINCT hashes — the collapse-then-link composition that
+    * keeps "report near-dups" from going quadratic in group size when
+    * a template image floods the corpus. Emits (a, b, n_a, n_b,
+    * hamming), 1 ≤ hamming ≤ `maxHamming`.
+    */
+  def imagePerceptualDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block bucketing is only complete for <= 3")
+    val rep = imageAHash(docs)
+      .groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("rep_id"),
+        count(lit(1)).as("n_images"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = rep.select(col("rep_id"), col("ahash"), col("n_images"),
+      explode(expr(
+        "transform(sequence(0, 3), bk -> struct(bk AS bk, substr(ahash, 1 + bk * 4, 4) AS block))"))
+        .as("b"))
+      .select(col("rep_id"), col("ahash"), col("n_images"),
+        col("b.bk"), col("b.block"))
+    val cand = blocks.as("b1")
+      .join(blocks.as("b2"),
+        col("b1.bk") === col("b2.bk") && col("b1.block") === col("b2.block") &&
+          col("b1.rep_id") < col("b2.rep_id"))
+      .select(col("b1.rep_id").as("a"), col("b2.rep_id").as("b"),
+        col("b1.ahash").as("ha"), col("b2.ahash").as("hb"),
+        col("b1.n_images").as("n_a"), col("b2.n_images").as("n_b"))
+      .distinct()
+    cand.select(col("a"), col("b"), col("n_a"), col("n_b"),
+        expr("""aggregate(sequence(0, 15), 0L, (acc, i) ->
+                  acc + CAST(substr('0112122312232334',
+                    CAST((instr('0123456789abcdef', substr(ha, i + 1, 1)) - 1)
+                       ^ (instr('0123456789abcdef', substr(hb, i + 1, 1)) - 1)
+                     AS INT) + 1, 1) AS BIGINT))""").as("hamming"))
+      .where(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** REAL image downsample: nearest-neighbor by integer stride over the
     * decoded raster — `out(x, y) = in(x·k, y·k)` — so the result is
     * deterministic across JVMs (no interpolation kernel) and, for the

@@ -2819,6 +2819,83 @@ object DataPipeline {
              |FROM lft l JOIN rgt r USING (phrase)
              |JOIN lc USING (phrase) JOIN rc USING (phrase)
              |WHERE l.left_id <> r.right_id
-             |ORDER BY l.left_id, r.right_id""".stripMargin))
+             |ORDER BY l.left_id, r.right_id""".stripMargin)),
+
+    // --- Image perceptual near-dup (aHash over the REAL PNG decode):
+    //     exact perceptual groups collapse linearly; near-links join
+    //     group representatives via 4-block bucketing + hex hamming.
+    //     The oracle recomputes every sampled pixel from the
+    //     generating formula, so a broken decode, stride, or
+    //     thresholding flips the hash.
+    QueryDef(
+      "q115_image_phash_dup",
+      (s, dir) =>
+        MediaPipeline.imagePerceptualDup(Tables(s, dir, "documents")),
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id,
+             |         16 + (doc_id % 4) * 8 AS w,
+             |         16 + (doc_id % 3) * 8 AS h
+             |  FROM documents
+             |),
+             |samp AS (
+             |  SELECT media_id, (y.y * 8 + x.x) AS bit_i,
+             |         (media_id * 31 +
+             |          (y.y * (h // 8) * w + x.x * (w // 8)) * 7) % 256 AS v
+             |  FROM imgs,
+             |       (SELECT unnest(range(8)) AS x) x,
+             |       (SELECT unnest(range(8)) AS y) y
+             |),
+             |m AS (SELECT media_id, SUM(v) // 64 AS mean
+             |      FROM samp GROUP BY 1),
+             |bits AS (
+             |  SELECT s.media_id, s.bit_i,
+             |         CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+             |  FROM samp s JOIN m USING (media_id)
+             |),
+             |nib AS (
+             |  SELECT media_id, bit_i // 4 AS j,
+             |         SUM(b * (CASE bit_i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+             |                  WHEN 2 THEN 4 ELSE 8 END)) AS n
+             |  FROM bits GROUP BY 1, 2
+             |),
+             |hashes AS (
+             |  SELECT media_id,
+             |         string_agg(substr('0123456789abcdef',
+             |                    CAST(n AS INT) + 1, 1), '' ORDER BY j)
+             |           AS ahash
+             |  FROM nib GROUP BY media_id
+             |),
+             |rep AS (
+             |  SELECT ahash, MIN(media_id) AS rep_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_images
+             |  FROM hashes GROUP BY 1
+             |),
+             |blk AS (
+             |  SELECT rep_id, ahash, n_images, t AS bk,
+             |         substr(ahash, 1 + CAST(t AS INT) * 4, 4) AS block
+             |  FROM rep, (SELECT unnest(range(4)) AS t)
+             |),
+             |cand AS (
+             |  SELECT DISTINCT b1.rep_id AS a, b2.rep_id AS b,
+             |         b1.ahash AS ha, b2.ahash AS hb,
+             |         b1.n_images AS n_a, b2.n_images AS n_b
+             |  FROM blk b1 JOIN blk b2
+             |    ON b1.bk = b2.bk AND b1.block = b2.block
+             |   AND b1.rep_id < b2.rep_id
+             |),
+             |pos AS (SELECT unnest(range(16)) AS i),
+             |ham AS (
+             |  SELECT a, b, n_a, n_b,
+             |    CAST(SUM(CAST(substr('0112122312232334',
+             |      CAST(xor(strpos('0123456789abcdef',
+             |                      substr(ha, CAST(i AS INT) + 1, 1)) - 1,
+             |               strpos('0123456789abcdef',
+             |                      substr(hb, CAST(i AS INT) + 1, 1)) - 1)
+             |           AS INT) + 1, 1) AS BIGINT)) AS BIGINT) AS hamming
+             |  FROM cand CROSS JOIN pos GROUP BY a, b, n_a, n_b
+             |)
+             |SELECT a, b, n_a, n_b, hamming FROM ham
+             |WHERE hamming BETWEEN 1 AND 3
+             |ORDER BY a, b""".stripMargin))
   )
 }

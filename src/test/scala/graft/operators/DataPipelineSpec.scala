@@ -1337,6 +1337,30 @@ class DataPipelineSpec extends SparkSpec {
     assert(s2._4 >= 2L && s2._4 <= 5L)
   }
 
+  test("imageAHash: real decode reproduces the formula-computed hash") {
+    val d = (0L to 23L).map(i => (i, "t")).toDF("doc_id", "text")
+    val hashes = MediaPipeline.imageAHash(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def formulaHash(id: Long): String = {
+      val w = (16 + (id % 4) * 8).toInt
+      val h = (16 + (id % 3) * 8).toInt
+      val s = (0 until 64).map { k =>
+        val y = k / 8; val x = k % 8
+        ((id * 31 + (y * (h / 8) * w + x * (w / 8)) * 7) % 256).toInt
+      }
+      val mean = s.map(_.toLong).sum / 64
+      (0 until 16).map { j =>
+        val n = (0 until 4).map(b => if (s(4 * j + b) > mean) 1 << b else 0).sum
+        "0123456789abcdef".charAt(n)
+      }.mkString
+    }
+    (0L to 23L).foreach(id => assert(hashes(id) == formulaHash(id), s"id=$id"))
+    // near-dup links: representatives only, ordered, hamming in [1, 3]
+    val pairs = MediaPipeline.imagePerceptualDup(d).collect()
+    assert(pairs.forall(p => p.getLong(0) < p.getLong(1) &&
+      p.getLong(4) >= 1 && p.getLong(4) <= 3))
+  }
+
   test("stitchPairs: suffix==prefix pairs found, boilerplate df-capped") {
     val d = docs(
       1L -> "a b c d e f g",   // ends with "c d e f g"
