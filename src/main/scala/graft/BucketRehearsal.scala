@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** DEV-SIDE scale rehearsal: proves the doc_id-keyed join family
+  * (q102 corpus diff, q103 index coverage, q111 incremental match —
+  * every "join documents to a doc-keyed side" shape) goes
+  * SHUFFLE-FREE when both sides are written bucketed by the join key,
+  * which is exactly how a 100 TB lakehouse lays these tables out.
+  *
+  * What it does:
+  *  1. writes `documents` and a derived embeddings-id table from the
+  *     given SF dir as bucketed tables (`bucketBy(N, doc_id)`, sorted);
+  *  2. runs the q103-shape left join plain-parquet vs bucketed, prints
+  *     the Exchange count in each physical plan and steady wall times.
+  *
+  * Expected: plain = 2 Exchanges (one per side) feeding a SortMergeJoin
+  * or SHJ; bucketed = 0 Exchanges (bucket-local join). The absolute
+  * win at this toy scale is bounded by the shuffle being small; the
+  * structural point is the Exchange disappearing — at 100 TB that
+  * Exchange IS the cost (a full re-shuffle of the fact table per
+  * query, vs none amortized across every doc-keyed join forever).
+  *
+  * Usage: runMain graft.BucketRehearsal [sfDir] [buckets] [iters]
+  */
+object BucketRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val buckets = args.lift(1).map(_.toInt).getOrElse(32)
+    val iters = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    // model the 100 TB regime: neither side of a fact-fact doc_id join
+    // broadcasts (at toy scale the planner would broadcast the 250k-row
+    // side and hide exactly the Exchange this rehearsal measures)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import spark.implicits._
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id AS doc_id", "label")
+
+    spark.sql("DROP TABLE IF EXISTS docs_b")
+    spark.sql("DROP TABLE IF EXISTS vecs_b")
+    // DROP on a fresh session's catalog does not remove a previous
+    // run's orphaned warehouse dirs — clear them or saveAsTable fails
+    // with LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("docs_b", "vecs_b").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    docs.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
+    vecs.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("vecs_b")
+
+    // the q103 shape: fact-side left join + per-source agg
+    def shape(d: DataFrame, v: DataFrame): DataFrame =
+      d.join(v, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count("label").as("n_indexed"))
+
+    def audit(name: String, df: DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      if (sys.env.contains("BUCKET_DUMP_PLANS")) println(s"=== $name\n$plan")
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[bucket] $name%-10s exchanges=$exchanges " +
+        times.map(t => f"$t%6.3f").mkString(" "))
+    }
+
+    audit("plain", shape(docs, vecs))
+    audit("bucketed", shape(spark.table("docs_b"), spark.table("vecs_b")))
+    spark.stop()
+  }
+}
