@@ -651,10 +651,16 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .where(size(col("w")) >= k)
+    // each boundary table feeds BOTH the pair join and its df cap;
+    // unpersisted, every consumer re-tokenizes the whole corpus (the
+    // q96/q108 shared-subtree rule). (id, k-token phrase) rows only —
+    // far narrower than the corpus; MEMORY_AND_DISK spills, not OOMs.
     val lft = t.select(col("doc_id").as("left_id"),
       expr(s"concat_ws(' ', slice(w, size(w) - ${k - 1}, $k))").as("phrase"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rgt = t.select(col("doc_id").as("right_id"),
       expr(s"concat_ws(' ', slice(w, 1, $k))").as("phrase"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lc = lft.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
       .where(col("c") <= maxDf).select(col("phrase"))
     val rc = rgt.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
