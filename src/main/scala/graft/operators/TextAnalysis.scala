@@ -1229,8 +1229,12 @@ object TextAnalysis {
     * back to occurrences (both sides bucketable by digest at 100 TB);
     * the final agg is |sources|-bounded. Exact integer ppm via DIV.
     */
-  def segmentDedup(docs: DataFrame, segLen: Int = 10): DataFrame = {
-    val occ = docs
+  /** Shared positional-segment frame used by [[segmentDedup]] (df join)
+    * and [[sourceSegmentOverlap]] (cross-source matrix): one row per
+    * segment occurrence with its md5 fingerprint.
+    */
+  private def segmentOccurrences(docs: DataFrame, segLen: Int): DataFrame =
+    docs
       .select(col("source"), col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .select(col("source"), col("doc_id"),
         explode(when(size(col("w")) < 1, array()).otherwise(expr(
@@ -1240,6 +1244,9 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"),
         md5(col("seg").cast("binary")).as("fp"),
         size(split(col("seg"), " ")).cast("long").as("n_tok"))
+
+  def segmentDedup(docs: DataFrame, segLen: Int = 10): DataFrame = {
+    val occ = segmentOccurrences(docs, segLen)
     val df = occ.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     occ.join(df, "fp")
       .groupBy(col("source"))
@@ -1253,6 +1260,43 @@ object TextAnalysis {
         expr("dup_segments * 1000000 DIV n_segments").as("dup_seg_ppm"),
         col("dup_tokens"))
       .orderBy("source")
+  }
+
+  /** Cross-source segment-overlap matrix: for every source pair, how
+    * many DISTINCT 10-token segments they share — the provenance map
+    * that tells a curation run which feeds mirror which (syndication,
+    * scraped re-posts, shared boilerplate) before per-source sampling
+    * weights are trusted. Emits (source_a, source_b, shared_segments,
+    * a_ppm, b_ppm) with exact-ppm shares of each side's distinct
+    * segment vocabulary.
+    *
+    * Scale shape: occurrences reduce to DISTINCT (fp, source) first —
+    * the big shuffle carries one row per distinct (segment, source);
+    * the self-join keys on the digest (skew-free, bucketable); a
+    * segment present in s sources expands to C(s,2) ≤ |sources|²/2
+    * pair rows, bounded by the source count, not the corpus. Output is
+    * ≤ |sources|² rows.
+    */
+  def sourceSegmentOverlap(docs: DataFrame, segLen: Int = 10): DataFrame = {
+    val fpSrc = segmentOccurrences(docs, segLen)
+      .select(col("fp"), col("source")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = fpSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"))
+    val pairs = fpSrc.as("x")
+      .join(fpSrc.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_segments"))
+    pairs
+      .join(vocab.select(col("source").as("source_a"),
+        col("n_segments").as("na")), "source_a")
+      .join(vocab.select(col("source").as("source_b"),
+        col("n_segments").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_segments"),
+        expr("shared_segments * 1000000 DIV na").as("a_ppm"),
+        expr("shared_segments * 1000000 DIV nb").as("b_ppm"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Normalization dedup gain: how many additional documents exact

@@ -2896,6 +2896,47 @@ object DataPipeline {
              |)
              |SELECT a, b, n_a, n_b, hamming FROM ham
              |WHERE hamming BETWEEN 1 AND 3
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- Cross-source segment-overlap matrix: distinct shared 10-token
+    //     segments per source pair, with exact-ppm shares of each
+    //     side's distinct segment vocabulary.
+    QueryDef(
+      "q117_source_seg_overlap",
+      (s, dir) =>
+        TextAnalysis.sourceSegmentOverlap(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |segs AS (
+             |  SELECT source, doc_id,
+             |         unnest(list_transform(range(1, (len(w) + 9) // 10 + 1),
+             |                i -> array_to_string(
+             |                       w[(i-1)*10+1 : (i-1)*10+10], ' ')))
+             |           AS seg
+             |  FROM toks
+             |),
+             |fpsrc AS (SELECT DISTINCT md5(seg) AS fp, source FROM segs),
+             |vocab AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |          FROM fpsrc GROUP BY source),
+             |pairs AS (
+             |  SELECT x.source AS source_a, y.source AS source_b,
+             |         CAST(COUNT(*) AS BIGINT) AS shared_segments
+             |  FROM fpsrc x JOIN fpsrc y
+             |    ON y.fp = x.fp AND x.source < y.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.source_a, p.source_b, p.shared_segments,
+             |       CAST(p.shared_segments * 1000000 // va.n AS BIGINT)
+             |         AS a_ppm,
+             |       CAST(p.shared_segments * 1000000 // vb.n AS BIGINT)
+             |         AS b_ppm
+             |FROM pairs p
+             |JOIN vocab va ON va.source = p.source_a
+             |JOIN vocab vb ON vb.source = p.source_b
+             |ORDER BY p.source_a, p.source_b""".stripMargin))
   )
 }

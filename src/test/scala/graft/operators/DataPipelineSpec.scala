@@ -1337,6 +1337,22 @@ class DataPipelineSpec extends SparkSpec {
     assert(s2._4 >= 2L && s2._4 <= 5L)
   }
 
+  test("sourceSegmentOverlap: shared distinct segments with exact ppm") {
+    // s1 has segments {a b c, d e f}; s2 has {a b c, x y z}
+    // (duplicate occurrence of "a b c" in s2 collapses) → shared = 1
+    val d = Seq(
+      (1L, "a b c d e f", "s1"),
+      (2L, "a b c x y z", "s2"),
+      (3L, "a b c q q q", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.sourceSegmentOverlap(d, segLen = 3).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(("s1", "s2", 1L, 500000L, 333333L)))
+  }
+
   test("imageAHash: real decode reproduces the formula-computed hash") {
     val d = (0L to 23L).map(i => (i, "t")).toDF("doc_id", "text")
     val hashes = MediaPipeline.imageAHash(d).collect()
