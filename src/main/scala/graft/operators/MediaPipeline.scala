@@ -203,9 +203,71 @@ object MediaPipeline {
     * a template image floods the corpus. Emits (a, b, n_a, n_b,
     * hamming), 1 ≤ hamming ≤ `maxHamming`.
     */
-  def imagePerceptualDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imagePerceptualDup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    signatureNearDup(imageAHash(docs), maxHamming)
+
+  /** 64-bit audio envelope hash over the REAL WAV decode: the PCM
+    * stream splits into 64 equal windows (the generator's lengths are
+    * all 64-divisible; a production stream pads the tail), each
+    * window's mean |amplitude| is its energy (integer floor), and a
+    * bit is set where window energy exceeds the clip's mean energy —
+    * the same 16-hex signature layout as [[imageAHash]], tolerant of
+    * uniform gain changes the way aHash tolerates brightness shifts.
+    */
+  def audioEnvelopeHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeWav(amWavMediaFromDocs(docs)).map { d =>
+      val n = d.samples.length
+      val winLen = n / 64
+      val e = new Array[Long](64)
+      var j = 0
+      while (j < 64) {
+        var sumAbs = 0L
+        var i = j * winLen
+        while (i < (j + 1) * winLen) {
+          sumAbs += math.abs(d.samples(i).toLong)
+          i += 1
+        }
+        e(j) = sumAbs / winLen
+        j += 1
+      }
+      var tot = 0L
+      j = 0
+      while (j < 64) { tot += e(j); j += 1 }
+      val mean = tot / 64
+      val sb = new StringBuilder(16)
+      j = 0
+      while (j < 16) {
+        var nib = 0
+        var b = 0
+        while (b < 4) {
+          if (e(4 * j + b) > mean) nib |= 1 << b
+          b += 1
+        }
+        sb.append("0123456789abcdef".charAt(nib))
+        j += 1
+      }
+      AHashRow(d.media_id, sb.toString)
+    }.toDF()
+  }
+
+  /** Audio perceptual near-dup report — [[imagePerceptualDup]]'s
+    * collapse-then-link composition over [[audioEnvelopeHash]].
+    */
+  def audioPerceptualDup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    signatureNearDup(audioEnvelopeHash(docs), maxHamming)
+
+  /** Shared collapse-then-link machinery over a (media_id, ahash)
+    * signature frame: exact groups collapse linearly on the 16-hex
+    * signature; near-links join group REPRESENTATIVES via q46's
+    * 4-block pigeonhole bucketing + per-hex-digit XOR popcount, so the
+    * pair join is bounded by the number of DISTINCT signatures.
+    */
+  private def signatureNearDup(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block bucketing is only complete for <= 3")
-    val rep = imageAHash(docs)
+    val rep = hashes
       .groupBy(col("ahash"))
       .agg(min(col("media_id")).as("rep_id"),
         count(lit(1)).as("n_images"))
@@ -314,6 +376,51 @@ object MediaPipeline {
         var i = 0
         while (i < n) {
           val s = (((id * 37 + i * 11) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", "audio/wav", n, 1, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Amplitude-modulated clip family for the perceptual-dedup gate:
+    * the carrier is [[wavMediaFromDocs]]'s sawtooth, scaled per 64th
+    * window by an id-keyed integer gain
+    * `g(i) = 1 + (doc_id*13 + (i/(n/64))*7) mod 16`, i.e.
+    * `s(i) = (carrier(i) · g(i)) / 16` with TRUNCATING division —
+    * exact integer arithmetic any engine replays (DuckDB's integer
+    * `//` truncates toward zero exactly like JVM `/`; floorDiv would
+    * disagree on negative samples — measured, one clip in 500 flipped
+    * a bit). The plain sawtooth is spectrally FLAT
+    * (measured: every clip's 64-window energy profile is constant, so
+    * envelope hashing collapses the whole corpus to one signature);
+    * the AM family gives clips a real envelope, with clips whose gain
+    * pattern aligns (same `doc_id·13 mod 16` phase) forming genuine
+    * perceptual-dup classes. Same REAL WAV encode as the base
+    * generator.
+    */
+  def amWavMediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (512 + (id % 4) * 128).toInt
+        val wl = n / 64
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val base = (((id * 37 + i * 11) % 65536) - 32768).toInt
+          val g = (1 + (id * 13 + (i / wl).toLong * 7) % 16).toInt
+          val s = (base * g) / 16 // truncating, = DuckDB's integer //
           pcm(2 * i) = (s & 0xff).toByte
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1

@@ -2937,6 +2937,85 @@ object DataPipeline {
              |FROM pairs p
              |JOIN vocab va ON va.source = p.source_a
              |JOIN vocab vb ON vb.source = p.source_b
-             |ORDER BY p.source_a, p.source_b""".stripMargin))
+             |ORDER BY p.source_a, p.source_b""".stripMargin)),
+
+    // --- Audio perceptual near-dup: 64-window envelope hash over the
+    //     REAL WAV decode of the AM clip family; same collapse-then-
+    //     link machinery as q115. The oracle recomputes every PCM
+    //     sample from the generating formula.
+    QueryDef(
+      "q118_audio_phash_dup",
+      (s, dir) =>
+        MediaPipeline.audioPerceptualDup(Tables(s, dir, "documents")),
+      Some("""WITH aud AS (
+             |  SELECT doc_id AS media_id, 512 + (doc_id % 4) * 128 AS n
+             |  FROM documents
+             |),
+             |samp AS (
+             |  SELECT media_id, i.i AS i,
+             |         ((media_id * 37 + i.i * 11) % 65536) - 32768 AS base,
+             |         1 + (media_id * 13 + (i.i // (n // 64)) * 7) % 16 AS g,
+             |         n // 64 AS wl
+             |  FROM aud, (SELECT unnest(range(896)) AS i) i
+             |  WHERE i.i < n
+             |),
+             |s2 AS (SELECT media_id, i, wl, (base * g) // 16 AS v FROM samp),
+             |wine AS (
+             |  SELECT media_id, i // wl AS j,
+             |         SUM(ABS(v)) // MIN(wl) AS e
+             |  FROM s2 GROUP BY media_id, i // wl
+             |),
+             |m AS (SELECT media_id, SUM(e) // 64 AS mean
+             |      FROM wine GROUP BY 1),
+             |bits AS (
+             |  SELECT w.media_id, w.j,
+             |         CASE WHEN w.e > m.mean THEN 1 ELSE 0 END AS b
+             |  FROM wine w JOIN m USING (media_id)
+             |),
+             |nib AS (
+             |  SELECT media_id, j // 4 AS jj,
+             |         SUM(b * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+             |                  WHEN 2 THEN 4 ELSE 8 END)) AS n
+             |  FROM bits GROUP BY 1, 2
+             |),
+             |hashes AS (
+             |  SELECT media_id,
+             |         string_agg(substr('0123456789abcdef',
+             |                    CAST(n AS INT) + 1, 1), '' ORDER BY jj)
+             |           AS ahash
+             |  FROM nib GROUP BY media_id
+             |),
+             |rep AS (
+             |  SELECT ahash, MIN(media_id) AS rep_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_images
+             |  FROM hashes GROUP BY 1
+             |),
+             |blk AS (
+             |  SELECT rep_id, ahash, n_images, t AS bk,
+             |         substr(ahash, 1 + CAST(t AS INT) * 4, 4) AS block
+             |  FROM rep, (SELECT unnest(range(4)) AS t)
+             |),
+             |cand AS (
+             |  SELECT DISTINCT b1.rep_id AS a, b2.rep_id AS b,
+             |         b1.ahash AS ha, b2.ahash AS hb,
+             |         b1.n_images AS n_a, b2.n_images AS n_b
+             |  FROM blk b1 JOIN blk b2
+             |    ON b1.bk = b2.bk AND b1.block = b2.block
+             |   AND b1.rep_id < b2.rep_id
+             |),
+             |pos AS (SELECT unnest(range(16)) AS i),
+             |ham AS (
+             |  SELECT a, b, n_a, n_b,
+             |    CAST(SUM(CAST(substr('0112122312232334',
+             |      CAST(xor(strpos('0123456789abcdef',
+             |                      substr(ha, CAST(i AS INT) + 1, 1)) - 1,
+             |               strpos('0123456789abcdef',
+             |                      substr(hb, CAST(i AS INT) + 1, 1)) - 1)
+             |           AS INT) + 1, 1) AS BIGINT)) AS BIGINT) AS hamming
+             |  FROM cand CROSS JOIN pos GROUP BY a, b, n_a, n_b
+             |)
+             |SELECT a, b, n_a, n_b, hamming FROM ham
+             |WHERE hamming BETWEEN 1 AND 3
+             |ORDER BY a, b""".stripMargin))
   )
 }

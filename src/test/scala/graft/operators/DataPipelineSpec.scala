@@ -1377,6 +1377,33 @@ class DataPipelineSpec extends SparkSpec {
       p.getLong(4) >= 1 && p.getLong(4) <= 3))
   }
 
+  test("audioEnvelopeHash: real WAV decode reproduces the formula hash") {
+    val d = (0L to 15L).map(i => (i, "t")).toDF("doc_id", "text")
+    val hashes = MediaPipeline.audioEnvelopeHash(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def formulaHash(id: Long): String = {
+      val n = (512 + (id % 4) * 128).toInt
+      val wl = n / 64
+      val e = (0 until 64).map { j =>
+        (0 until wl).map { o =>
+          val i = j * wl + o
+          val base = (((id * 37 + i * 11) % 65536) - 32768).toInt
+          val g = (1 + (id * 13 + j.toLong * 7) % 16).toInt
+          math.abs(((base * g) / 16).toLong)
+        }.sum / wl
+      }
+      val mean = e.sum / 64
+      (0 until 16).map { j =>
+        val nb = (0 until 4).map(b => if (e(4 * j + b) > mean) 1 << b else 0).sum
+        "0123456789abcdef".charAt(nb)
+      }.mkString
+    }
+    (0L to 15L).foreach(id => assert(hashes(id) == formulaHash(id), s"id=$id"))
+    val pairs = MediaPipeline.audioPerceptualDup(d).collect()
+    assert(pairs.forall(p => p.getLong(0) < p.getLong(1) &&
+      p.getLong(4) >= 1 && p.getLong(4) <= 3))
+  }
+
   test("stitchPairs: suffix==prefix pairs found, boilerplate df-capped") {
     val d = docs(
       1L -> "a b c d e f g",   // ends with "c d e f g"
