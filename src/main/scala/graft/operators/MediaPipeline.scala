@@ -258,6 +258,70 @@ object MediaPipeline {
   def audioPerceptualDup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     signatureNearDup(audioEnvelopeHash(docs), maxHamming)
 
+  /** Video shared-frame detection: per-frame aHash over the REAL
+    * demux + per-frame PNG decode (ALL frames, stride 1), then pairs
+    * of videos sharing at least `minShared` DISTINCT frame hashes —
+    * the clip-reuse / re-upload signal a video-dedup pass ranks
+    * before collapsing. Frame hashes carried by more than `maxDf`
+    * videos are dropped first (the black-frame/title-card analog —
+    * template frames, not reuse evidence), which bounds per-hash pair
+    * fan-out at maxDf² regardless of corpus size.
+    *
+    * Scale shape: frames reduce to DISTINCT (video, hash) before the
+    * hash-keyed self-join (one row per distinct frame signature per
+    * video); the persisted frame table is two narrow columns; output
+    * is df-capped pair rows.
+    */
+  def videoSharedFrames(docs: DataFrame, maxDf: Int = 20,
+      minShared: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fh = demuxVideo(videoMediaFromDocs(docs), stride = 1).map { fr =>
+      val sx = fr.width / 8
+      val sy = fr.height / 8
+      val s = new Array[Int](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = fr.pixels(y * sy * fr.width + x * sx) & 0xff
+          s(y * 8 + x) = v
+          sum += v
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      val sb = new StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        var nib = 0
+        var b = 0
+        while (b < 4) {
+          if (s(4 * j + b) > mean) nib |= 1 << b
+          b += 1
+        }
+        sb.append("0123456789abcdef".charAt(nib))
+        j += 1
+      }
+      AHashRow(fr.media_id, sb.toString)
+    }.toDF("media_id", "fhash")
+    val vf = fh.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = vf.groupBy(col("fhash")).agg(count(lit(1)).as("c"))
+      .where(col("c") <= maxDf).select(col("fhash"))
+    vf.as("x")
+      .join(vf.as("y"),
+        col("x.fhash") === col("y.fhash") &&
+          col("x.media_id") < col("y.media_id"))
+      .join(keep.as("k"), col("x.fhash") === col("k.fhash"), "left_semi")
+      .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
   /** Shared collapse-then-link machinery over a (media_id, ahash)
     * signature frame: exact groups collapse linearly on the 16-hex
     * signature; near-links join group REPRESENTATIVES via q46's

@@ -3016,6 +3016,63 @@ object DataPipeline {
              |)
              |SELECT a, b, n_a, n_b, hamming FROM ham
              |WHERE hamming BETWEEN 1 AND 3
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- Video shared-frame detection: per-frame aHash over the real
+    //     GVID demux + PNG decode; pairs of videos sharing >= 2
+    //     distinct frame hashes, template frames df-capped at 20.
+    QueryDef(
+      "q119_video_shared_frames",
+      (s, dir) =>
+        MediaPipeline.videoSharedFrames(Tables(s, dir, "documents")),
+      Some("""WITH vids AS (
+             |  SELECT doc_id AS media_id, 8 + (doc_id % 2) * 8 AS w,
+             |         8 + (doc_id % 3) * 4 AS h, 6 + doc_id % 5 AS nf
+             |  FROM documents
+             |),
+             |fr AS (
+             |  SELECT media_id, w, h, f.f AS f
+             |  FROM vids, (SELECT unnest(range(10)) AS f) f
+             |  WHERE f.f < nf
+             |),
+             |samp AS (
+             |  SELECT media_id, f, (y.y * 8 + x.x) AS bit_i,
+             |         (media_id * 31 + f * 13 +
+             |          (y.y * (h // 8) * w + x.x * (w // 8)) * 7) % 256 AS v
+             |  FROM fr,
+             |       (SELECT unnest(range(8)) AS x) x,
+             |       (SELECT unnest(range(8)) AS y) y
+             |),
+             |m AS (SELECT media_id, f, SUM(v) // 64 AS mean
+             |      FROM samp GROUP BY 1, 2),
+             |bits AS (
+             |  SELECT s.media_id, s.f, s.bit_i,
+             |         CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS b
+             |  FROM samp s JOIN m USING (media_id, f)
+             |),
+             |nib AS (
+             |  SELECT media_id, f, bit_i // 4 AS j,
+             |         SUM(b * (CASE bit_i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+             |                  WHEN 2 THEN 4 ELSE 8 END)) AS n
+             |  FROM bits GROUP BY 1, 2, 3
+             |),
+             |fh AS (
+             |  SELECT media_id, f,
+             |         string_agg(substr('0123456789abcdef',
+             |                    CAST(n AS INT) + 1, 1), '' ORDER BY j)
+             |           AS fhash
+             |  FROM nib GROUP BY 1, 2
+             |),
+             |vf AS (SELECT DISTINCT media_id, fhash FROM fh),
+             |dfc AS (SELECT fhash FROM vf GROUP BY fhash
+             |        HAVING COUNT(*) <= 20)
+             |SELECT x.media_id AS a, y.media_id AS b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM vf x JOIN vf y
+             |  ON y.fhash = x.fhash AND x.media_id < y.media_id
+             |JOIN dfc ON dfc.fhash = x.fhash
+             |GROUP BY 1, 2
+             |HAVING COUNT(*) >= 2
              |ORDER BY a, b""".stripMargin))
   )
 }

@@ -1404,6 +1404,16 @@ class DataPipelineSpec extends SparkSpec {
       p.getLong(4) >= 1 && p.getLong(4) <= 3))
   }
 
+  test("videoSharedFrames: pair invariants and real-decode consistency") {
+    val d = (0L to 23L).map(i => (i, "t")).toDF("doc_id", "text")
+    val r = MediaPipeline.videoSharedFrames(d).collect()
+    // ordered pairs, min-shared enforced
+    assert(r.forall(p => p.getLong(0) < p.getLong(1) && p.getLong(2) >= 2))
+    // determinism: identical run → identical rows
+    val r2 = MediaPipeline.videoSharedFrames(d).collect()
+    assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
   test("stitchPairs: suffix==prefix pairs found, boilerplate df-capped") {
     val d = docs(
       1L -> "a b c d e f g",   // ends with "c d e f g"
