@@ -54,4 +54,51 @@ object KeyStats {
         expr("n * n_keys * 100 DIV total").as("mean_mult_pct"))
       .orderBy("rk")
   }
+
+  /** Count-min-sketch calibration: builds a deterministic CMS
+    * (`rows`×`width` cells, hash family = md5(key||'|'||r) truncated
+    * to 32 bits mod width) over the key stream and reports, for the
+    * top-`k` EXACT heavy hitters, the sketch estimate next to the
+    * exact count with the exact-ppm overestimate — the error
+    * measurement that decides whether the sketch is trustworthy
+    * enough to replace the exact count table at stream scale.
+    *
+    * Why a CMS at 100 TB: cells are plain SUMs, so the sketch
+    * aggregates map-side into rows·width longs per partition and
+    * merges by addition — a CONSTANT-size, shuffle-light substitute
+    * for the |keys|-sized exact table when keys explode (per-URL, per
+    * n-gram). CMS never underestimates (min over row estimates), so
+    * `overestimate ≥ 0` always; the report pins how much.
+    *
+    * Everything is exact integer arithmetic over md5-derived hashes —
+    * bit-identical in any engine at any parallelism.
+    */
+  def cmsCalibration(df: DataFrame, keyCol: String, rows: Int = 4,
+      width: Int = 1024, k: Int = 10): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = counts
+      .select(col("key"), col("n"),
+        explode(expr(s"sequence(0, ${rows - 1})")).as("r"))
+      .select(col("key"), col("n"), col("r"),
+        md5(concat(col("key"), lit("|"), col("r").cast("string"))
+          .cast("binary")).as("h"))
+      .select(col("key"), col("n"), col("r"),
+        (expr(Dedup.hexToLongSql("h", 1, "instr")) % width).as("c"))
+    val cells = rc.groupBy(col("r"), col("c")).agg(sum(col("n")).as("cell"))
+    val est = rc.join(cells, Seq("r", "c"))
+      .groupBy(col("key"), col("n"))
+      .agg(min(col("cell")).as("est"))
+    val w = Window.orderBy(col("n").desc, col("key"))
+    est
+      .select(col("key"), col("n"), col("est"),
+        row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= k)
+      .select(col("key"), col("n").as("exact_n"), col("est").as("est_n"),
+        (col("est") - col("n")).as("overestimate"),
+        expr("(est - n) * 1000000 DIV n").as("over_ppm"), col("rk"))
+      .orderBy("rk")
+  }
 }

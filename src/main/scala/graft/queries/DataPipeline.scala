@@ -3073,6 +3073,44 @@ object DataPipeline {
              |JOIN dfc ON dfc.fhash = x.fhash
              |GROUP BY 1, 2
              |HAVING COUNT(*) >= 2
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- Count-min-sketch calibration: deterministic 4x1024 CMS over
+    //     the event user stream; top-10 exact heavy hitters with the
+    //     sketch estimate and exact-ppm overestimate.
+    QueryDef(
+      "q120_cms_calibration",
+      (s, dir) => KeyStats.cmsCalibration(
+        Tables(s, dir, "events"), "user_id"),
+      Some(s"""WITH counts AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS key,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1
+             |),
+             |rc AS (
+             |  SELECT key, n, r.r AS r,
+             |         ${Dedup.hexToLongSql(
+                          "md5(key || '|' || CAST(r.r AS VARCHAR))",
+                          1, "strpos")} % 1024 AS c
+             |  FROM counts, (SELECT unnest(range(4)) AS r) r
+             |),
+             |cells AS (SELECT r, c, CAST(SUM(n) AS BIGINT) AS cell
+             |          FROM rc GROUP BY 1, 2),
+             |est AS (
+             |  SELECT rc.key, rc.n, MIN(cells.cell) AS est
+             |  FROM rc JOIN cells USING (r, c)
+             |  GROUP BY 1, 2
+             |),
+             |ranked AS (
+             |  SELECT key, n, est,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key)
+             |              AS BIGINT) AS rk
+             |  FROM est
+             |)
+             |SELECT key, n AS exact_n, CAST(est AS BIGINT) AS est_n,
+             |       CAST(est - n AS BIGINT) AS overestimate,
+             |       CAST((est - n) * 1000000 // n AS BIGINT) AS over_ppm,
+             |       rk
+             |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin))
   )
 }

@@ -1404,6 +1404,20 @@ class DataPipelineSpec extends SparkSpec {
       p.getLong(4) >= 1 && p.getLong(4) <= 3))
   }
 
+  test("cmsCalibration: estimates never underestimate; exact at low load") {
+    // 3 distinct keys in a 4x1024 sketch → no collisions expected,
+    // but the invariant est >= exact holds regardless
+    val d = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .map(u => (u, "e")).toDF("user_id", "event_type")
+    val r = KeyStats.cmsCalibration(d, "user_id").collect()
+    assert(r.length == 3)
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1))) // est >= exact
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("1", 5L), ("2", 3L), ("3", 1L)))
+    // 3 keys across 4096 cells: collisions vanish → est == exact
+    assert(r.forall(x => x.getLong(3) == 0L))
+  }
+
   test("videoSharedFrames: pair invariants and real-decode consistency") {
     val d = (0L to 23L).map(i => (i, "t")).toDF("doc_id", "text")
     val r = MediaPipeline.videoSharedFrames(d).collect()
