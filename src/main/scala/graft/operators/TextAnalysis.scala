@@ -681,6 +681,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination calibration: builds a deterministic
+    * Bloom bitset over the benchmark shingles (`m` bits, `kh` md5-
+    * derived hash functions), probes every training document through
+    * it, and reports the flagged count next to the EXACT contaminated
+    * count ([[contaminated]]'s semi-join truth) with the exact-ppm
+    * false-positive rate over clean docs — the calibration that
+    * decides whether the broadcast-bitset sweep can replace the
+    * shingle join at stream scale.
+    *
+    * Why a Bloom at 100 TB: the bitset is m bits (2 KiB at the
+    * default) REGARDLESS of benchmark size — it broadcasts to every
+    * executor and the sweep is one corpus scan with a map-side probe,
+    * where the exact path shuffles the corpus shingle table. Bloom
+    * has NO false negatives (every truly contaminated doc is flagged;
+    * the report's `false_positives` is the only error direction), so
+    * the sweep is safe as a PRE-FILTER: at scale, run the cheap
+    * bitset sweep first and the exact join only over the flagged
+    * sliver.
+    *
+    * Determinism: bit j of a shingle = md5(shingle||'|'||j) truncated
+    * to 32 bits mod m — same bytes in any engine.
+    */
+  def bloomDecontCalibration(docs: DataFrame, isBenchmark: Column,
+      m: Int = 16384, kh: Int = 4): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val benchIds = docs.where(isBenchmark)
+      .select(col("doc_id").as("bench_id"))
+    val benchShingles = sh
+      .join(benchIds, sh("doc_id") === col("bench_id"), "left_semi")
+      .select(col("shingle")).distinct()
+    val bits = benchShingles
+      .select(col("shingle"), explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
+      .select(md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
+        .cast("binary")).as("h"))
+      .select((expr(Dedup.hexToLongSql("h", 1, "instr")) % m).as("pos"))
+      .distinct()
+    val trainSh = sh
+      .join(benchIds, sh("doc_id") === col("bench_id"), "left_anti")
+      .distinct()
+    val probes = trainSh
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
+      .select(col("doc_id"), col("shingle"),
+        md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
+          .cast("binary")).as("h"))
+      .select(col("doc_id"), col("shingle"),
+        (expr(Dedup.hexToLongSql("h", 1, "instr")) % m).as("pos"))
+    val flagged = probes.join(broadcast(bits), "pos")
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") === kh)
+      .select(col("doc_id")).distinct()
+    val exactSet = trainSh
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val nTrain = docs.where(!isBenchmark)
+      .agg(count(lit(1)).as("n_train_docs"))
+    nTrain
+      .crossJoin(broadcast(exactSet.agg(
+        count(lit(1)).as("exact_contaminated"))))
+      .crossJoin(broadcast(flagged.agg(
+        count(lit(1)).as("bloom_flagged"))))
+      .select(col("n_train_docs"), col("exact_contaminated"),
+        col("bloom_flagged"),
+        (col("bloom_flagged") - col("exact_contaminated"))
+          .as("false_positives"),
+        expr("""(bloom_flagged - exact_contaminated) * 1000000
+                DIV (n_train_docs - exact_contaminated)""")
+          .as("fp_ppm_clean"))
+  }
+
   /** Repetition quality filter (Gopher-style): per-document duplicate
     * word-bigram statistics — total vs distinct bigrams, the hottest
     * bigram's count, and the duplicate fraction, with a flag at the

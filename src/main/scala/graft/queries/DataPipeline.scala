@@ -3111,6 +3111,67 @@ object DataPipeline {
              |       CAST(est - n AS BIGINT) AS overestimate,
              |       CAST((est - n) * 1000000 // n AS BIGINT) AS over_ppm,
              |       rk
-             |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin))
+             |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin)),
+
+    // --- Bloom-filter decontamination calibration: 16384-bit / 4-hash
+    //     bitset over the q57 benchmark shingles, probed by every
+    //     training doc; flagged vs exact-contaminated with exact-ppm
+    //     false-positive rate over clean docs.
+    QueryDef(
+      "q121_bloom_decontamination",
+      (s, dir) => TextAnalysis.bloomDecontCalibration(
+        Tables(s, dir, "documents"), col("doc_id") % 97 === 0),
+      Some(s"""WITH $ShinglesCte,
+             |bench AS (SELECT doc_id AS bench_id FROM documents
+             |          WHERE doc_id % 97 = 0),
+             |bsh AS (
+             |  SELECT DISTINCT s.shingle
+             |  FROM sh s JOIN bench b ON s.doc_id = b.bench_id
+             |),
+             |bits AS (
+             |  SELECT DISTINCT
+             |    ${Dedup.hexToLongSql(
+                    "md5(shingle || '|' || CAST(j.j AS VARCHAR))",
+                    1, "strpos")} % 16384 AS pos
+             |  FROM bsh, (SELECT unnest(range(4)) AS j) j
+             |),
+             |tsh AS (
+             |  SELECT DISTINCT s.doc_id, s.shingle FROM sh s
+             |  WHERE s.doc_id % 97 <> 0
+             |),
+             |probes AS (
+             |  SELECT doc_id, shingle,
+             |    ${Dedup.hexToLongSql(
+                    "md5(shingle || '|' || CAST(j.j AS VARCHAR))",
+                    1, "strpos")} % 16384 AS pos
+             |  FROM tsh, (SELECT unnest(range(4)) AS j) j
+             |),
+             |flagged AS (
+             |  SELECT DISTINCT doc_id
+             |  FROM (SELECT p.doc_id, p.shingle, COUNT(*) AS hits
+             |        FROM probes p JOIN bits ON bits.pos = p.pos
+             |        GROUP BY 1, 2)
+             |  WHERE hits = 4
+             |),
+             |exact AS (
+             |  SELECT DISTINCT t.doc_id
+             |  FROM tsh t JOIN bsh USING (shingle)
+             |),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs
+             |        FROM documents WHERE NOT (doc_id % 97 = 0))
+             |SELECT t.n_train_docs,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+             |         AS exact_contaminated,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
+             |         AS bloom_flagged,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
+             |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+             |         AS false_positives,
+             |       CAST(((SELECT COUNT(*) FROM flagged)
+             |             - (SELECT COUNT(*) FROM exact)) * 1000000
+             |            // (t.n_train_docs
+             |                - (SELECT COUNT(*) FROM exact)) AS BIGINT)
+             |         AS fp_ppm_clean
+             |FROM tot t""".stripMargin))
   )
 }

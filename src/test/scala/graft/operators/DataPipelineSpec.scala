@@ -1404,6 +1404,21 @@ class DataPipelineSpec extends SparkSpec {
       p.getLong(4) >= 1 && p.getLong(4) <= 3))
   }
 
+  test("bloomDecontCalibration: no false negatives; counts consistent") {
+    // doc 10 is the benchmark; 1 shares a shingle with it, 2 doesn't
+    val d = docs(
+      10L -> "alpha beta gamma delta",
+      1L -> "alpha beta gamma zeta xi",
+      2L -> "completely different tokens here")
+    val r = TextAnalysis.bloomDecontCalibration(
+      d, col("doc_id") === 10L).collect().head
+    val (n, exact, flagged, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == 2L && exact == 1L)
+    assert(flagged >= exact) // Bloom never misses a contaminated doc
+    assert(fp == flagged - exact && fp >= 0L)
+  }
+
   test("cmsCalibration: estimates never underestimate; exact at low load") {
     // 3 distinct keys in a 4x1024 sketch → no collisions expected,
     // but the invariant est >= exact holds regardless
