@@ -708,9 +708,14 @@ object TextAnalysis {
     val sh = Dedup.shingles(docs)
     val benchIds = docs.where(isBenchmark)
       .select(col("doc_id").as("bench_id"))
+    // benchmark shingles feed the bitset AND the exact-truth probe;
+    // train shingles feed the Bloom probe AND the exact-truth side —
+    // both persist or each consumer re-runs the corpus shingle pass
+    // (the shared-subtree rule; frames are narrow)
     val benchShingles = sh
       .join(benchIds, sh("doc_id") === col("bench_id"), "left_semi")
       .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = benchShingles
       .select(col("shingle"), explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
       .select(md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
@@ -720,6 +725,7 @@ object TextAnalysis {
     val trainSh = sh
       .join(benchIds, sh("doc_id") === col("bench_id"), "left_anti")
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = trainSh
       .select(col("doc_id"), col("shingle"),
         explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
