@@ -1,0 +1,32 @@
+package graft
+
+/** DEV-SIDE k-scaling sweep for the blocked KNN graph (q108): the
+  * candidate term is Σ|block|² = N²/k, so the blocking parameter must
+  * GROW with the corpus (k ≈ √N keeps blocks ~√N); the gate pins
+  * correctness at the small-SF default (k=8), and this harness
+  * measures what the right k buys at replica scale.
+  *
+  * Usage: runMain graft.ProfileKnn [sfDir] [iters] [k1,k2,...]
+  */
+object ProfileKnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf50")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val ks = args.lift(2).getOrElse("8,32,64,128")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (k <- ks) {
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Similarity
+          .knnGraph(Tables(spark, sfDir, "embeddings"),
+            k = k, sampleN = math.max(256, 2 * k))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[knn] k=$k%-4d " + times.map(t => f"$t%8.3f").mkString(" "))
+    }
+    spark.stop()
+  }
+}

@@ -296,19 +296,36 @@ object Similarity {
     * with map-side partials.
     */
   private def trainedScores(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val cn = cent.groupBy("k")
-      .agg((sum(floor(col("c") * col("c") * Q + 0.5)).cast("double") / Q)
-        .as("cn2"))
-    val dims = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"),
-        col("vf").cast("double").as("v"))
-    dims.join(broadcast(cent), "i")
-      .groupBy(col("vec_id"), col("k"))
-      .agg(sum(floor(col("v") * col("c") * Q + 0.5)).as("dq"))
-      .join(broadcast(cn), "k")
-      .select(col("vec_id"), col("k"),
-        (col("dq").cast("double") / Q / sqrt(col("cn2"))).as("score"))
+    // The centroid table is quantizer-sized (k×d), never corpus-sized —
+    // collect it once and re-emit it as ONE in-plan array literal, so
+    // scoring is a per-row higher-order function over N·k rows with NO
+    // join and NO aggregation. The previous formulation (posexplode →
+    // dims ⋈ broadcast(cent) on i → hash agg) pushed N·d·k rows
+    // through an aggregate — 1e9+ rows at the 50× replica once k
+    // scales with N. Arithmetic is the identical IEEE sequence per
+    // element (floor((v·c)·Q + 0.5), summed as exact integer-valued
+    // doubles ≤ d terms), so scores are bit-equal and the oracle
+    // parity is unchanged.
+    val rows = cent.collect().map { r =>
+      (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue,
+        r.get(2).asInstanceOf[Number].doubleValue)
+    }
+    val kStructs = rows.map(_._1).distinct.sorted.map { kid =>
+      val cs = rows.filter(_._1 == kid).sortBy(_._2).map(_._3).toSeq
+      val cn2 = cs.map(c => math.floor(c * c * Q + 0.5)).sum / Q
+      struct(lit(kid).as("k"),
+        array(cs.map(lit(_)): _*).as("cvec"),
+        lit(cn2).as("cn2"))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+        explode(array(kStructs.toSeq: _*)).as("kc"))
+      .select(col("vec_id"), col("kc.k").as("k"),
+        (aggregate(
+          zip_with(col("embedding"), col("kc.cvec"),
+            (x, c) => floor(x.cast("double") * c * lit(Q) + lit(0.5))),
+          lit(0.0d), (acc, x) => acc + x)
+          .cast("double") / Q / sqrt(col("kc.cn2"))).as("score"))
   }
 
   def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
