@@ -380,20 +380,32 @@ object Similarity {
     * Blocked, never all-pairs: vectors are assigned to their nearest
     * trained centroid (the q52 quantizer — identical training), and
     * candidates are the block self-join, so the pair count is
-    * Σ|block|² instead of N². At 100 TB the centroid count scales with
-    * N (k ≈ √N keeps blocks ~√N), the assignment table is written
-    * bucketed by k, and the self-join is shuffle-keyed on k — each
-    * block's pairs materialize only inside its partition. A vector
-    * whose block is a singleton emits no edges (matching the oracle).
+    * Σ|block|² ≈ N²/k instead of N². The blocking parameter therefore
+    * MUST grow with the corpus: k ≈ √(N/2) keeps blocks ~√N and the
+    * candidate volume linear-ish in N. `k = 0` (the default) derives
+    * it that way from a corpus count; a FIXED small k at large N is a
+    * disguised all-pairs — measured: k=8 on the 250k-vector replica
+    * spilled the pair join past 79 GB of local disk before finishing.
+    * The gate pins k=8 at small SF where blocks are ~60 vectors. At
+    * 100 TB the assignment table is written bucketed by k and the
+    * self-join is shuffle-keyed on k — each block's pairs materialize
+    * only inside its partition. A vector whose block is a singleton
+    * emits no edges (matching the oracle).
     *
     * Determinism: assignment replays q52's exact pico-quantized
     * scoring; edge cosines are [[graft.functions.CosineSimQ]]'s exact
-    * quantized arithmetic; ranks break ties on neighbor id.
+    * quantized arithmetic; ranks break ties on neighbor id. The
+    * auto-derived k is a pure function of the corpus COUNT, so a
+    * replaying engine derives the same value.
     */
-  def knnGraph(emb: DataFrame, neighbors: Int = 3, k: Int = 8,
+  def knnGraph(emb: DataFrame, neighbors: Int = 3, k: Int = 0,
       sampleN: Int = 256, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val kEff =
+      if (k > 0) k
+      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
+    val cent = trainedCentroids(emb, kEff,
+      math.max(sampleN, 2 * kEff), iters).persist()
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
     // The assignment table joins with ITSELF on k; unpersisted, each

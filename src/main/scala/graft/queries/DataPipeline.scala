@@ -2466,7 +2466,11 @@ object DataPipeline {
     //     prefix) — Σ|block|² candidate pairs, never N².
     QueryDef(
       "q108_knn_graph",
-      (s, dir) => Similarity.knnGraph(Tables(s, dir, "embeddings")),
+      // k pinned to the oracle's replayed quantizer size; the
+      // operator's k=0 default derives k ≈ sqrt(N/2) instead (the
+      // scale-correct blocking — see the knnGraph scaladoc)
+      (s, dir) =>
+        Similarity.knnGraph(Tables(s, dir, "embeddings"), k = 8),
       Some(KnnGraphOracle)),
 
     // --- Exact inter-arrival percentiles per event type (lower median
