@@ -753,8 +753,12 @@ object TextAnalysis {
         col("bloom_flagged"),
         (col("bloom_flagged") - col("exact_contaminated"))
           .as("false_positives"),
-        expr("""(bloom_flagged - exact_contaminated) * 1000000
-                DIV (n_train_docs - exact_contaminated)""")
+        // a fully-contaminated corpus has no clean docs to rate FPs
+        // over (real on replicas that repeat texts) — report 0, not
+        // a division-by-zero
+        when(col("n_train_docs") === col("exact_contaminated"), 0L)
+          .otherwise(expr("""(bloom_flagged - exact_contaminated)
+                * 1000000 DIV (n_train_docs - exact_contaminated)"""))
           .as("fp_ppm_clean"))
   }
 

@@ -3171,11 +3171,13 @@ object DataPipeline {
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
              |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
              |         AS false_positives,
-             |       CAST(((SELECT COUNT(*) FROM flagged)
-             |             - (SELECT COUNT(*) FROM exact)) * 1000000
-             |            // (t.n_train_docs
-             |                - (SELECT COUNT(*) FROM exact)) AS BIGINT)
-             |         AS fp_ppm_clean
+             |       CASE WHEN t.n_train_docs = (SELECT COUNT(*) FROM exact)
+             |            THEN CAST(0 AS BIGINT)
+             |            ELSE CAST(((SELECT COUNT(*) FROM flagged)
+             |                  - (SELECT COUNT(*) FROM exact)) * 1000000
+             |                 // (t.n_train_docs
+             |                     - (SELECT COUNT(*) FROM exact)) AS BIGINT)
+             |       END AS fp_ppm_clean
              |FROM tot t""".stripMargin))
   )
 }
