@@ -706,4 +706,94 @@ object Similarity {
           .as("recall"))
       .orderBy("qid")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    * the corpus with the trained coarse quantizer (the q52 k-means,
+    * identical training), then inside each cluster drop every vector
+    * that has a LOWER-id cluster-mate with cosine ≥ `threshold`. The
+    * report is per-cluster: members, dropped, and the keep rate — the
+    * curation summary a pipeline reads before committing the prune.
+    *
+    * Blocked, never all-pairs (the SemDeDup design point): candidate
+    * pairs exist only within a cluster, so the pair count is Σ|cluster|²
+    * ≈ N²/k, and the cluster count is the blocking parameter — at real
+    * scale k grows ~√(N/2) exactly as [[knnGraph]] derives, the
+    * assignment table is written bucketed by cluster id, and the
+    * self-join shuffles on it. The gate pins k=8 at small SF.
+    *
+    * `threshold` is corpus-calibrated: this driver's synthetic
+    * embeddings are near-orthogonal (all-pairs max cosine ≈ 0.51 at
+    * sf0.01), so the gate uses 0.25 to exercise the prune; production
+    * embedding corpora sit at 0.95+. Determinism: assignment replays
+    * q52's pico-quantized scoring; pair cosines are
+    * [[graft.functions.CosineSimQ]] exact quantized arithmetic; the
+    * keep-lowest-id rule needs no tie-breaking.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.25, k: Int = 8,
+      sampleN: Int = 256, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("score"), col("k"))
+    // self-joined on cluster id below — unpersisted, each side replays
+    // the whole corpus scoring pass (the knnGraph lesson)
+    val assign = trainedScores(emb, cent)
+      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val dropped = assign.select(col("k"), col("vec_id").as("a"))
+      .join(assign.select(col("k"), col("vec_id").as("b")), "k")
+      .where(col("a") < col("b"))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("av")),
+        "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("bv")),
+        "b")
+      .where(cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assign
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"),
+        "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("k").cast("long").as("cluster"), col("n_vectors"),
+        col("n_dropped"),
+        expr("(n_vectors - n_dropped) * 1000000 DIV n_vectors")
+          .as("keep_ppm"))
+      .orderBy("cluster")
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most-similar vectors carrying a DIFFERENT label — the negatives an
+    * embedding-model trainer wants (similar enough to be hard, labelled
+    * different so they are true negatives).
+    *
+    * Scale shape: identical build-side discipline to [[cosineTopK]] —
+    * the bounded query set broadcasts with its labels, the corpus
+    * streams, and the label inequality prunes before any vector math;
+    * at real scale the corpus side would first be blocked by the
+    * trained quantizer exactly as [[knnGraph]] does. Determinism:
+    * quantized cosine, ties rank by tid.
+    */
+  def hardNegatives(emb: DataFrame, maxQid: Long = 10, k: Int = 3):
+      DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val q = emb.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("label").as("tlabel"))
+    val scored = broadcast(q).join(t, col("tlabel") =!= col("qlabel"))
+      .select(col("qid"), col("tid"),
+        cosine(col("qv"), col("tv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("tid"))
+    scored
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
 }

@@ -1462,4 +1462,117 @@ object TextAnalysis {
         col("distinct_hashes"))
       .orderBy("source")
   }
+
+  /** Exact cross-document substring duplication (the Lee et al. 2022
+    * "Deduplicating Training Data" exact-substring analysis, windowed):
+    * every `k`-token window shared by ≥ 2 documents marks its token
+    * range as duplicated; overlapping ranges merge into maximal spans
+    * (gaps-and-islands over window starts); the per-source report is
+    * docs affected, merged span count, duplicated-token mass, and
+    * dup ppm — the number a curation pass reads to decide whether
+    * span-level cutting (vs whole-doc dropping) is worth running.
+    *
+    * Scale shape: windows are one positioned pass (same spelling as
+    * [[winnowReport]]); the ≥2-docs filter is a hash agg on the window
+    * digest (map-side partials; the digest is md5 so the key space is
+    * uniform — no skew); the islands window partitions by doc_id
+    * (narrow rows, per-doc ordering only — never a global sort).
+    * Determinism: integers and digests end-to-end; the only division
+    * is one exact integer DIV.
+    */
+  def substringDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val wins = toks
+      .select(col("source"), col("doc_id"),
+        posexplode(when(size(col("w")) < k, array()).otherwise(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $k)))")))
+          .as(Seq("pos0", "win")))
+      .select(col("source"), col("doc_id"), (col("pos0") + 1).as("pos"),
+        md5(col("win").cast("binary")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("h"))
+    val hits = wins.join(dup, "h")
+      .select(col("source"), col("doc_id"), col("pos"),
+        (col("pos") + (k - 1)).as("endp"))
+    // one window start per (doc, pos), so the per-doc ordering is total
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = hits
+      .withColumn("pmax", max(col("endp")).over(prevMax))
+      .withColumn("newi",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("newi")).over(byPos))
+      .groupBy(col("source"), col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("endp")).as("e"))
+    val perDoc = spans.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s") + 1).cast("long")).as("covered"))
+    val tot = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("total_tokens"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_with_dup"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("covered")).as("dup_tokens"))
+    tot.join(perSrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("docs_with_dup"), lit(0L)).as("docs_with_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm",
+        expr("dup_tokens * 1000000 DIV total_tokens"))
+      .orderBy("source")
+  }
+
+  /** DSIR-flavored importance scoring (Xie et al., 2023 "Data Selection
+    * via Importance Resampling", with the log-ratio replaced by an
+    * exact integer ratio so any engine reproduces it bit-for-bit):
+    * hashed-bigram features (md5 mod `buckets`), per-bucket weight
+    * `(target_count+1) · 1e6 DIV (corpus_count+1)` (add-1 smoothed
+    * target-over-raw ratio in ppm), per-document score = mean bucket
+    * weight over its bigram OCCURRENCES; emits the top `topK` docs —
+    * the ranked worklist importance resampling draws from. The target
+    * distribution here is the `lang = 'en'` slice (the "formal domain"
+    * stand-in this corpus affords).
+    *
+    * Scale shape: the weight table is ≤ `buckets` rows — broadcast
+    * forever; building it and scoring are each ONE corpus pass with
+    * map-side partials; the final top-k is orderBy+limit (TakeOrdered,
+    * no global sort, no single-partition window). Overflow headroom:
+    * `(t+1)·1e6` stays in-long up to ~9e12 target bigram occurrences;
+    * at 100 TB shard the constant down or widen to DECIMAL(38,0).
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = 4096,
+      topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      Dedup.tokens(col("text")).as("w"))
+    val bg = toks
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("w")) < 2, array()).otherwise(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat_ws(' ', slice(w, i, 2)))")))
+          .as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        (expr(Dedup.hexToLongSql("md5(cast(bigram as binary))", 1,
+          "instr")) % buckets).as("b"))
+    val tgt = bg.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
+    val wts = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(t_cnt, 0) + 1) * 1000000 DIV (r_cnt + 1)")
+          .as("wt"))
+    bg.join(broadcast(wts), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wt")).as("wt_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("wt_sum DIV n_bigrams").as("score_ppm"))
+      .orderBy(desc("score_ppm"), col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -3178,6 +3178,172 @@ object DataPipeline {
              |                 // (t.n_train_docs
              |                     - (SELECT COUNT(*) FROM exact)) AS BIGINT)
              |       END AS fp_ppm_clean
-             |FROM tot t""".stripMargin))
+             |FROM tot t""".stripMargin)),
+
+    // --- Semantic dedup (SemDeDup): trained-quantizer clusters (the
+    //     q52 k-means prefix, spliced verbatim through `assign` like
+    //     the q108 oracle), within-cluster pairs qid<tid, drop every
+    //     vector with a lower-id cluster-mate at cosine >= 0.25
+    //     (corpus-calibrated — see Similarity.semanticDedup).
+    QueryDef(
+      "q122_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(Tables(s, dir, "embeddings")),
+      Some {
+        val prefix = TrainedIvfChain.substring(0,
+          TrainedIvfChain.indexOf(",\nprobes AS ("))
+        val dotScored = IvfDotRankCte.substring(0,
+          IvfDotRankCte.indexOf(",\nranked AS ("))
+        "WITH " + DimsCte + ",\n" + prefix + ",\n" +
+          """cand AS (
+            |  SELECT x.tid AS qid, y.tid AS tid
+            |  FROM assign x JOIN assign y
+            |    ON y.k = x.k AND y.tid > x.tid),
+            |""".stripMargin + dotScored + ",\n" +
+          """dropped AS (
+            |  SELECT DISTINCT tid FROM scored WHERE cosine >= 0.25)
+            |SELECT CAST(a.k AS BIGINT) AS cluster,
+            |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            |       CAST(COUNT(d.tid) AS BIGINT) AS n_dropped,
+            |       CAST((COUNT(*) - COUNT(d.tid)) * 1000000 // COUNT(*)
+            |            AS BIGINT) AS keep_ppm
+            |FROM assign a LEFT JOIN dropped d ON d.tid = a.tid
+            |GROUP BY a.k
+            |ORDER BY cluster""".stripMargin
+      }),
+
+    // --- Contrastive hard negatives: bounded query set, corpus pairs
+    //     restricted to label <> label, exact quantized-cosine rerank
+    //     (the shared dot/rank tail).
+    QueryDef(
+      "q123_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(Tables(s, dir, "embeddings")),
+      Some("WITH " + DimsCte + ",\n" +
+        """cand AS (
+          |  SELECT q.vec_id AS qid, t.vec_id AS tid
+          |  FROM embeddings q JOIN embeddings t ON t.label <> q.label
+          |  WHERE q.vec_id < 10),
+          |""".stripMargin + IvfDotRankCte + "\n" +
+        """SELECT qid, tid, cosine, rnk FROM ranked WHERE rnk <= 3
+          |ORDER BY qid, rnk""".stripMargin)),
+
+    // --- Exact cross-doc substring duplication: shared 8-token
+    //     windows -> merged maximal spans (gaps-and-islands) ->
+    //     per-source duplicated-token mass.
+    QueryDef(
+      "q124_substring_spans",
+      (s, dir) => TextAnalysis.substringDupSpans(
+        Tables(s, dir, "documents")),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |wins AS (
+             |  SELECT source, doc_id,
+             |         unnest(range(1, greatest(len(w) - 6, 1))) AS pos,
+             |         unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+             |                i -> md5(array_to_string(w[i:i+7], ' ')))) AS h
+             |  FROM toks
+             |),
+             |dupw AS (
+             |  SELECT h FROM (
+             |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+             |  WHERE df >= 2
+             |),
+             |hits AS (
+             |  SELECT w.source, w.doc_id, w.pos, w.pos + 7 AS endp
+             |  FROM wins w JOIN dupw USING (h)
+             |),
+             |isl AS (
+             |  SELECT source, doc_id, pos, endp,
+             |         SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             |  FROM (
+             |    SELECT source, doc_id, pos, endp,
+             |           MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS BETWEEN UNBOUNDED PRECEDING
+             |                AND 1 PRECEDING) AS pmax
+             |    FROM hits)
+             |),
+             |spans AS (
+             |  SELECT source, doc_id, isl, MIN(pos) AS s, MAX(endp) AS e
+             |  FROM isl GROUP BY source, doc_id, isl
+             |),
+             |perdoc AS (
+             |  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |         CAST(SUM(e - s + 1) AS BIGINT) AS covered
+             |  FROM spans GROUP BY source, doc_id
+             |),
+             |tot AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+             |  FROM toks GROUP BY source
+             |),
+             |agg AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_with_dup,
+             |         CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+             |         CAST(SUM(covered) AS BIGINT) AS dup_tokens
+             |  FROM perdoc GROUP BY source
+             |)
+             |SELECT t.source, t.n_docs, t.total_tokens,
+             |       CAST(COALESCE(a.docs_with_dup, 0) AS BIGINT)
+             |         AS docs_with_dup,
+             |       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+             |       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT)
+             |         AS dup_tokens,
+             |       CAST(COALESCE(a.dup_tokens, 0) * 1000000
+             |            // t.total_tokens AS BIGINT) AS dup_ppm
+             |FROM tot t LEFT JOIN agg a USING (source)
+             |ORDER BY t.source""".stripMargin)),
+
+    // --- DSIR importance scores: hashed-bigram buckets, add-1
+    //     smoothed target(lang='en')/corpus ratio in exact ppm
+    //     integers, per-doc mean over bigram occurrences, top 20.
+    QueryDef(
+      "q125_dsir_weights",
+      (s, dir) => TextAnalysis.dsirWeights(Tables(s, dir, "documents")),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |         ${Dedup.hexToLongSql("md5(bigram)", 1, "strpos")}
+             |           % 4096 AS b
+             |  FROM (
+             |    SELECT doc_id, lang,
+             |           unnest(list_transform(range(1, greatest(len(w), 1)),
+             |                  i -> array_to_string(w[i:i+1], ' ')))
+             |             AS bigram
+             |    FROM toks)
+             |),
+             |tgt AS (
+             |  SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt
+             |  FROM bg WHERE lang = 'en' GROUP BY b
+             |),
+             |raw AS (
+             |  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt
+             |  FROM bg GROUP BY b
+             |),
+             |wts AS (
+             |  SELECT r.b,
+             |         (COALESCE(t.t_cnt, 0) + 1) * 1000000 // (r.r_cnt + 1)
+             |           AS wt
+             |  FROM raw r LEFT JOIN tgt t USING (b)
+             |),
+             |scored AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |         SUM(wt) AS wt_sum
+             |  FROM bg JOIN wts USING (b) GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_bigrams,
+             |       CAST(wt_sum // n_bigrams AS BIGINT) AS score_ppm
+             |FROM scored
+             |ORDER BY score_ppm DESC, doc_id
+             |LIMIT 20""".stripMargin))
   )
 }

@@ -1457,4 +1457,63 @@ class DataPipelineSpec extends SparkSpec {
     assert(Dedup.stitchPairs(capped, maxDf = 2).collect()
       .forall(_.getString(2) != "p q r s t"))
   }
+
+  test("substringDupSpans: shared 8-token runs merge into maximal spans") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",   // shares a 9-token run with doc 2
+      2L -> "z a b c d e f g h i",
+      3L -> "u v w x y z2 t")        // < 8 shared tokens with anyone
+    val r = TextAnalysis.substringDupSpans(d).collect()
+    assert(r.length == 1) // one source
+    val row = r.head
+    // (source, n_docs, total_tokens, docs_with_dup, n_spans, dup_tokens,
+    //  dup_ppm): two overlapping dup windows per doc merge to ONE span
+    // of 9 tokens each; doc 3 contributes nothing.
+    assert(row.getLong(1) == 3L && row.getLong(2) == 27L)
+    assert(row.getLong(3) == 2L && row.getLong(4) == 2L)
+    assert(row.getLong(5) == 18L)
+    assert(row.getLong(6) == 18L * 1000000 / 27)
+  }
+
+  test("dsirWeights: target-like docs outrank off-target docs") {
+    val s2 = spark
+    import s2.implicits._
+    val d = Seq(
+      (1L, "x y x y x y", "en"),   // pure target bigrams
+      (2L, "x y a b c",   "de"),   // one target-seen bigram
+      (3L, "p q r s t",   "de"))   // no target bigrams
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.dsirWeights(d).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.size == 3)
+    assert(r(1L) > r(3L) && r(2L) > r(3L))
+  }
+
+  test("semanticDedup: identical cluster-mates drop, orthogonal survive") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // identical to 0 → dropped
+      (2L, Seq(0f, 1f, 0f, 0f), 1),
+      (3L, Seq(0f, 0f, 1f, 0f), 1))
+    val r = Similarity.semanticDedup(e, threshold = 0.9, k = 2,
+      sampleN = 4, iters = 1).collect()
+    assert(r.map(_.getLong(1)).sum == 4L) // every vector counted once
+    assert(r.map(_.getLong(2)).sum == 1L) // exactly vec 1 dropped
+    // keep_ppm consistency on every cluster row
+    assert(r.forall(x =>
+      x.getLong(3) == (x.getLong(1) - x.getLong(2)) * 1000000 / x.getLong(1)))
+  }
+
+  test("hardNegatives: same-label vectors excluded, rank by cosine") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // same label → never a negative
+      (2L, Seq(1f, 1f, 0f, 0f), 1), // cos ≈ 0.707 → rank 1
+      (3L, Seq(0f, 1f, 0f, 0f), 1)) // cos 0 → rank 2
+    val r = Similarity.hardNegatives(e, maxQid = 1, k = 2).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(r.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
 }
