@@ -1491,6 +1491,9 @@ object TextAnalysis {
           .as(Seq("pos0", "win")))
       .select(col("source"), col("doc_id"), (col("pos0") + 1).as("pos"),
         md5(col("win").cast("binary")).as("h"))
+      // feeds BOTH the df agg and the hit join — unpersisted, the
+      // windowed corpus pass (explode + md5) runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= 2)
@@ -1560,6 +1563,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         (expr(Dedup.hexToLongSql("md5(cast(bigram as binary))", 1,
           "instr")) % buckets).as("b"))
+      // feeds the target counts, the corpus counts, AND the scoring
+      // join — unpersisted, the bigram explode + md5 + hex fold runs
+      // three times over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = bg.where(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
     val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
