@@ -796,4 +796,41 @@ object Similarity {
       .where(col("rnk") <= k)
       .orderBy("qid", "rnk")
   }
+
+  /** Per-dimension moments of the embedding matrix: count, mean, and
+    * variance for each of the 64 coordinates — the whitening / feature-
+    * scaling pre-pass an ANN index or PCA runs before trusting raw
+    * coordinates ([[embeddingQc]] is per-VECTOR norms; this is the
+    * per-DIMENSION complement).
+    *
+    * Determinism: values are micro-quantized per row
+    * (`floor(v·1e6 + 0.5)` — primitive IEEE ops, bit-identical in any
+    * engine); s1 = Σq and s2 = Σq² are exact integer sums; mean and
+    * variance are fixed-order double expressions over (s1, s2, n) —
+    * `s2/n/1e12 − (s1/n/1e6)²` — so both engines emit identical bits
+    * at any parallelism. Headroom: per-row q² ≤ ~4e11 for unit-ish
+    * coordinates, so s2 stays in-long up to ~2e7 vectors; beyond that
+    * split hi/lo words exactly as `Q.sumExact` does.
+    *
+    * Scale shape: one corpus pass (posexplode to 64·N narrow rows),
+    * one 64-key hash agg with map-side partials — no join, no skew
+    * (dimension keys are uniform by construction).
+    */
+  def dimMoments(emb: DataFrame): DataFrame = {
+    val M = 1e6
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select((col("pos") + 1).as("i"),
+        floor(col("vf").cast("double") * M + 0.5).cast("long").as("q"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(col("i").cast("long").as("i"), col("n"),
+        (col("s1").cast("double") / col("n") / lit(M)).as("mean"),
+        ((col("s2").cast("double") / col("n") / lit(M * M)) -
+          (col("s1").cast("double") / col("n") / lit(M)) *
+            (col("s1").cast("double") / col("n") / lit(M)))
+          .as("variance"))
+      .orderBy("i")
+  }
 }

@@ -1582,4 +1582,33 @@ object TextAnalysis {
       .orderBy(desc("score_ppm"), col("doc_id"))
       .limit(topK)
   }
+
+  /** Tokenizer fertility by language: subword-ish (regex) tokens per
+    * whitespace word and characters per subword token — the numbers a
+    * tokenizer evaluation reads per language before committing a vocab
+    * (high fertility on a language = that language pays more sequence
+    * length per word). Uses the same BPE-ish regex as [[stats]], so
+    * the two reports agree by construction.
+    *
+    * Scale shape: one corpus pass, per-row codegen'd regex counting,
+    * one |langs|-keyed hash agg with map-side partials — no explode,
+    * no shuffle beyond the tiny final agg. Ratios are exact integer
+    * ppm divisions.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nw"),
+        size(expr("regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long").as("nb"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000 DIV n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 DIV n_bpe_tokens"))
+      .orderBy("lang")
 }

@@ -3344,6 +3344,62 @@ object DataPipeline {
              |       CAST(wt_sum // n_bigrams AS BIGINT) AS score_ppm
              |FROM scored
              |ORDER BY score_ppm DESC, doc_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // --- Tokenizer fertility by language: regex-subword tokens per
+    //     whitespace word + chars per subword token, exact ppm.
+    QueryDef(
+      "q126_tokenizer_fertility",
+      (s, dir) => TextAnalysis.tokenizerFertility(
+        Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |              t -> t <> '')) AS BIGINT) AS nw,
+             |         CAST(len(regexp_extract_all(lower(text),
+             |              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nb,
+             |         n_chars
+             |  FROM documents
+             |),
+             |agg AS (
+             |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(nw) AS BIGINT) AS n_words,
+             |         CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+             |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |  FROM per GROUP BY lang
+             |)
+             |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+             |       CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT)
+             |         AS fertility_ppm,
+             |       CAST(n_chars * 1000000 // n_bpe_tokens AS BIGINT)
+             |         AS chars_per_token_ppm
+             |FROM agg
+             |ORDER BY lang""".stripMargin)),
+
+    // --- Per-dimension embedding moments: micro-quantized exact
+    //     integer sums, fixed-order double mean/variance.
+    QueryDef(
+      "q127_dim_moments",
+      (s, dir) => Similarity.dimMoments(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT i,
+             |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+             |              + 0.5) AS BIGINT) AS q
+             |  FROM embeddings
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |),
+             |agg AS (
+             |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(q) AS BIGINT) AS s1,
+             |         CAST(SUM(q * q) AS BIGINT) AS s2
+             |  FROM q GROUP BY i
+             |)
+             |SELECT CAST(i AS BIGINT) AS i, n,
+             |       CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean,
+             |       CAST(s2 AS DOUBLE) / n / 1000000000000.0
+             |         - (CAST(s1 AS DOUBLE) / n / 1000000.0)
+             |           * (CAST(s1 AS DOUBLE) / n / 1000000.0) AS variance
+             |FROM agg
+             |ORDER BY i""".stripMargin))
   )
 }

@@ -1506,6 +1506,26 @@ class DataPipelineSpec extends SparkSpec {
       x.getLong(3) == (x.getLong(1) - x.getLong(2)) * 1000000 / x.getLong(1)))
   }
 
+  test("tokenizerFertility: exact word/subword/char ratios per lang") {
+    val d = docs(1L -> "ab cd.") // 2 words; regex tokens: ab, cd, "."
+    val r = TextAnalysis.tokenizerFertility(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // (lang, n_docs, n_words, n_bpe_tokens, n_chars, fertility_ppm,
+    //  chars_per_token_ppm)
+    assert(row.getLong(2) == 2L && row.getLong(3) == 3L)
+    assert(row.getLong(5) == 1500000L)
+    assert(row.getLong(6) == 6L * 1000000 / 3)
+  }
+
+  test("dimMoments: exact mean and variance per dimension") {
+    val e = embs((0L, Seq(1f, 3f), 0), (1L, Seq(3f, 1f), 1))
+    val r = Similarity.dimMoments(e).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.forall(_.getLong(1) == 2L))
+    assert(r.forall(x => x.getDouble(2) == 2.0 && x.getDouble(3) == 1.0))
+  }
+
   test("hardNegatives: same-label vectors excluded, rank by cosine") {
     val e = embs(
       (0L, Seq(1f, 0f, 0f, 0f), 0),
