@@ -716,10 +716,13 @@ object Similarity {
     *
     * Blocked, never all-pairs (the SemDeDup design point): candidate
     * pairs exist only within a cluster, so the pair count is Σ|cluster|²
-    * ≈ N²/k, and the cluster count is the blocking parameter — at real
-    * scale k grows ~√(N/2) exactly as [[knnGraph]] derives, the
-    * assignment table is written bucketed by cluster id, and the
-    * self-join shuffles on it. The gate pins k=8 at small SF.
+    * ≈ N²/k, and the cluster count is the blocking parameter — it MUST
+    * grow with the corpus or the prune is a disguised all-pairs (the
+    * measured knnGraph lesson). `k = 0` (the default) derives
+    * k ≈ √(N/2) from the corpus count exactly as [[knnGraph]] does;
+    * the gate pins k=8 to match the oracle's replayed quantizer. At
+    * real scale the assignment table is written bucketed by cluster id
+    * and the self-join shuffles on it.
     *
     * `threshold` is corpus-calibrated: this driver's synthetic
     * embeddings are near-orthogonal (all-pairs max cosine ≈ 0.51 at
@@ -729,10 +732,14 @@ object Similarity {
     * [[graft.functions.CosineSimQ]] exact quantized arithmetic; the
     * keep-lowest-id rule needs no tie-breaking.
     */
-  def semanticDedup(emb: DataFrame, threshold: Double = 0.25, k: Int = 8,
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.25, k: Int = 0,
       sampleN: Int = 256, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
+    val kEff =
+      if (k > 0) k
+      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
+    val cent = trainedCentroids(emb, kEff,
+      math.max(sampleN, 2 * kEff), iters).persist()
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
     // self-joined on cluster id below — unpersisted, each side replays

@@ -3187,7 +3187,11 @@ object DataPipeline {
     //     (corpus-calibrated — see Similarity.semanticDedup).
     QueryDef(
       "q122_semantic_dedup",
-      (s, dir) => Similarity.semanticDedup(Tables(s, dir, "embeddings")),
+      // k pinned to the oracle's replayed quantizer size; the
+      // operator's k=0 default derives k ≈ sqrt(N/2) instead (the
+      // scale-correct blocking — see the semanticDedup scaladoc)
+      (s, dir) =>
+        Similarity.semanticDedup(Tables(s, dir, "embeddings"), k = 8),
       Some {
         val prefix = TrainedIvfChain.substring(0,
           TrainedIvfChain.indexOf(",\nprobes AS ("))
