@@ -6,7 +6,9 @@ package graft
   * correctness at the small-SF default (k=8), and this harness
   * measures what the right k buys at replica scale.
   *
-  * Usage: runMain graft.ProfileKnn [sfDir] [iters] [k1,k2,...]
+  * Usage: runMain graft.ProfileKnn [sfDir] [iters] [k1,k2,...] [op]
+  * `op`: knn (default) or semdedup — both are blocked Σ|block|² ops
+  * sharing the trained quantizer, so the same sweep applies.
   */
 object ProfileKnn {
   def main(args: Array[String]): Unit = {
@@ -14,18 +16,24 @@ object ProfileKnn {
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val ks = args.lift(2).getOrElse("8,32,64,128")
       .split(",").map(_.trim.toInt).toSeq
+    val op = args.lift(3).getOrElse("knn")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- ks) {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        graft.operators.Similarity
-          .knnGraph(Tables(spark, sfDir, "embeddings"),
-            k = k, sampleN = math.max(256, 2 * k))
-          .write.mode("overwrite").format("noop").save()
+        val df = op match {
+          case "semdedup" => graft.operators.Similarity
+            .semanticDedup(Tables(spark, sfDir, "embeddings"),
+              k = k, sampleN = math.max(256, 2 * k))
+          case _ => graft.operators.Similarity
+            .knnGraph(Tables(spark, sfDir, "embeddings"),
+              k = k, sampleN = math.max(256, 2 * k))
+        }
+        df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[knn] k=$k%-4d " + times.map(t => f"$t%8.3f").mkString(" "))
+      println(f"[$op] k=$k%-4d " + times.map(t => f"$t%8.3f").mkString(" "))
     }
     spark.stop()
   }
