@@ -121,6 +121,10 @@ object GraftFunctions {
       "cosine_sim_q",
       exprs => CosineSimQ(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hex_prefix_long",
+      exprs => HexPrefixLong(exprs(0), exprs(1)),
+      "built-in")
     ()
   }
 }

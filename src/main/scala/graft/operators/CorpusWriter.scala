@@ -29,8 +29,11 @@ object CorpusWriter {
       partitionCols: Seq[String] = Seq("lang"),
       maxRecordsPerFile: Int = 1000000,
       buckets: Int = 32): Long = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val withBucket = docs.withColumn("graft_bucket",
-      expr(s"${Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % $buckets"))
+      (Dedup.hexPrefix(
+        org.apache.spark.sql.functions.md5(
+          col("doc_id").cast("string").cast("binary"))) % buckets))
     withBucket
       .repartition(partitionCols.map(col) :+ col("graft_bucket"): _*)
       .drop("graft_bucket")

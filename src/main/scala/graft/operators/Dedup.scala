@@ -79,6 +79,17 @@ object Dedup {
     * so it is portable across engines (`posFn` = instr for Spark,
     * strpos for DuckDB; same argument order and 1-based semantics).
     */
+  /** Spark-side native form of [[hexToLongSql]]: identical value on
+    * md5 input (digit-for-digit, including the instr-style -1 for a
+    * non-hex char), one fused byte loop inside whole-stage codegen
+    * instead of 8 substr allocations + 8 constant-string scans per
+    * row (see [[graft.functions.HexPrefixLong]]). Callers must run
+    * `GraftFunctions.install` on the session first. The SQL-string
+    * generator below remains the DuckDB-oracle spelling.
+    */
+  def hexPrefix(h: Column, start: Int = 1): Column =
+    graft.functions.HexPrefixLong(h, start)
+
   def hexToLongSql(h: String, start: Int, posFn: String): String =
     (0 until 8).map { k =>
       val mult = math.pow(16, 7 - k).toLong
@@ -106,12 +117,13 @@ object Dedup {
     * row exactly once with map-side partial mins.
     */
   def minhash(docs: DataFrame, bands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val sh = shingles(docs)
     val hh = sh
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
       .select(col("doc_id"),
-        expr(hexToLongSql("h", 1, "instr")).as("h1"),
-        expr(hexToLongSql("h", 9, "instr")).as("h2"))
+        hexPrefix(col("h"), 1).as("h1"),
+        hexPrefix(col("h"), 9).as("h2"))
     val minCols = (0 until bands * 2).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % 4294967296L).as(s"mh_$i"))
     val stackArgs = (0 until bands)

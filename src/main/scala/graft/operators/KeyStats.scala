@@ -75,6 +75,7 @@ object KeyStats {
     */
   def cmsCalibration(df: DataFrame, keyCol: String, rows: Int = 4,
       width: Int = 1024, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.install(df.sparkSession)
     val counts = df
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
@@ -86,7 +87,7 @@ object KeyStats {
         md5(concat(col("key"), lit("|"), col("r").cast("string"))
           .cast("binary")).as("h"))
       .select(col("key"), col("n"), col("r"),
-        (expr(Dedup.hexToLongSql("h", 1, "instr")) % width).as("c"))
+        (Dedup.hexPrefix(col("h")) % width).as("c"))
     val cells = rc.groupBy(col("r"), col("c")).agg(sum(col("n")).as("cell"))
     val est = rc.join(cells, Seq("r", "c"))
       .groupBy(col("key"), col("n"))

@@ -149,15 +149,18 @@ object TextAnalysis {
     * [[trainSplit]]): adds a `split` column from the content-stable md5
     * bucket. Used standalone by the corpus builder.
     */
-  def withSplit(docs: DataFrame): DataFrame =
+  def withSplit(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     docs
       .withColumn("bucket",
-        expr(s"${graft.operators.Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % 100"))
+        Dedup.hexPrefix(md5(col("doc_id").cast("string").cast("binary")))
+          % 100)
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
       .drop("bucket")
+  }
 
   /** First-iteration BPE merge statistics: corpus-wide counts of
     * adjacent token pairs — the inner loop of byte-pair-encoding
@@ -245,16 +248,18 @@ object TextAnalysis {
     * shuffle).
     */
   def stratifiedSample(docs: DataFrame, enRate: Int = 10,
-      defaultRate: Int = 30): DataFrame =
+      defaultRate: Int = 30): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     docs
       .withColumn("bucket",
-        expr(s"${Dedup.hexToLongSql(
-            "md5(CAST(concat('s:', CAST(doc_id AS STRING)) AS BINARY))",
-            1, "instr")} % 100"))
+        Dedup.hexPrefix(md5(
+          concat(lit("s:"), col("doc_id").cast("string")).cast("binary")))
+          % 100)
       .where(col("bucket") <
         when(col("lang") === "en", enRate).otherwise(defaultRate))
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
+  }
 
   /** Fixed-quota sampling: exactly min(N, |stratum|) documents per
     * language, chosen by a content-stable md5 order (not arrival or
@@ -267,12 +272,12 @@ object TextAnalysis {
     * rate-sample would pre-shrink the stream first (compose the two).
     */
   def quotaSample(docs: DataFrame, perStratum: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
     docs
       .withColumn("k",
-        expr(Dedup.hexToLongSql(
-          "md5(CAST(concat('q:', CAST(doc_id AS STRING)) AS BINARY))",
-          1, "instr")))
+        Dedup.hexPrefix(md5(
+          concat(lit("q:"), col("doc_id").cast("string")).cast("binary"))))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= perStratum)
       .select(col("doc_id"), col("lang"), col("rk"))
@@ -504,8 +509,9 @@ object TextAnalysis {
     val sorted = thresholds.sorted
     val spark = docs.sparkSession
     import spark.implicits._
-    val bucket = expr(s"${graft.operators.Dedup.hexToLongSql(
-      "md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % 100")
+    graft.functions.GraftFunctions.install(spark)
+    val bucket =
+      Dedup.hexPrefix(md5(col("doc_id").cast("string").cast("binary"))) % 100
     // band = smallest threshold a bucket first falls under; the corpus
     // is touched exactly twice (doc-level projection + token explode),
     // then everything is |thresholds|-sized
@@ -641,10 +647,11 @@ object TextAnalysis {
       shards: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        expr(s"${Dedup.hexToLongSql("md5(CAST(CAST(doc_id AS STRING) AS BINARY))", 1, "instr")} % $shards")
-          .as("shard"),
+        (Dedup.hexPrefix(md5(col("doc_id").cast("string").cast("binary")))
+          % shards).as("shard"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_in_shard", expr(s"cum_before DIV $budget"))
@@ -705,6 +712,7 @@ object TextAnalysis {
     */
   def bloomDecontCalibration(docs: DataFrame, isBenchmark: Column,
       m: Int = 16384, kh: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val sh = Dedup.shingles(docs)
     val benchIds = docs.where(isBenchmark)
       .select(col("doc_id").as("bench_id"))
@@ -720,7 +728,7 @@ object TextAnalysis {
       .select(col("shingle"), explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
       .select(md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
         .cast("binary")).as("h"))
-      .select((expr(Dedup.hexToLongSql("h", 1, "instr")) % m).as("pos"))
+      .select((Dedup.hexPrefix(col("h")) % m).as("pos"))
       .distinct()
     val trainSh = sh
       .join(benchIds, sh("doc_id") === col("bench_id"), "left_anti")
@@ -733,7 +741,7 @@ object TextAnalysis {
         md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
           .cast("binary")).as("h"))
       .select(col("doc_id"), col("shingle"),
-        (expr(Dedup.hexToLongSql("h", 1, "instr")) % m).as("pos"))
+        (Dedup.hexPrefix(col("h")) % m).as("pos"))
     val flagged = probes.join(broadcast(bits), "pos")
       .groupBy(col("doc_id"), col("shingle"))
       .agg(count(lit(1)).as("hits"))
@@ -1427,6 +1435,7 @@ object TextAnalysis {
     * final join is |sources|-bounded.
     */
   def winnowReport(docs: DataFrame, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val toks = docs.select(col("source"), col("doc_id"),
       Dedup.tokens(col("text")).as("w"))
     val posFrame = toks
@@ -1438,8 +1447,8 @@ object TextAnalysis {
           .as(Seq("pos0", "shingle")))
       .select(col("source"), col("doc_id"), col("p"),
         (col("pos0") + 1).as("pos"),
-        (expr(Dedup.hexToLongSql("md5(cast(shingle as binary))", 1,
-          "instr")) * (1L << 20) + col("pos0")).as("packed"))
+        (Dedup.hexPrefix(md5(col("shingle").cast("binary")))
+          * (1L << 20) + col("pos0")).as("packed"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     val sel = posFrame
@@ -1552,6 +1561,7 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, buckets: Int = 4096,
       topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val toks = docs.select(col("doc_id"), col("lang"),
       Dedup.tokens(col("text")).as("w"))
     val bg = toks
@@ -1561,8 +1571,8 @@ object TextAnalysis {
             "i -> concat_ws(' ', slice(w, i, 2)))")))
           .as("bigram"))
       .select(col("doc_id"), col("lang"),
-        (expr(Dedup.hexToLongSql("md5(cast(bigram as binary))", 1,
-          "instr")) % buckets).as("b"))
+        (Dedup.hexPrefix(md5(col("bigram").cast("binary")))
+          % buckets).as("b"))
       // feeds the target counts, the corpus counts, AND the scoring
       // join — unpersisted, the bigram explode + md5 + hex fold runs
       // three times over the corpus

@@ -112,6 +112,30 @@ class DataPipelineSpec extends SparkSpec {
       s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
   }
 
+  test("native hex_prefix_long matches the instr/substr SQL chain") {
+    graft.functions.GraftFunctions.install(spark)
+    val d = docs((1L to 50L).map(i =>
+      i -> s"text number $i with varied content"): _*)
+    val r = d.select(md5(col("text").cast("binary")).as("h"))
+      .select(
+        graft.functions.HexPrefixLong(col("h"), 1).as("n1"),
+        expr(Dedup.hexToLongSql("h", 1, "instr")).as("s1"),
+        graft.functions.HexPrefixLong(col("h"), 9).as("n9"),
+        expr(Dedup.hexToLongSql("h", 9, "instr")).as("s9"))
+      .collect()
+    assert(r.length == 50)
+    r.foreach { x =>
+      assert(x.getLong(0) == x.getLong(1))
+      assert(x.getLong(2) == x.getLong(3))
+    }
+    // a string too short for the window surfaces as NULL, never a
+    // plausible-looking number
+    val short = d.limit(1)
+      .select(graft.functions.HexPrefixLong(lit("abc"), 1).as("n"))
+      .collect()
+    assert(short.head.isNullAt(0))
+  }
+
   test("cosine_sim_q accepts mixed float/double arrays without casting") {
     graft.functions.GraftFunctions.install(spark)
     val e = embs((0L, Seq(0.6f, 0.8f), 0))
