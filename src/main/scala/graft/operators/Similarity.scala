@@ -804,6 +804,78 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Semantic decontamination: flag TRAIN vectors whose embedding is
+    * too close (cosine ≥ `threshold`) to any BENCHMARK vector — the
+    * embedding-space complement of the n-gram decontamination passes
+    * (q57 exact shingles, q121 Bloom-screened): paraphrased or
+    * reformatted eval material that shares no 3-gram still collides in
+    * embedding space. Emits the per-cluster flag-rate report a
+    * curation pass reads before cutting.
+    *
+    * IVF-screened, never all-pairs: every vector is assigned to its
+    * trained centroid once (the q52 inverted file); each BENCH vector
+    * probes its `nprobe` best clusters and compares only against those
+    * clusters' train members — the identical probe discipline as
+    * [[trainedIvfTopK]], with the bench set as the query side. At real
+    * scale the blocking parameter grows k ≈ √(N/2) ([[knnGraph]]'s
+    * derivation, the default here); the gate pins k=8 to the oracle's
+    * replayed quantizer.
+    *
+    * Determinism: q52's pico-quantized scoring end-to-end; the flag
+    * set is a DISTINCT over exact comparisons — no tie-breaking
+    * needed. `threshold` is corpus-calibrated like [[semanticDedup]].
+    */
+  def semanticDecontamination(emb: DataFrame,
+      isBench: Column = col("vec_id") % 97 === 0,
+      threshold: Double = 0.25, k: Int = 0, sampleN: Int = 256,
+      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val kEff =
+      if (k > 0) k
+      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
+    val cent = trainedCentroids(emb, kEff,
+      math.max(sampleN, 2 * kEff), iters).persist()
+    // feeds the inverted file AND the bench probes (the q96 lesson)
+    val scores = trainedScores(emb, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("score"), col("k"))
+    val assign = scores
+      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchIds = emb.where(isBench).select(col("vec_id").as("bid"))
+    val trainAssign = assign
+      .join(benchIds, assign("vec_id") === col("bid"), "left_anti")
+    val probes = scores
+      .join(benchIds, scores("vec_id") === col("bid"), "left_semi")
+      .select(col("vec_id").as("qid"), col("k"),
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(desc("score"), col("k"))).as("crnk"))
+      .where(col("crnk") <= nprobe)
+      .select(col("qid"), col("k"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val flagged = broadcast(probes)
+      .join(trainAssign.select(col("vec_id").as("tid"), col("k")), "k")
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid")
+      .join(vecs.select(col("vec_id").as("tid"), col("embedding").as("tv")),
+        "tid")
+      .where(cosine(col("qv"), col("tv")) >= threshold)
+      .select(col("tid")).distinct()
+    trainAssign.select(col("vec_id"), col("k"))
+      .join(flagged.withColumn("is_flagged", lit(1L)),
+        col("vec_id") === col("tid"), "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("is_flagged"), lit(0L))).as("n_flagged"))
+      .select(col("k").cast("long").as("cluster"), col("n_train"),
+        col("n_flagged"),
+        expr("n_flagged * 1000000 DIV n_train").as("flagged_ppm"))
+      .orderBy("cluster")
+  }
+
   /** Per-dimension moments of the embedding matrix: count, mean, and
     * variance for each of the 64 coordinates — the whitening / feature-
     * scaling pre-pass an ANN index or PCA runs before trusting raw

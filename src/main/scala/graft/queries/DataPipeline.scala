@@ -3404,6 +3404,45 @@ object DataPipeline {
              |         - (CAST(s1 AS DOUBLE) / n / 1000000.0)
              |           * (CAST(s1 AS DOUBLE) / n / 1000000.0) AS variance
              |FROM agg
-             |ORDER BY i""".stripMargin))
+             |ORDER BY i""".stripMargin)),
+
+    // --- Semantic decontamination: bench vectors (vec_id % 97 = 0)
+    //     probe their nprobe=2 trained clusters; train members with
+    //     cosine >= 0.25 to any bench vector are flagged. The q52
+    //     k-means prefix is spliced verbatim through `assign` (fsc in
+    //     scope for the bench probes), like q108/q122. k pinned to 8
+    //     for the oracle; the operator default derives k ~ sqrt(N/2).
+    QueryDef(
+      "q128_semantic_decontamination",
+      (s, dir) => Similarity.semanticDecontamination(
+        Tables(s, dir, "embeddings"), k = 8),
+      Some {
+        val prefix = TrainedIvfChain.substring(0,
+          TrainedIvfChain.indexOf(",\nprobes AS ("))
+        val dotScored = IvfDotRankCte.substring(0,
+          IvfDotRankCte.indexOf(",\nranked AS ("))
+        "WITH " + DimsCte + ",\n" + prefix + ",\n" +
+          """bprobes AS (
+            |  SELECT vec_id AS qid, k FROM (
+            |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY score DESC, k) AS crnk
+            |    FROM fsc WHERE vec_id % 97 = 0) x WHERE crnk <= 2),
+            |cand AS (
+            |  SELECT p.qid, a.tid
+            |  FROM bprobes p JOIN assign a ON a.k = p.k
+            |  WHERE a.tid % 97 <> 0),
+            |""".stripMargin + dotScored + ",\n" +
+          """flagged AS (
+            |  SELECT DISTINCT tid FROM scored WHERE cosine >= 0.25)
+            |SELECT CAST(a.k AS BIGINT) AS cluster,
+            |       CAST(COUNT(*) AS BIGINT) AS n_train,
+            |       CAST(COUNT(f.tid) AS BIGINT) AS n_flagged,
+            |       CAST(COUNT(f.tid) * 1000000 // COUNT(*) AS BIGINT)
+            |         AS flagged_ppm
+            |FROM assign a LEFT JOIN flagged f ON f.tid = a.tid
+            |WHERE a.tid % 97 <> 0
+            |GROUP BY a.k
+            |ORDER BY cluster""".stripMargin
+      })
   )
 }

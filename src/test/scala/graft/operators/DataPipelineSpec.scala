@@ -1550,6 +1550,19 @@ class DataPipelineSpec extends SparkSpec {
     assert(r.forall(x => x.getDouble(2) == 2.0 && x.getDouble(3) == 1.0))
   }
 
+  test("semanticDecontamination: near-bench train vectors flagged") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),  // bench
+      (1L, Seq(1f, 0f, 0f, 0f), 0),  // train, identical → flagged
+      (2L, Seq(0f, 1f, 0f, 0f), 1),  // train, orthogonal → clean
+      (3L, Seq(0f, 0f, 1f, 0f), 1))  // train, orthogonal → clean
+    val r = Similarity.semanticDecontamination(e,
+      isBench = col("vec_id") === 0, threshold = 0.9, k = 2,
+      sampleN = 4, iters = 1, nprobe = 2).collect()
+    assert(r.map(_.getLong(1)).sum == 3L) // every train vector counted
+    assert(r.map(_.getLong(2)).sum == 1L) // exactly vec 1 flagged
+  }
+
   test("hardNegatives: same-label vectors excluded, rank by cosine") {
     val e = embs(
       (0L, Seq(1f, 0f, 0f, 0f), 0),
