@@ -949,7 +949,10 @@ class DataPipelineSpec extends SparkSpec {
       "vocabGrowth" -> (d => TextAnalysis.vocabGrowth(d)),
       "tokenBudgetPlan" -> (d => TextAnalysis.tokenBudgetPlan(d)),
       "clusterRepresentatives" ->
-        (d => graft.operators.Dedup.clusterRepresentatives(d)))) {
+        (d => graft.operators.Dedup.clusterRepresentatives(d)),
+      "substringDupSpans" -> (d => TextAnalysis.substringDupSpans(d, k = 4)),
+      "dsirWeights" -> (d => TextAnalysis.dsirWeights(d, topK = 10)),
+      "tokenizerFertility" -> (d => TextAnalysis.tokenizerFertility(d)))) {
       val (name, f) = op
       val results = layouts.map(l => fingerprintOf(f(l)))
       assert(results(0) == results(1) && results(0) == results(2),
@@ -966,6 +969,28 @@ class DataPipelineSpec extends SparkSpec {
     val res = layouts.map(l =>
       Similarity.centroidCosine(l).collect().toSeq.map(_.toSeq))
     assert(res(0) == res(1) && res(0) == res(2))
+  }
+
+  test("round-8 embedding operators are partition-invariant") {
+    val e = embs((0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 7).toFloat / 7f),
+        (i % 3).toInt)): _*)
+    val layouts =
+      Seq(e.repartition(1), e.repartition(11), e.repartition(5, col("label")))
+    for (op <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "semanticDedup" ->
+        (d => Similarity.semanticDedup(d, k = 4, sampleN = 40, iters = 1)),
+      "hardNegatives" -> (d => Similarity.hardNegatives(d, maxQid = 5)),
+      "dimMoments" -> (d => Similarity.dimMoments(d)),
+      "semanticDecontamination" ->
+        (d => Similarity.semanticDecontamination(d,
+          isBench = col("vec_id") % 7 === 0, k = 4, sampleN = 40,
+          iters = 1)))) {
+      val (name, f) = op
+      val res = layouts.map(l => f(l).collect().toSeq.map(_.toSeq))
+      assert(res(0) == res(1) && res(0) == res(2),
+        s"$name diverged across partition layouts")
+    }
   }
 
   test("training-corpus funnel composes the battery end to end") {
