@@ -24,6 +24,7 @@ object ProfileHex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = h.count() // materialize before timing
     println(s"[hex] rows=$n")
+    require(n > 0, s"no shingles under $sfDir — wrong path?")
 
     def time(tag: String, c: org.apache.spark.sql.Column): Unit = {
       val t0 = System.nanoTime()

@@ -17,17 +17,18 @@ object ProfileKnn {
     val ks = args.lift(2).getOrElse("8,32,64,128")
       .split(",").map(_.trim.toInt).toSeq
     val op = args.lift(3).getOrElse("knn")
+    require(Set("knn", "semdedup")(op), s"unknown op '$op'")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- ks) {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val df = op match {
+          case "knn" => graft.operators.Similarity
+            .knnGraph(Tables(spark, sfDir, "embeddings"),
+              k = k, sampleN = math.max(256, 2 * k))
           case "semdedup" => graft.operators.Similarity
             .semanticDedup(Tables(spark, sfDir, "embeddings"),
-              k = k, sampleN = math.max(256, 2 * k))
-          case _ => graft.operators.Similarity
-            .knnGraph(Tables(spark, sfDir, "embeddings"),
               k = k, sampleN = math.max(256, 2 * k))
         }
         df.write.mode("overwrite").format("noop").save()

@@ -20,10 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the SQL chain, digit-for-digit, including the `instr`-style
   * `-1` contribution for a non-hex character.
   *
-  * Contract difference, deliberate and documented: a string shorter
-  * than `start+7` returns NULL (malformed input surfaced) where the
-  * SQL chain would fold empty substrings through `instr`'s empty-match
-  * semantics. No caller can hit it — md5 output is always 32 chars.
+  * Contract differences, deliberate and documented: a string shorter
+  * than `start+7` chars returns NULL (malformed input surfaced) where
+  * the SQL chain would fold empty substrings through `instr`'s
+  * empty-match semantics; and a NON-ASCII string returns NULL — the
+  * fold indexes bytes, and byte positions diverge from the SQL chain's
+  * character positions once any multi-byte char appears, so divergence
+  * is surfaced as NULL rather than a silently different number. No
+  * internal caller can hit either — md5 output is always 32 ASCII
+  * chars.
   *
   * `start` must be a foldable integer (it is a structural parameter,
   * like a column offset — never data-dependent at any call site).
@@ -44,8 +49,11 @@ case class HexPrefixLong(left: Expression, right: Expression)
     }
 
   override protected def nullSafeEval(s: Any, st: Any): Any = {
-    val bytes = s.asInstanceOf[UTF8String].getBytes
+    val u = s.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
     val start = st.asInstanceOf[Int] - 1
+    // numBytes == numChars ⇔ pure ASCII ⇔ byte index == char index
+    if (u.numBytes() != u.numChars()) return null
     if (start < 0 || start + 8 > bytes.length) return null
     var acc = 0L
     var k = 0
@@ -67,7 +75,8 @@ case class HexPrefixLong(left: Expression, right: Expression)
       s"""
          |byte[] $bytes = $s.getBytes();
          |int $start = $st - 1;
-         |if ($start < 0 || $start + 8 > $bytes.length) {
+         |if ($s.numBytes() != $s.numChars()
+         |    || $start < 0 || $start + 8 > $bytes.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $acc = 0L;

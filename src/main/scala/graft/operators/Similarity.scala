@@ -66,6 +66,28 @@ object Similarity {
   def dotQSql(x: String, y: String): String =
     s"SUM(CAST(FLOOR($x * $y * 1000000000000 + 0.5) AS BIGINT))"
 
+  /** Shared scaffold of every bounded-query brute-force ranking
+    * ([[cosineTopK]], [[hybridTopK]], [[hardNegatives]]): broadcast
+    * the BOUNDED query side `(qid, qv, …)` — left as a size-estimate
+    * choice the planner would build the corpus side at small SF and
+    * OOM at 100× — stream the candidate side `(tid, tv, …)` through
+    * the join predicate, score with the quantized cosine, rank per
+    * query (ties → tid). The build-side discipline lives here, once.
+    */
+  private def rankTopK(q: DataFrame, t: DataFrame,
+      pred: Column, k: Int): DataFrame = {
+    val scored = broadcast(q).join(t, pred)
+      .select(col("qid"), col("tid"),
+        cosine(col("qv"), col("tv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("tid"))
+    scored
+      .select(col("qid"), col("tid"), col("cosine"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact top-k neighbours by brute force for queries `vec_id < maxQid`
     * (self excluded). Ground-truth baseline; O(|Q|·N).
     */
@@ -74,18 +96,7 @@ object Similarity {
     val q = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"))
-    // Broadcast the BOUNDED query side (≤ maxQid rows) and stream the
-    // corpus: left as a size-estimate choice the planner would build the
-    // corpus side at small SF and OOM at 100×.
-    val scored = broadcast(q).join(t, col("tid") =!= col("qid"))
-      .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("cosine"), col("tid"))
-    scored
-      .select(col("qid"), col("tid"), col("cosine"),
-        row_number().over(w).cast("long").as("rnk"))
-      .where(col("rnk") <= k)
-      .orderBy("qid", "rnk")
+    rankTopK(q, t, col("tid") =!= col("qid"), k)
   }
 
   /** Hybrid retrieval: exact cosine top-k restricted to a metadata-
@@ -109,14 +120,7 @@ object Similarity {
       .select(col("vec_id").as("tid"), col("embedding").as("tv"))
     val q = emb.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = broadcast(q).join(t, col("tid") =!= col("qid"))
-      .select(col("qid"), col("tid"), cosine(col("qv"), col("tv")).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("tid"))
-    scored
-      .select(col("qid"), col("tid"), col("cosine"),
-        row_number().over(w).cast("long").as("rnk"))
-      .where(col("rnk") <= k)
-      .orderBy("qid", "rnk")
+    rankTopK(q, t, col("tid") =!= col("qid"), k)
   }
 
   /** Embedding quality-control report: per label, vector count,
@@ -328,16 +332,34 @@ object Similarity {
           .cast("double") / Q / sqrt(col("kc.cn2"))).as("score"))
   }
 
-  def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
-      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.install(emb.sparkSession)
-    val cent = trainedCentroids(emb, k, sampleN, iters).persist()
-    // Scores feed BOTH the inverted-file assignment and the probe
-    // ranking; Catalyst does not dedup shared subtrees, so without the
-    // persist the full corpus scoring pass runs twice (the q96 lesson).
-    // N·k narrow rows — MEMORY_AND_DISK spills rather than OOMs; at
-    // real scale this is the materialized inverted file.
+  /** The blocking parameter every Σ|block|² operator must derive when
+    * not pinned: k ≈ √(N/2) keeps blocks ~√N and the candidate volume
+    * linear-ish in N (see [[knnGraph]]'s scaladoc for the measured
+    * consequence of a fixed small k). A pure function of the corpus
+    * COUNT, so a replaying engine derives the same value.
+    */
+  private def derivedK(emb: DataFrame, k: Int): Int =
+    if (k > 0) k
+    else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
+
+  /** Shared trained-quantizer prelude of every blocked operator
+    * ([[trainedIvfTopK]], [[knnGraph]], [[semanticDedup]],
+    * [[semanticDecontamination]]): train the centroids, score the
+    * corpus, take each vector's argmax cluster. Kept in ONE place so
+    * the oracle-replayed arithmetic (q52's exact chain) can never
+    * desynchronize between the operators that splice its SQL prefix.
+    *
+    * Both frames persist: scores feed cluster assignment AND probe
+    * ranking (the q96 shared-subtree lesson), and the assignment
+    * self-joins or double-joins in every consumer. N·k / N narrow
+    * rows — MEMORY_AND_DISK spills rather than OOMs; at real scale
+    * these are the materialized inverted file, written bucketed by
+    * cluster id.
+    */
+  private def trainedAssignments(emb: DataFrame, k: Int, sampleN: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val cent = trainedCentroids(emb, k, math.max(sampleN, 2 * k), iters)
+      .persist()
     val scores = trainedScores(emb, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = Window.partitionBy(col("vec_id"))
@@ -345,7 +367,17 @@ object Similarity {
     val assign = scores
       .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
       .where(col("rn") === 1)
-      .select(col("vec_id").as("tid"), col("k"))
+      .select(col("vec_id"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (scores, assign)
+  }
+
+  def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
+      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val (scores, assignK) = trainedAssignments(emb, k, sampleN, iters)
+    val assign = assignK.select(col("vec_id").as("tid"), col("k"))
     val probes = scores.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("k"),
         row_number().over(Window.partitionBy(col("vec_id"))
@@ -401,23 +433,10 @@ object Similarity {
   def knnGraph(emb: DataFrame, neighbors: Int = 3, k: Int = 0,
       sampleN: Int = 256, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val kEff =
-      if (k > 0) k
-      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
-    val cent = trainedCentroids(emb, kEff,
-      math.max(sampleN, 2 * kEff), iters).persist()
-    val best = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("score"), col("k"))
-    // The assignment table joins with ITSELF on k; unpersisted, each
-    // side re-runs the whole corpus scoring pass (the static plan
-    // showed 146 parquet scans before this persist). N 2-long-column
-    // rows — this is exactly the inverted file that would be written
-    // bucketed by k at real scale.
-    val assign = trainedScores(emb, cent)
-      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the assignment table joins with ITSELF on k; the shared prelude
+    // persists it (the static plan showed 146 parquet scans before)
+    val (_, assign) =
+      trainedAssignments(emb, derivedK(emb, k), sampleN, iters)
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cosine"), col("nbr"))
@@ -735,20 +754,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, threshold: Double = 0.25, k: Int = 0,
       sampleN: Int = 256, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val kEff =
-      if (k > 0) k
-      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
-    val cent = trainedCentroids(emb, kEff,
-      math.max(sampleN, 2 * kEff), iters).persist()
-    val best = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("score"), col("k"))
-    // self-joined on cluster id below — unpersisted, each side replays
-    // the whole corpus scoring pass (the knnGraph lesson)
-    val assign = trainedScores(emb, cent)
-      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, assign) =
+      trainedAssignments(emb, derivedK(emb, k), sampleN, iters)
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val dropped = assign.select(col("k"), col("vec_id").as("a"))
       .join(assign.select(col("k"), col("vec_id").as("b")), "k")
@@ -792,16 +799,7 @@ object Similarity {
         col("label").as("qlabel"))
     val t = emb.select(col("vec_id").as("tid"), col("embedding").as("tv"),
       col("label").as("tlabel"))
-    val scored = broadcast(q).join(t, col("tlabel") =!= col("qlabel"))
-      .select(col("qid"), col("tid"),
-        cosine(col("qv"), col("tv")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("cosine"), col("tid"))
-    scored
-      .select(col("qid"), col("tid"), col("cosine"),
-        row_number().over(w).cast("long").as("rnk"))
-      .where(col("rnk") <= k)
-      .orderBy("qid", "rnk")
+    rankTopK(q, t, col("tlabel") =!= col("qlabel"), k)
   }
 
   /** Semantic decontamination: flag TRAIN vectors whose embedding is
@@ -830,21 +828,8 @@ object Similarity {
       threshold: Double = 0.25, k: Int = 0, sampleN: Int = 256,
       iters: Int = 2, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val kEff =
-      if (k > 0) k
-      else math.max(8, math.ceil(math.sqrt(emb.count() / 2.0)).toInt)
-    val cent = trainedCentroids(emb, kEff,
-      math.max(sampleN, 2 * kEff), iters).persist()
-    // feeds the inverted file AND the bench probes (the q96 lesson)
-    val scores = trainedScores(emb, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val best = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("score"), col("k"))
-    val assign = scores
-      .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (scores, assign) =
+      trainedAssignments(emb, derivedK(emb, k), sampleN, iters)
     val benchIds = emb.where(isBench).select(col("vec_id").as("bid"))
     val trainAssign = assign
       .join(benchIds, assign("vec_id") === col("bid"), "left_anti")

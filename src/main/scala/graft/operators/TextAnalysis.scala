@@ -1490,8 +1490,11 @@ object TextAnalysis {
     * is one exact integer DIV.
     */
   def substringDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    // feeds the windowed pass AND the per-source totals — unpersisted,
+    // the corpus tokenization runs twice
     val toks = docs.select(col("source"), col("doc_id"),
-      Dedup.tokens(col("text")).as("w"))
+        Dedup.tokens(col("text")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = toks
       .select(col("source"), col("doc_id"),
         posexplode(when(size(col("w")) < k, array()).otherwise(expr(
