@@ -82,6 +82,46 @@ object BucketRehearsal {
 
     audit("plain", shape(docs, vecs))
     audit("bucketed", shape(spark.table("docs_b"), spark.table("vecs_b")))
+
+    // Second rehearsal: the CLUSTER-keyed family. semanticDedup /
+    // knnGraph / semanticDecontamination self-join the inverted file
+    // on cluster id; their scaladocs claim "at real scale the
+    // assignment table is written bucketed by cluster id and the
+    // self-join shuffles on it". Materialize that claim: write
+    // (k, vec_id, embedding) bucketed by k and re-plan the q122
+    // candidate-pair shape — the join-side Exchanges must vanish.
+    graft.functions.GraftFunctions.install(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val inverted = {
+      // deterministic stand-in for the trained assignment (the
+      // rehearsal is about layout, not the quantizer): label is
+      // already a cluster-shaped key at this SF
+      emb.selectExpr("label AS k", "vec_id", "embedding")
+    }
+    spark.sql("DROP TABLE IF EXISTS inv_b")
+    val p = java.nio.file.Paths.get(wh, "inv_b")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    inverted.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "k").sortBy("k", "vec_id").saveAsTable("inv_b")
+
+    def pairShape(inv: DataFrame): DataFrame = {
+      val a = inv.selectExpr("k", "vec_id AS va", "embedding AS ea")
+      val b = inv.selectExpr("k", "vec_id AS vb", "embedding AS eb")
+      a.join(b, Seq("k"))
+        .where($"va" < $"vb")
+        .select($"k",
+          graft.operators.Similarity.cosine($"ea", $"eb").as("c"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions
+          .sum(org.apache.spark.sql.functions
+            .when($"c" >= 0.25, 1L).otherwise(0L)).as("n_close"))
+    }
+    audit("pair-plain", pairShape(inverted))
+    audit("pair-bucketed", pairShape(spark.table("inv_b")))
     spark.stop()
   }
 }
