@@ -125,6 +125,10 @@ object GraftFunctions {
       "hex_prefix_long",
       exprs => HexPrefixLong(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_run_count",
+      exprs => TokenRunCount(exprs(0)),
+      "built-in")
     ()
   }
 }

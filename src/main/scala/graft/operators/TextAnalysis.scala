@@ -22,6 +22,7 @@ object TextAnalysis {
     * letter runs, digit runs, and single non-alnum marks.
     */
   def stats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       col("text"), explode(Dedup.tokens(col("text"))).as("t"))
     tok.groupBy(col("doc_id"), col("lang"), col("n_chars"))
@@ -30,8 +31,11 @@ object TextAnalysis {
         countDistinct(col("t")).as("n_distinct"),
         sum(length(col("t"))).as("sum_token_len"))
       .join(docs.select(col("doc_id"),
-        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
-          .cast("long").as("n_bpe_tokens")), "doc_id")
+        // native run classifier == regexp_count(lower(text),
+        // '[a-z]+|[0-9]+|[^a-z0-9\s]'); see TokenRunCount for the
+        // count rules and the measured java.util.regex gap it closes
+        graft.functions.TokenRunCount(col("text")).as("n_bpe_tokens")),
+        "doc_id")
       .select(
         col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
         col("n_distinct"), col("n_bpe_tokens"),
@@ -1608,17 +1612,19 @@ object TextAnalysis {
     * no shuffle beyond the tiny final agg. Ratios are exact integer
     * ppm divisions.
     */
-  def tokenizerFertility(docs: DataFrame): DataFrame =
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     docs.select(col("lang"),
         size(Dedup.tokens(col("text"))).cast("long").as("nw"),
-        // regexp_count, not size(regexp_extract_all(..)): same count
-        // by definition without materializing the match array. At the
-        // 50x replica the two measure within noise (2.27 vs 2.37 s) —
-        // the cost is the regex engine itself, per-row and
-        // embarrassingly parallel, so it scales linearly with
-        // executors at 100 TB.
-        expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')")
-          .cast("long").as("nb"),
+        // Native TokenRunCount == regexp_count(lower(text),
+        // '[a-z]+|[0-9]+|[^a-z0-9\s]') — r8 measured the regex form at
+        // 9.1x the DuckDB oracle at 50x, pure java.util.regex engine
+        // cost; the one-byte-loop classifier deletes it. Oracle-facing
+        // whitespace contract (\s = [ \t\n\x0B\f\r], Java semantics,
+        // vs RE2's \s without \x0B): the corpora are ASCII without
+        // vertical tabs, and TokenRunCount's scaladoc spells the class
+        // explicitly.
+        graft.functions.TokenRunCount(col("text")).as("nb"),
         col("n_chars"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1630,4 +1636,5 @@ object TextAnalysis {
       .withColumn("chars_per_token_ppm",
         expr("n_chars * 1000000 DIV n_bpe_tokens"))
       .orderBy("lang")
+  }
 }

@@ -136,6 +136,35 @@ class DataPipelineSpec extends SparkSpec {
     assert(short.head.isNullAt(0))
   }
 
+  test("native token_run_count matches regexp_count(lower, BPE pattern)") {
+    graft.functions.GraftFunctions.install(spark)
+    val texts = Seq(
+      "", " ", "abc", "ABC", "a1b2", "123", "a.b,c!", "  leading space",
+      "trailing  ", "MiXeD CaSe 42x", "!!!", "a\tb\nc\rd\fe",
+      "hello, world! 99 bottles... of beer-on-the-wall",
+      "digits123letters then- -then 00a00", "über café naïve", // 2-byte UTF-8
+      "emoji 😀 mid", // 4-byte UTF-8 surrogate pair
+      "vertical tab", // Java \s includes \x0B
+      "punct)(*&^%$#@ runs")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val r = d.select(col("id"), col("text"),
+        graft.functions.TokenRunCount(col("text")).as("native"),
+        expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')")
+          .cast("long").as("rx"))
+      .collect()
+    assert(r.length == texts.length)
+    r.foreach { x =>
+      assert(x.getLong(2) == x.getLong(3),
+        s"text '${x.getString(1)}': native ${x.getLong(2)} != regex ${x.getLong(3)}")
+    }
+    // NULL in, NULL out
+    val n = d.limit(1)
+      .select(graft.functions.TokenRunCount(lit(null).cast("string")))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("cosine_sim_q accepts mixed float/double arrays without casting") {
     graft.functions.GraftFunctions.install(spark)
     val e = embs((0L, Seq(0.6f, 0.8f), 0))
