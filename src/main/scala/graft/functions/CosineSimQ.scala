@@ -129,6 +129,10 @@ object GraftFunctions {
       "token_run_count",
       exprs => TokenRunCount(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_prints",
+      exprs => WinnowPrints(exprs(0), exprs(1)),
+      "built-in")
     ()
   }
 }

@@ -1428,38 +1428,30 @@ object TextAnalysis {
     * Determinism: hash = first 8 md5 hex digits as a long (the shared
     * [[Dedup.hexToLongSql]] arithmetic); packed = hash·2²⁰ + (pos−1)
     * (exact in a long for documents up to 2²⁰ shingles — 100× the
-    * corpus max; a longer doc would chunk first). Window MIN over a
-    * doc-keyed frame ordered by the unique position is total-ordered.
+    * corpus max; a longer doc would chunk first). Per-window MIN over
+    * the position-packed longs is total-ordered.
     *
-    * Scale shape: the positional shingle frame shuffles once keyed on
-    * doc_id for the window (the sessionize layout — at 100 TB this is
-    * the one unavoidable shuffle, and it carries (source, doc_id, p,
-    * pos, packed) only); per-source totals come from row-level token
-    * arithmetic on `documents`, NOT a rescan of the window input; the
-    * final join is |sources|-bounded.
+    * Scale shape (round 9): winnowing never crosses documents, so the
+    * whole selection runs IN-ROW via the native fused
+    * [[graft.functions.WinnowPrints]] expression — shingle md5s,
+    * position packing, window minima, and the duplicate collapse are
+    * one codegen-called Java loop per document. r8's formulation
+    * exploded every position and shuffled the frame by doc_id for a
+    * window MIN; that shuffle was the measured cost (2.4× the oracle
+    * at 50×), and the intermediate HOF spelling (array lambdas) ran
+    * the md5s interpreted. Now the only explode is over the SELECTED
+    * prints (expected density 2/(w+1)), feeding a map-side-partial
+    * hash agg — zero wide shuffles before the |sources|-bounded
+    * aggregates.
     */
   def winnowReport(docs: DataFrame, w: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.install(docs.sparkSession)
     val toks = docs.select(col("source"), col("doc_id"),
       Dedup.tokens(col("text")).as("w"))
-    val posFrame = toks
+    val sel = toks
+      .where(size(col("w")) >= 3)
       .select(col("source"), col("doc_id"),
-        (size(col("w")) - 2).as("p"),
-        posexplode(when(size(col("w")) < 3, array()).otherwise(expr(
-          "transform(sequence(1, size(w) - 2), " +
-            "i -> concat_ws(' ', slice(w, i, 3)))")))
-          .as(Seq("pos0", "shingle")))
-      .select(col("source"), col("doc_id"), col("p"),
-        (col("pos0") + 1).as("pos"),
-        (Dedup.hexPrefix(md5(col("shingle").cast("binary")))
-          * (1L << 20) + col("pos0")).as("packed"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val sel = posFrame
-      .withColumn("msel", min(col("packed")).over(win))
-      .where(col("pos") <= greatest(col("p") - (w - 1), lit(1)))
-      .select(col("source"), col("doc_id"), col("msel"))
-      .distinct()
+        explode(graft.functions.WinnowPrints(col("w"), w)).as("msel"))
     val perSrc = sel.groupBy(col("source"))
       .agg(count(lit(1)).as("n_prints"),
         countDistinct(expr(s"msel div ${1L << 20}")).as("distinct_hashes"))

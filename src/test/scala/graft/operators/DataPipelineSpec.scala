@@ -1415,6 +1415,40 @@ class DataPipelineSpec extends SparkSpec {
     assert(s2._4 >= 2L && s2._4 <= 5L)
   }
 
+  test("native winnow_prints matches the hex_prefix_long/array-HOF SQL chain") {
+    graft.functions.GraftFunctions.install(spark)
+    // varied lengths incl. p < w (truncated single window), repeated
+    // tokens (duplicate window minima to collapse), and 3-token docs
+    val d = Seq(
+      "a b c",
+      "a b c d",
+      "p q r s t u v w x y",
+      "x x x x x x x x",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "a b a b a b a b a b a b")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val r = d.select(col("doc_id"),
+        graft.functions.WinnowPrints(col("w"), 4).as("native"),
+        expr("array_distinct(transform(" +
+          "sequence(1, greatest(size(w) - 2 - 3, 1)), " +
+          "s -> array_min(slice(transform(sequence(1, size(w) - 2), " +
+          "i -> hex_prefix_long(md5(CAST(concat_ws(' ', slice(w, i, 3)) " +
+          s"AS BINARY)), 1) * ${1L << 20} + CAST(i - 1 AS BIGINT)), " +
+          "s, 4))))").as("sql"))
+      .collect()
+    r.foreach { x =>
+      assert(x.getSeq[Long](1) == x.getSeq[Long](2),
+        s"doc ${x.getLong(0)}: native ${x.getSeq[Long](1)} != sql ${x.getSeq[Long](2)}")
+    }
+    // fewer than 3 tokens → empty selection, not a crash
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(graft.functions.WinnowPrints(Dedup.tokens(col("text")), 4))
+      .collect()
+    assert(short.head.getSeq[Long](0).isEmpty)
+  }
+
   test("sourceSegmentOverlap: shared distinct segments with exact ppm") {
     // s1 has segments {a b c, d e f}; s2 has {a b c, x y z}
     // (duplicate occurrence of "a b c" in s2 collapses) → shared = 1
