@@ -28,6 +28,9 @@ object BucketRehearsal {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val buckets = args.lift(1).map(_.toInt).getOrElse(32)
     val iters = args.lift(2).map(_.toInt).getOrElse(4)
+    // optional 4th arg: regex over {docs, pair, sess} — the pair leg is
+    // Σ|block|² and only runs at sf0.1-ish scale
+    val legs = args.lift(3).getOrElse("docs|pair|sess").r
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // model the 100 TB regime: neither side of a fact-fact doc_id join
@@ -36,36 +39,8 @@ object BucketRehearsal {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     import spark.implicits._
 
-    val docs = Tables(spark, sfDir, "documents")
-      .select("doc_id", "source", "n_chars")
-    val vecs = Tables(spark, sfDir, "embeddings")
-      .selectExpr("vec_id AS doc_id", "label")
-
-    spark.sql("DROP TABLE IF EXISTS docs_b")
-    spark.sql("DROP TABLE IF EXISTS vecs_b")
-    // DROP on a fresh session's catalog does not remove a previous
-    // run's orphaned warehouse dirs — clear them or saveAsTable fails
-    // with LOCATION_ALREADY_EXISTS
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    Seq("docs_b", "vecs_b").foreach { t =>
-      val p = java.nio.file.Paths.get(wh, t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
-    docs.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
-    vecs.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("vecs_b")
-
-    // the q103 shape: fact-side left join + per-source agg
-    def shape(d: DataFrame, v: DataFrame): DataFrame =
-      d.join(v, Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(org.apache.spark.sql.functions.count("label").as("n_indexed"))
 
     def audit(name: String, df: DataFrame): Unit = {
       val plan = df.queryExecution.executedPlan.toString
@@ -80,8 +55,27 @@ object BucketRehearsal {
         times.map(t => f"$t%6.3f").mkString(" "))
     }
 
-    audit("plain", shape(docs, vecs))
-    audit("bucketed", shape(spark.table("docs_b"), spark.table("vecs_b")))
+    if (legs.findFirstIn("docs").isDefined) {
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "source", "n_chars")
+      val vecs = Tables(spark, sfDir, "embeddings")
+        .selectExpr("vec_id AS doc_id", "label")
+      dropBucketTable(spark, wh, "docs_b")
+      dropBucketTable(spark, wh, "vecs_b")
+      docs.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
+      vecs.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable("vecs_b")
+
+      // the q103 shape: fact-side left join + per-source agg
+      def shape(d: DataFrame, v: DataFrame): DataFrame =
+        d.join(v, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(org.apache.spark.sql.functions.count("label").as("n_indexed"))
+
+      audit("plain", shape(docs, vecs))
+      audit("bucketed", shape(spark.table("docs_b"), spark.table("vecs_b")))
+    }
 
     // Second rehearsal: the CLUSTER-keyed family. semanticDedup /
     // knnGraph / semanticDecontamination self-join the inverted file
@@ -90,38 +84,91 @@ object BucketRehearsal {
     // self-join shuffles on it". Materialize that claim: write
     // (k, vec_id, embedding) bucketed by k and re-plan the q122
     // candidate-pair shape — the join-side Exchanges must vanish.
-    graft.functions.GraftFunctions.install(spark)
-    val emb = Tables(spark, sfDir, "embeddings")
-    val inverted = {
-      // deterministic stand-in for the trained assignment (the
-      // rehearsal is about layout, not the quantizer): label is
-      // already a cluster-shaped key at this SF
-      emb.selectExpr("label AS k", "vec_id", "embedding")
+    if (legs.findFirstIn("pair").isDefined) {
+      graft.functions.GraftFunctions.install(spark)
+      val emb = Tables(spark, sfDir, "embeddings")
+      val inverted = {
+        // deterministic stand-in for the trained assignment (the
+        // rehearsal is about layout, not the quantizer): label is
+        // already a cluster-shaped key at this SF
+        emb.selectExpr("label AS k", "vec_id", "embedding")
+      }
+      dropBucketTable(spark, wh, "inv_b")
+      inverted.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "k").sortBy("k", "vec_id").saveAsTable("inv_b")
+
+      def pairShape(inv: DataFrame): DataFrame = {
+        val a = inv.selectExpr("k", "vec_id AS va", "embedding AS ea")
+        val b = inv.selectExpr("k", "vec_id AS vb", "embedding AS eb")
+        a.join(b, Seq("k"))
+          .where($"va" < $"vb")
+          .select($"k",
+            graft.operators.Similarity.cosine($"ea", $"eb").as("c"))
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions
+            .sum(org.apache.spark.sql.functions
+              .when($"c" >= 0.25, 1L).otherwise(0L)).as("n_close"))
+      }
+      audit("pair-plain", pairShape(inverted))
+      audit("pair-bucketed", pairShape(spark.table("inv_b")))
     }
-    spark.sql("DROP TABLE IF EXISTS inv_b")
-    val p = java.nio.file.Paths.get(wh, "inv_b")
+
+    // Third rehearsal: the USER-keyed event family. ProfileQ22Decomp
+    // proved q22's cost IS the user_id shuffle (it alone exceeds the
+    // oracle's whole query at 50×); sessionization, inter-arrival
+    // (q110), session features (q75), and funnels all re-shuffle
+    // events by user_id per query. A lakehouse ingesting events at
+    // 100 TB writes them bucketed by user_id ONCE; every per-user
+    // analytic then plans with zero Exchange. Materialize that claim.
+    if (legs.findFirstIn("sess").isDefined) {
+    val ev = Tables(spark, sfDir, "events")
+    val events = ev.select($"user_id", Tables.epochSec(ev).as("sec"))
+    dropBucketTable(spark, wh, "events_b")
+    events.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "user_id").sortBy("user_id", "sec")
+      .saveAsTable("events_b")
+
+    audit("sess-plain", sessionizeShape(events))
+    audit("sess-bucketed", sessionizeShape(spark.table("events_b")))
+    }
+    spark.stop()
+  }
+
+  /** The q22 shape (array-sort sessionize over (user_id, sec), minus
+    * the presentation ORDER BY — the rehearsal measures the
+    * aggregation shuffle). Public so DataPipelineSpec pins the
+    * zero-Exchange plan on a bucketed events table.
+    */
+  def sessionizeShape(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ev.groupBy("user_id")
+      .agg(count(col("sec")).as("n_events"),
+        array_sort(collect_list(col("sec"))).as("secs"))
+      .select(col("user_id"),
+        (lit(1L) + size(filter(
+          zip_with(
+            expr("slice(secs, 1, size(secs) - 1)"),
+            expr("slice(secs, 2, size(secs) - 1)"),
+            (a, b) => b - a > 1800),
+          x => x)).cast("long")).as("n_sessions"),
+        col("n_events"))
+  }
+
+  /** Drop a bucketed table AND its warehouse dir (DROP on a fresh
+    * session's catalog does not remove a previous run's orphaned dirs —
+    * saveAsTable would fail with LOCATION_ALREADY_EXISTS). The walk
+    * stream is closed (it holds directory handles open otherwise).
+    */
+  def dropBucketTable(spark: org.apache.spark.sql.SparkSession,
+      wh: String, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = java.nio.file.Paths.get(wh, name)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
+      finally st.close()
     }
-    inverted.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "k").sortBy("k", "vec_id").saveAsTable("inv_b")
-
-    def pairShape(inv: DataFrame): DataFrame = {
-      val a = inv.selectExpr("k", "vec_id AS va", "embedding AS ea")
-      val b = inv.selectExpr("k", "vec_id AS vb", "embedding AS eb")
-      a.join(b, Seq("k"))
-        .where($"va" < $"vb")
-        .select($"k",
-          graft.operators.Similarity.cosine($"ea", $"eb").as("c"))
-        .groupBy("k")
-        .agg(org.apache.spark.sql.functions
-          .sum(org.apache.spark.sql.functions
-            .when($"c" >= 0.25, 1L).otherwise(0L)).as("n_close"))
-    }
-    audit("pair-plain", pairShape(inverted))
-    audit("pair-bucketed", pairShape(spark.table("inv_b")))
-    spark.stop()
   }
 }

@@ -928,6 +928,35 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("sessionize over user_id-bucketed events plans with zero Exchange") {
+    val s = spark
+    import s.implicits._
+    // 3 users, one with a >30-min gap → 2 sessions
+    val ev = Seq(
+      (1L, 100L), (1L, 200L), (1L, 2100L),
+      (2L, 50L), (2L, 60L),
+      (3L, 10L)).toDF("user_id", "sec")
+    try {
+      graft.operators.CorpusWriter.writeBucketed(ev, "sess_ev", "user_id", 4)
+      val bucketed = graft.BucketRehearsal.sessionizeShape(s.table("sess_ev"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // the groupBy(user_id) consumes the bucket distribution directly —
+      // the per-query event shuffle q22 pays on plain parquet is gone
+      assert(!plan.contains("Exchange"),
+        s"expected bucket-fed aggregate, got:\n$plan")
+      val rows = bucketed.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, 2L, 3L), (2L, 1L, 2L), (3L, 1L, 1L)))
+      // same values as the plain (shuffling) layout
+      val plain = graft.BucketRehearsal.sessionizeShape(ev)
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(plain.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == rows)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS sess_ev")
+    }
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
