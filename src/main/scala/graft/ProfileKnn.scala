@@ -7,8 +7,9 @@ package graft
   * measures what the right k buys at replica scale.
   *
   * Usage: runMain graft.ProfileKnn [sfDir] [iters] [k1,k2,...] [op]
-  * `op`: knn (default) or semdedup — both are blocked Σ|block|² ops
-  * sharing the trained quantizer, so the same sweep applies.
+  * `op`: knn (default), semdedup, or semdedup2 (two-level cells,
+  * k1=k2=k) — all blocked Σ|block|² ops sharing the trained quantizer,
+  * so the same sweep applies.
   */
 object ProfileKnn {
   def main(args: Array[String]): Unit = {
@@ -17,7 +18,7 @@ object ProfileKnn {
     val ks = args.lift(2).getOrElse("8,32,64,128")
       .split(",").map(_.trim.toInt).toSeq
     val op = args.lift(3).getOrElse("knn")
-    require(Set("knn", "semdedup")(op), s"unknown op '$op'")
+    require(Set("knn", "semdedup", "semdedup2")(op), s"unknown op '$op'")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- ks) {
@@ -30,11 +31,18 @@ object ProfileKnn {
           case "semdedup" => graft.operators.Similarity
             .semanticDedup(Tables(spark, sfDir, "embeddings"),
               k = k, sampleN = math.max(256, 2 * k))
+          case "semdedup2" => graft.operators.Similarity
+            .semanticDedupTwoLevel(Tables(spark, sfDir, "embeddings"),
+              k1 = k, k2 = k, sampleN = math.max(256, 2 * k))
         }
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[$op] k=$k%-4d " + times.map(t => f"$t%8.3f").mkString(" "))
+      // the trained prelude persists centroids/scores/assignments per
+      // (k, salt); without this a long sweep accumulates every point's
+      // cached blocks for the session lifetime (ADVICE r8)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -72,11 +72,17 @@ case class HexPrefixLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val k = ctx.freshName("k")
       val cls = HexPrefixLong.getClass.getName.stripSuffix("$")
+      // NB codegen margin hazard: a template line must never BEGIN with
+      // '|' after stripMargin — Spark's code-Block composition strips
+      // margins again in some embedding contexts (nested projections),
+      // silently eating a leading '||' and producing uncompilable Java
+      // that falls back to interpreted eval (caught in r9: 348
+      // fallbacks across the suite, all this one line).
       s"""
          |byte[] $bytes = $s.getBytes();
          |int $start = $st - 1;
-         |if ($s.numBytes() != $s.numChars()
-         |    || $start < 0 || $start + 8 > $bytes.length) {
+         |if ($s.numBytes() != $s.numChars() ||
+         |    $start < 0 || $start + 8 > $bytes.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $acc = 0L;

@@ -238,14 +238,14 @@ object Similarity {
     * rows — broadcastable forever.
     */
   def trainedCentroids(emb: DataFrame, k: Int = 8, sampleN: Int = 256,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, salt: String = "|ivfseed"): DataFrame = {
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), (col("pos") + 1).as("i"),
         col("vf").cast("double").as("v"))
     val ranked = emb
       .select(col("vec_id"),
-        md5(concat(col("vec_id"), lit("|ivfseed")).cast("binary")).as("h"))
+        md5(concat(col("vec_id"), lit(salt)).cast("binary")).as("h"))
       .orderBy("h").limit(sampleN)
       .select(col("vec_id"),
         row_number().over(Window.orderBy("h")).as("r"))
@@ -354,12 +354,20 @@ object Similarity {
     * self-joins or double-joins in every consumer. N·k / N narrow
     * rows — MEMORY_AND_DISK spills rather than OOMs; at real scale
     * these are the materialized inverted file, written bucketed by
-    * cluster id.
+    * cluster id. The frames stay cached for the session (each
+    * consumer's single action reuses them); harnesses that call
+    * blocked operators in a sweep loop (ProfileKnn) clear the cache
+    * between points so per-(k, salt) blocks don't accumulate
+    * unboundedly (ADVICE r8).
     */
   private def trainedAssignments(emb: DataFrame, k: Int, sampleN: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val cent = trainedCentroids(emb, k, math.max(sampleN, 2 * k), iters)
-      .persist()
+      iters: Int, salt: String = "|ivfseed"): (DataFrame, DataFrame) = {
+    // NB the 2k floor: sampleN is raised to at least 2·k so Lloyd init
+    // has spare sample beyond the k seed centroids; callers passing an
+    // explicit sampleN < 2k get the floored value (q52's gate chain
+    // pins the defaults, where the floor is inert).
+    val cent = trainedCentroids(emb, k, math.max(sampleN, 2 * k), iters,
+      salt).persist()
     val scores = trainedScores(emb, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = Window.partitionBy(col("vec_id"))
@@ -372,6 +380,11 @@ object Similarity {
     (scores, assign)
   }
 
+  /** NB `sampleN` is floored at 2·k by the shared prelude (see
+    * [[trainedAssignments]]): an explicit sampleN below 2k trains on
+    * the floored sample, not the literal value. Defaults (256, k=8)
+    * are unaffected, and q52's oracle replays the default chain.
+    */
   def trainedIvfTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
       k: Int = 8, sampleN: Int = 256, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
@@ -779,6 +792,70 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Two-level-blocked semantic dedup — [[semanticDedup]]'s scale path
+    * for the Σ|block|² law. Single-level blocking at the derived
+    * k ≈ √(N/2) leaves candidate volume ~N^1.5; intersecting TWO
+    * independently-trained coarse quantizers (second trained on an
+    * independent md5 sample order, salt `|ivfseed2`) blocks on the
+    * cell (k1, k2), so candidates fall to ~N²/(k1·k2) while the
+    * assignment scoring cost is N·(k1+k2) instead of N·k1·k2. The
+    * cost-balanced derivation: minimizing
+    * `α·N·(k1+k2) + β·N²/(k1·k2)` at k1=k2=k gives k ≈ N^(1/3) —
+    * total work ~N^(4/3), vs the single-level optimum's ~N^(3/2).
+    *
+    * Approximation contract: a pair is a candidate only when it shares
+    * BOTH cells. Near-identical vectors land in the same cell of each
+    * quantizer with high probability (each assigns by nearest
+    * centroid), but the two-level prune is strictly tighter than
+    * single-level — this is the standard IVF-style recall/cost dial,
+    * turned one notch further. The gated operator (q122) stays the
+    * single-level [[semanticDedup]]; this variant is the 100 TB
+    * configuration, measured in ProfileKnn's `semdedup2` sweep.
+    *
+    * Determinism: both quantizers replay q52's exact chain (the salt
+    * only changes which vectors seed the sample); pair cosines are the
+    * same quantized arithmetic; the report shape matches
+    * [[semanticDedup]] (grouped by the LEVEL-1 cluster, so the two are
+    * directly comparable).
+    */
+  def semanticDedupTwoLevel(emb: DataFrame, threshold: Double = 0.25,
+      k1: Int = 0, k2: Int = 0, sampleN: Int = 256, iters: Int = 2):
+      DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val kk1 =
+      if (k1 > 0) k1
+      else math.max(8, math.ceil(math.cbrt(emb.count().toDouble)).toInt)
+    val kk2 = if (k2 > 0) k2 else kk1
+    val (_, a1) = trainedAssignments(emb, kk1, sampleN, iters)
+    val (_, a2) =
+      trainedAssignments(emb, kk2, sampleN, iters, salt = "|ivfseed2")
+    val cells = a1
+      .join(a2.select(col("vec_id"), col("k").as("k2")), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val dropped = cells.select(col("k"), col("k2"), col("vec_id").as("a"))
+      .join(cells.select(col("k"), col("k2"), col("vec_id").as("b")),
+        Seq("k", "k2"))
+      .where(col("a") < col("b"))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("av")),
+        "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("bv")),
+        "b")
+      .where(cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    cells
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"),
+        "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("k").cast("long").as("cluster"), col("n_vectors"),
+        col("n_dropped"),
+        expr("(n_vectors - n_dropped) * 1000000 DIV n_vectors")
+          .as("keep_ppm"))
+      .orderBy("cluster")
+  }
+
   /** Contrastive hard-negative mining: for each query vector, the top-k
     * most-similar vectors carrying a DIFFERENT label — the negatives an
     * embedding-model trainer wants (similar enough to be hard, labelled
@@ -879,6 +956,14 @@ object Similarity {
     * Scale shape: one corpus pass (posexplode to 64·N narrow rows),
     * one 64-key hash agg with map-side partials — no join, no skew
     * (dimension keys are uniform by construction).
+    *
+    * FIXED-DIMENSION CONTRACT (like DimsCte): every embedding is
+    * exactly 64 elements, none NULL. posexplode emits rows only for
+    * elements that EXIST, while the q127 oracle cross-joins a fixed
+    * range(1,65) and counts rows where the subscript resolves — the
+    * two spellings agree only under this contract (the corpus schema
+    * guarantees it; a ragged corpus would diverge silently, so state
+    * the dimension in the pipeline schema before reusing this).
     */
   def dimMoments(emb: DataFrame): DataFrame = {
     val M = 1e6

@@ -41,6 +41,139 @@ object CorpusStreamOps {
   /** One candidate per (arriving doc, stored bucket member, band). */
   final case class Candidate(doc_id: Long, matched_doc_id: Long, band: Long)
 
+  final case class VecIn(vec_id: Long, embedding: Seq[Float])
+
+  /** One row per arriving vector that matches a stored cluster
+    * representative at ≥ threshold: the streaming SemDeDup flag.
+    */
+  final case class SemDupCandidate(vec_id: Long, matched_vec_id: Long,
+      cluster: Int, cosine: Double)
+
+  /** Streaming semantic dedup — the online counterpart of the batch
+    * [[graft.operators.Similarity.semanticDedup]] (q122), completing
+    * the streaming story for the embedding operators the same way
+    * [[nearDupCandidates]] does for MinHash: flag "semantically
+    * already held" at ARRIVAL time.
+    *
+    * Shape: the TRAINED centroid table (train in batch with
+    * [[graft.operators.Similarity.trainedCentroids]], collect via
+    * [[collectCentroids]] — k×d values, broadcast-sized forever) rides
+    * the closure; each arriving vector is assigned to its argmax
+    * centroid per-row (same pico-quantized scoring law as the batch
+    * quantizer: floor(x·c·1e12+0.5) summed, over √Σfloor(c²·1e12+0.5);
+    * ties → smaller cluster id), then `flatMapGroupsWithState` keyed
+    * by cluster holds the capped representative list. A new arrival
+    * compares against its cluster's representatives only — never
+    * all-pairs, the same blocking discipline as batch — emits its BEST
+    * match ≥ threshold (max cosine, ties → smaller stored id), and
+    * becomes a representative itself only when it matched nothing
+    * (streaming SemDeDup keeps one exemplar per semantic neighborhood,
+    * which also bounds state harder than storing every arrival).
+    *
+    * 100 TB/day notes: state is ≤ `maxCluster` (vec_id, embedding)
+    * pairs per cluster, sharded across executors by cluster key; a
+    * saturated cluster keeps MATCHING (flags never go dark) but stops
+    * accumulating exemplars. At real cadence the centroids retrain in
+    * batch nightly and the query restarts with the new table — the
+    * state machine body is unchanged. Arrivals are processed in
+    * vec_id order within a batch, so emission is deterministic under
+    * partition/iterator reordering; re-delivery of a stored exemplar
+    * id is a no-op (at-least-once source).
+    */
+  def semanticDedupCandidates(vecs: Dataset[VecIn],
+      centroids: Array[(Int, Array[Double])], threshold: Double = 0.25,
+      maxCluster: Int = 1024): Dataset[SemDupCandidate] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "centroids must be trained in batch first")
+    val cents = centroids.sortBy(_._1)
+    val cn2 = cents.map { case (_, c) =>
+      c.map(x => math.floor(x * x * 1e12 + 0.5)).sum / 1e12
+    }
+    def assign(v: Seq[Float]): Int = {
+      var bestK = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)._2
+        var dq = 0.0
+        var j = 0
+        val n = math.min(v.length, c.length)
+        while (j < n) {
+          dq += math.floor(v(j).toDouble * c(j) * 1e12 + 0.5)
+          j += 1
+        }
+        val score = dq / 1e12 / math.sqrt(cn2(i))
+        if (score > bestScore) { bestScore = score; bestK = cents(i)._1 }
+        i += 1
+      }
+      bestK
+    }
+    vecs.map(v => (assign(v.embedding), v.vec_id, v.embedding))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Float])], SemDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cluster, rows, state: GroupState[List[(Long, Seq[Float])]]) =>
+          val arrivals = rows.map(r => (r._2, r._3)).toSeq
+            .distinctBy(_._1).sortBy(_._1)
+          var reps = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SemDupCandidate]
+          arrivals.foreach { case (id, v) =>
+            if (!reps.exists(_._1 == id)) {
+              // best stored match: max cosine, ties to the smaller id
+              // (reps is in insertion order = ascending arrival)
+              var best: Option[(Long, Double)] = None
+              reps.foreach { case (rid, rv) =>
+                val c = cosQ(v, rv)
+                if (c >= threshold && best.forall(_._2 < c))
+                  best = Some((rid, c))
+              }
+              best match {
+                case Some((rid, c)) =>
+                  out += SemDupCandidate(id, rid, cluster, c)
+                case None =>
+                  if (reps.length < maxCluster) reps = reps :+ ((id, v))
+              }
+            }
+          }
+          state.update(reps)
+          out.result().iterator
+      }
+  }
+
+  /** Exact quantized cosine — the same arithmetic as the batch
+    * [[graft.functions.CosineSimQ]] expression (floor-quantized picos,
+    * summed in index order), so a pair flagged here carries the
+    * identical cosine the batch pass would compute.
+    */
+  private[streaming] def cosQ(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += math.floor(x * y * 1e12 + 0.5).toLong
+      na += math.floor(x * x * 1e12 + 0.5).toLong
+      nb += math.floor(y * y * 1e12 + 0.5).toLong
+      i += 1
+    }
+    (dot / 1e12) / (math.sqrt(na / 1e12) * math.sqrt(nb / 1e12))
+  }
+
+  /** Collect a batch-trained centroid table ((k, i, c) rows from
+    * [[graft.operators.Similarity.trainedCentroids]]) into the
+    * closure-sized array [[semanticDedupCandidates]] broadcasts.
+    */
+  def collectCentroids(cent: org.apache.spark.sql.DataFrame)
+      : Array[(Int, Array[Double])] =
+    cent.collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue,
+        r.get(2).asInstanceOf[Number].doubleValue))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (k, rows) =>
+        (k, rows.sortBy(_._2).map(_._3)) }
+
   def nearDupCandidates(docs: Dataset[DocIn], bands: Int = 8,
       maxBucket: Int = 64): Dataset[Candidate] = {
     val spark = docs.sparkSession

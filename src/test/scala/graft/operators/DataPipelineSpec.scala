@@ -1647,6 +1647,24 @@ class DataPipelineSpec extends SparkSpec {
       x.getLong(3) == (x.getLong(1) - x.getLong(2)) * 1000000 / x.getLong(1)))
   }
 
+  test("semanticDedupTwoLevel: identical vectors share both cells and drop") {
+    val e = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // identical to 0 → same (k1,k2) cell
+      (2L, Seq(0f, 1f, 0f, 0f), 1),
+      (3L, Seq(0f, 0f, 1f, 0f), 1))
+    val r = Similarity.semanticDedupTwoLevel(e, threshold = 0.9,
+      k1 = 2, k2 = 2, sampleN = 4, iters = 1).collect()
+    assert(r.map(_.getLong(1)).sum == 4L) // every vector counted once
+    assert(r.map(_.getLong(2)).sum == 1L) // identical pair still caught
+    assert(r.forall(x =>
+      x.getLong(3) == (x.getLong(1) - x.getLong(2)) * 1000000 / x.getLong(1)))
+    // the two-level prune is a subset of single-level: never drops MORE
+    val single = Similarity.semanticDedup(e, threshold = 0.9, k = 2,
+      sampleN = 4, iters = 1).collect()
+    assert(r.map(_.getLong(2)).sum <= single.map(_.getLong(2)).sum)
+  }
+
   test("tokenizerFertility: exact word/subword/char ratios per lang") {
     val d = docs(1L -> "ab cd.") // 2 words; regex tokens: ab, cd, "."
     val r = TextAnalysis.tokenizerFertility(d).collect()

@@ -70,4 +70,74 @@ class CorpusStreamOpsSpec extends SparkSpec {
       assert(s.table("cand_out").count() == 24)
     } finally q.stop()
   }
+
+  test("streaming cosQ equals the batch CosineSimQ expression exactly") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val vs = Seq(
+      (Seq(0.3f, -0.7f, 0.21f, 0.001f), Seq(-0.11f, 0.55f, 0.9f, -0.33f)),
+      (Seq(1f, 0f, 0f, 0f), Seq(1f, 0f, 0f, 0f)),
+      (Seq(0.5f, 0.5f, 0.5f, 0.5f), Seq(-0.5f, 0.5f, -0.5f, 0.5f)))
+    val batch = vs.toDF("a", "b")
+      .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    val stream = vs.map { case (a, b) => CorpusStreamOps.cosQ(a, b) }
+    assert(batch == stream)
+  }
+
+  test("streaming semantic dedup flags cross-batch near-dups per cluster") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    // batch-train the quantizer on the same corpus shape the stream
+    // will carry (two orthogonal neighborhoods)
+    val trainEmb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 0f, 1f, 0f), 1), (3L, Seq(0f, 0.1f, 0.9f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = CorpusStreamOps.collectCentroids(
+      graft.operators.Similarity.trainedCentroids(trainEmb, k = 2,
+        sampleN = 4, iters = 1))
+    assert(cents.length == 2)
+
+    val mem = MemoryStream[CorpusStreamOps.VecIn]
+    val q = CorpusStreamOps.semanticDedupCandidates(mem.toDS(), cents,
+        threshold = 0.9)
+      .writeStream.format("memory").queryName("semdup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two orthogonal exemplars — nothing to flag
+      mem.addData(
+        CorpusStreamOps.VecIn(10L, Seq(1f, 0f, 0f, 0f)),
+        CorpusStreamOps.VecIn(11L, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(s.table("semdup_out").count() == 0)
+
+      // batch 2: an identical copy of each exemplar arrives later →
+      // flagged against the CROSS-BATCH state, in its own cluster
+      mem.addData(
+        CorpusStreamOps.VecIn(12L, Seq(1f, 0f, 0f, 0f)),
+        CorpusStreamOps.VecIn(13L, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      val b2 = s.table("semdup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq.sorted
+      assert(b2 == Seq((12L, 10L, 1.0), (13L, 11L, 1.0)))
+      // the two flags sit in different clusters (blocking respected)
+      assert(s.table("semdup_out").select("cluster").distinct().count() == 2)
+
+      // batch 3: a matched vector did NOT join the exemplar set — a
+      // third copy still matches the ORIGINAL representative; an
+      // orthogonal-dimension vector joins silently as a new exemplar
+      mem.addData(
+        CorpusStreamOps.VecIn(14L, Seq(1f, 0f, 0f, 0f)),
+        CorpusStreamOps.VecIn(15L, Seq(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      val b3 = s.table("semdup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(b3.contains((14L, 10L)) && !b3.exists(_._1 == 15L))
+      assert(s.table("semdup_out").count() == 3)
+    } finally q.stop()
+  }
 }
