@@ -249,68 +249,80 @@ object DataPipeline {
     * `TrainedIvfChain` is the WITH-chain ending in `ranked`, shared
     * between the q52 gate and the q87 recall-report oracle.
     */
-  private lazy val TrainedIvfChain: String = {
+  /** The training prefix of [[TrainedIvfChain]] — sample ranking,
+    * Lloyd iterations, final corpus scoring, argmax assignment —
+    * ending in `assign$sfx(tid, k)`, with every CTE name suffixed so
+    * TWO independent quantizers can coexist in one statement (the
+    * q129 two-level oracle trains a second chain on salt `|ivfseed2`).
+    * With `sfx = ""` and the default salt this is byte-identical to
+    * the pre-r9 chain, so q52/q87/q108/q122/q128 hashes are unchanged.
+    */
+  private def trainedAssignPrefix(sfx: String, salt: String): String = {
         // one Lloyd iteration: prev centroids c{n-1} → assignments → c{n}
         def iter(n: Int): String = {
-          val prev = if (n == 1) "c0" else s"c${n - 1}"
-          s"""cn$n AS (
+          val prev = if (n == 1) s"c0$sfx" else s"c${n - 1}$sfx"
+          s"""cn$n$sfx AS (
              |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
              |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
              |  FROM $prev GROUP BY k),
-             |sc$n AS (
+             |sc$n$sfx AS (
              |  SELECT sd.vec_id, c.k,
              |         (CAST(SUM(CAST(FLOOR(sd.v * c.c * 1000000000000 + 0.5)
              |               AS BIGINT)) AS DOUBLE) / 1000000000000)
              |           / sqrt(cn.cn2) AS score
-             |  FROM sdims sd JOIN $prev c ON c.i = sd.i
-             |  JOIN cn$n cn ON cn.k = c.k
+             |  FROM sdims$sfx sd JOIN $prev c ON c.i = sd.i
+             |  JOIN cn$n$sfx cn ON cn.k = c.k
              |  GROUP BY sd.vec_id, c.k, cn.cn2),
-             |a$n AS (
+             |a$n$sfx AS (
              |  SELECT vec_id, k FROM (
              |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
              |           ORDER BY score DESC, k) AS rn
-             |    FROM sc$n) x WHERE rn = 1),
-             |m$n AS (
+             |    FROM sc$n$sfx) x WHERE rn = 1),
+             |m$n$sfx AS (
              |  SELECT a.k, sd.i,
              |         CAST(SUM(CAST(FLOOR(sd.v * 1000000000000 + 0.5)
              |              AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*)
              |           AS cnew
-             |  FROM sdims sd JOIN a$n a ON a.vec_id = sd.vec_id
+             |  FROM sdims$sfx sd JOIN a$n$sfx a ON a.vec_id = sd.vec_id
              |  GROUP BY a.k, sd.i),
-             |c$n AS (
+             |c$n$sfx AS (
              |  SELECT c.k, c.i, COALESCE(m.cnew, c.c) AS c
-             |  FROM $prev c LEFT JOIN m$n m ON m.k = c.k AND m.i = c.i)"""
+             |  FROM $prev c LEFT JOIN m$n$sfx m ON m.k = c.k AND m.i = c.i)"""
         }
-        s"""rk AS (
+        s"""rk$sfx AS (
            |  SELECT vec_id,
-           |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '|ivfseed'))
+           |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '$salt'))
            |           AS r
            |  FROM embeddings),
-           |smp AS (SELECT vec_id, r FROM rk WHERE r <= 256),
-           |sdims AS (
+           |smp$sfx AS (SELECT vec_id, r FROM rk$sfx WHERE r <= 256),
+           |sdims$sfx AS (
            |  SELECT d.vec_id, d.i, d.v, s.r
-           |  FROM dims d JOIN smp s ON s.vec_id = d.vec_id),
-           |c0 AS (
-           |  SELECT r - 1 AS k, i, v AS c FROM sdims WHERE r <= 8),
+           |  FROM dims d JOIN smp$sfx s ON s.vec_id = d.vec_id),
+           |c0$sfx AS (
+           |  SELECT r - 1 AS k, i, v AS c FROM sdims$sfx WHERE r <= 8),
            |${iter(1)},
            |${iter(2)},
-           |fcn AS (
+           |fcn$sfx AS (
            |  SELECT k, CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5)
            |       AS BIGINT)) AS DOUBLE) / 1000000000000 AS cn2
-           |  FROM c2 GROUP BY k),
-           |fsc AS (
+           |  FROM c2$sfx GROUP BY k),
+           |fsc$sfx AS (
            |  SELECT d.vec_id, c.k,
            |         (CAST(SUM(CAST(FLOOR(d.v * c.c * 1000000000000 + 0.5)
            |               AS BIGINT)) AS DOUBLE) / 1000000000000)
            |           / sqrt(cn.cn2) AS score
-           |  FROM dims d JOIN c2 c ON c.i = d.i
-           |  JOIN fcn cn ON cn.k = c.k
+           |  FROM dims d JOIN c2$sfx c ON c.i = d.i
+           |  JOIN fcn$sfx cn ON cn.k = c.k
            |  GROUP BY d.vec_id, c.k, cn.cn2),
-           |assign AS (
+           |assign$sfx AS (
            |  SELECT vec_id AS tid, k FROM (
            |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
            |           ORDER BY score DESC, k) AS rn
-           |    FROM fsc) x WHERE rn = 1),
+           |    FROM fsc$sfx) x WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val TrainedIvfChain: String = {
+        trainedAssignPrefix("", "|ivfseed") + s""",
            |probes AS (
            |  SELECT vec_id AS qid, k FROM (
            |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -3442,6 +3454,43 @@ object DataPipeline {
             |FROM assign a LEFT JOIN flagged f ON f.tid = a.tid
             |WHERE a.tid % 97 <> 0
             |GROUP BY a.k
+            |ORDER BY cluster""".stripMargin
+      }),
+
+    // --- Two-level semantic dedup: TWO independently-trained
+    //     quantizers (second chain suffixed `b`, salt '|ivfseed2'),
+    //     candidates blocked on the (k1, k2) cell intersection —
+    //     the Σ|block|² scale path (k1=k2 ~ N^(1/3) at real scale;
+    //     the gate pins 8/8 to the oracle's replayed quantizers).
+    //     Report groups by the LEVEL-1 cluster so q122 and q129 are
+    //     directly comparable.
+    QueryDef(
+      "q129_semantic_dedup_two_level",
+      (s, dir) => Similarity.semanticDedupTwoLevel(
+        Tables(s, dir, "embeddings"), k1 = 8, k2 = 8),
+      Some {
+        val dotScored = IvfDotRankCte.substring(0,
+          IvfDotRankCte.indexOf(",\nranked AS ("))
+        "WITH " + DimsCte + ",\n" +
+          trainedAssignPrefix("", "|ivfseed") + ",\n" +
+          trainedAssignPrefix("b", "|ivfseed2") + ",\n" +
+          """cells AS (
+            |  SELECT a.tid, a.k, b.k AS k2
+            |  FROM assign a JOIN assignb b ON b.tid = a.tid),
+            |cand AS (
+            |  SELECT x.tid AS qid, y.tid AS tid
+            |  FROM cells x JOIN cells y
+            |    ON y.k = x.k AND y.k2 = x.k2 AND y.tid > x.tid),
+            |""".stripMargin + dotScored + ",\n" +
+          """dropped AS (
+            |  SELECT DISTINCT tid FROM scored WHERE cosine >= 0.25)
+            |SELECT CAST(c.k AS BIGINT) AS cluster,
+            |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            |       CAST(COUNT(d.tid) AS BIGINT) AS n_dropped,
+            |       CAST((COUNT(*) - COUNT(d.tid)) * 1000000 // COUNT(*)
+            |            AS BIGINT) AS keep_ppm
+            |FROM cells c LEFT JOIN dropped d ON d.tid = c.tid
+            |GROUP BY c.k
             |ORDER BY cluster""".stripMargin
       })
   )
