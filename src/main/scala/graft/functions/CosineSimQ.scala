@@ -133,6 +133,10 @@ object GraftFunctions {
       "winnow_prints",
       exprs => WinnowPrints(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_run_count",
+      exprs => WordRunCount(exprs(0)),
+      "built-in")
     ()
   }
 }

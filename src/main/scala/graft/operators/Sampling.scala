@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling / data-mixing operators over `documents` — the knobs a
+  * training run turns AFTER curation: how much of each source to take
+  * (mixture weights), what sequence packing costs (padding census),
+  * and a reproducible subsample to take it with (hash-threshold
+  * sampling). All ratios are exact integer ppm arithmetic; the one
+  * irrational step (√n for temperature weights) is quantized to micros
+  * immediately (`sqrt` is IEEE-correctly-rounded in every engine, so
+  * the quantized weight is bit-identical — the same determinism rule
+  * the verify notes pin for the engine at large).
+  */
+object Sampling {
+
+  /** Temperature-balanced source mixture at α = 0.5 (square-root
+    * sampling — the standard multilingual/multi-source rebalancing
+    * exponent): per source, the natural share and the √-tempered
+    * share, plus the sampling boost each source gets. α = 0.5 rather
+    * than a free exponent because √ is the one power both engines
+    * compute bit-identically (`pow`/`ln` are NOT correctly-rounded —
+    * banned from gated values).
+    *
+    * Scale shape: one corpus pass → |sources|-keyed hash agg with
+    * map-side partials; the totals join is a 1-row broadcast. At
+    * 100 TB this is a metadata-sized report.
+    */
+  def sourceMixture(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // native run count == size(Dedup.tokens(text)) without the
+        // interpreted filter/split lambda or the array (WordRunCount)
+        sum(graft.functions.WordRunCount(col("text"))).as("n_tokens"),
+        // √n quantized to micros while still exact-integer-valued
+        floor(sqrt(count(lit(1)).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("sqrt_w"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("sqrt_w")).as("t_sqrt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 DIV t_docs").as("natural_ppm"),
+        expr("sqrt_w * 1000000 DIV t_sqrt").as("tempered_ppm"))
+      .withColumn("boost_ppm",
+        expr("CASE WHEN natural_ppm = 0 THEN NULL " +
+          "ELSE tempered_ppm * 1000000 DIV natural_ppm END"))
+      .orderBy("source")
+  }
+
+  /** Context-window packing census for sequence length `seqLen`: what
+    * a corpus costs to feed a trainer, per source — subword token mass
+    * (the q126 [[graft.functions.TokenRunCount]] law), docs that would
+    * truncate, the truncated-token loss, and the padding waste under
+    * the two standard packing regimes: CONCAT (GPT-style: concatenate
+    * everything, chunk every seqLen — waste only in the final chunk)
+    * vs ISOLATED (one doc per sequence, pad to seqLen — the worst
+    * case). The span between the two waste_ppm numbers is what a
+    * packing implementation is worth on this corpus.
+    *
+    * Scale shape: per-row native token count, |sources|-keyed agg with
+    * map-side partials; exact integer DIV everywhere.
+    */
+  def packingReport(docs: DataFrame, seqLen: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val L = seqLen.toLong
+    docs.select(col("source"),
+        graft.functions.TokenRunCount(col("text")).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("t") > L, 1L).otherwise(0L)).as("docs_truncated"),
+        sum(greatest(col("t") - L, lit(0L))).as("tokens_lost"),
+        sum(expr(s"(t + ${L - 1}) DIV $L")).as("isolated_seqs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("docs_truncated"), col("tokens_lost"),
+        expr(s"(n_tokens + ${L - 1}) DIV $L").as("concat_seqs"),
+        col("isolated_seqs"))
+      .withColumn("concat_waste_ppm",
+        expr(s"(concat_seqs * $L - n_tokens) * 1000000 DIV (concat_seqs * $L)"))
+      .withColumn("isolated_waste_ppm",
+        expr(s"(isolated_seqs * $L - n_tokens) * 1000000 DIV (isolated_seqs * $L)"))
+      .orderBy("source")
+  }
+
+  /** Hash-threshold sample-rate census: keep a document iff the first
+    * 8 md5 hex digits of `doc_id || '|strat'` — folded to a long by
+    * the shared [[Dedup.hexPrefix]] arithmetic — land under `ppm/1e6`
+    * of the 32-bit hash space, and report per-source target vs
+    * ACHIEVED rate. The audit complement of the row-selecting samplers
+    * ([[TextAnalysis.stratifiedSample]]'s per-lang rates,
+    * [[TextAnalysis.quotaSample]]'s exact quotas): before a sampling
+    * run trusts a hash threshold, this is the number that says whether
+    * md5 mixing actually delivered the rate in every stratum.
+    * Content-stable (same corpus → same sample on any engine, any
+    * partitioning — NEVER `rand()`).
+    *
+    * Scale shape: per-row codegen'd hash + one |sources| agg; the keep
+    * predicate is reusable as-is as a selection WHERE clause.
+    */
+  def sampleRateCensus(docs: DataFrame, ppm: Long = 250000): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val keep = Dedup.hexPrefix(
+      md5(concat(col("doc_id"), lit("|strat")).cast("binary")), 1) *
+      lit(1000000L) < lit(ppm * 4294967296L)
+    docs.select(col("source"), when(keep, 1L).otherwise(0L).as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        lit(ppm).as("target_ppm"),
+        expr("n_sampled * 1000000 DIV n_docs").as("achieved_ppm"))
+      .orderBy("source")
+  }
+}

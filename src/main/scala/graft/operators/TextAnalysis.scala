@@ -20,22 +20,34 @@ object TextAnalysis {
     * type-token ratio, average token length, and a coarse quality
     * bucket. The regex token count stands in for subword tokenizers:
     * letter runs, digit runs, and single non-alnum marks.
+    *
+    * Entirely IN-ROW (round 9): every statistic is a per-document
+    * function of the token array, so the r8 spelling — explode to a
+    * token frame, doc-keyed groupBy (a full-corpus shuffle), then a
+    * JOIN back to the doc scan — was three wide stages for zero
+    * cross-row semantics. Now one scan with codegen'd collection
+    * expressions: `size` for the count, `size(array_distinct)` for
+    * the distinct count, `length(array_join(w, ''))` for the summed
+    * token length (no separator — exactly Σ length(t)), and the
+    * native [[graft.functions.TokenRunCount]] for the subword count.
+    * A zero-token document drops (matching the oracle, where it has
+    * no token rows to aggregate). At 100 TB: map-only until the
+    * presentation sort.
     */
   def stats(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.install(docs.sparkSession)
-    val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      col("text"), explode(Dedup.tokens(col("text"))).as("t"))
-    tok.groupBy(col("doc_id"), col("lang"), col("n_chars"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("t")).as("n_distinct"),
-        sum(length(col("t"))).as("sum_token_len"))
-      .join(docs.select(col("doc_id"),
-        // native run classifier == regexp_count(lower(text),
-        // '[a-z]+|[0-9]+|[^a-z0-9\s]'); see TokenRunCount for the
-        // count rules and the measured java.util.regex gap it closes
-        graft.functions.TokenRunCount(col("text")).as("n_bpe_tokens")),
-        "doc_id")
+    docs
+      // size(tokens) > 0 ⟺ text has a non-space char: the cheap
+      // spelling keeps the pushed-down filter from re-tokenizing
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Dedup.tokens(col("text")).as("w"),
+        graft.functions.TokenRunCount(col("text")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        length(array_join(col("w"), "")).cast("long").as("sum_token_len"),
+        col("n_bpe_tokens"))
       .select(
         col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
         col("n_distinct"), col("n_bpe_tokens"),
@@ -1607,7 +1619,8 @@ object TextAnalysis {
   def tokenizerFertility(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.install(docs.sparkSession)
     docs.select(col("lang"),
-        size(Dedup.tokens(col("text"))).cast("long").as("nw"),
+        // native run count == size(Dedup.tokens(text)) (WordRunCount)
+        graft.functions.WordRunCount(col("text")).as("nw"),
         // Native TokenRunCount == regexp_count(lower(text),
         // '[a-z]+|[0-9]+|[^a-z0-9\s]') — r8 measured the regex form at
         // 9.1x the DuckDB oracle at 50x, pure java.util.regex engine

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, EventFunnel, KeyStats, MediaPipeline, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventFunnel, KeyStats, MediaPipeline, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator battery over the provided
   * `documents` / `embeddings` tables: dedup (exact, MinHash-LSH,
@@ -3492,6 +3492,92 @@ object DataPipeline {
             |FROM cells c LEFT JOIN dropped d ON d.tid = c.tid
             |GROUP BY c.k
             |ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    // --- Temperature-balanced source mixture (α = 0.5 square-root
+    //     sampling): natural vs √-tempered share per source. α fixed
+    //     at 0.5 because sqrt is the one power both engines compute
+    //     bit-identically; the weight is micro-quantized immediately
+    //     so all downstream arithmetic is exact-integer ppm.
+    QueryDef(
+      "q130_source_mixture",
+      (s, dir) => Sampling.sourceMixture(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+             |              t -> t <> ''))) AS BIGINT) AS n_tokens,
+             |         CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000
+             |              + 0.5) AS BIGINT) AS sqrt_w
+             |  FROM documents GROUP BY source
+             |),
+             |tot AS (
+             |  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+             |         CAST(SUM(sqrt_w) AS BIGINT) AS t_sqrt
+             |  FROM per
+             |)
+             |SELECT source, n_docs, n_tokens,
+             |       CAST(n_docs * 1000000 // t_docs AS BIGINT) AS natural_ppm,
+             |       CAST(sqrt_w * 1000000 // t_sqrt AS BIGINT) AS tempered_ppm,
+             |       CASE WHEN n_docs * 1000000 // t_docs = 0 THEN NULL
+             |            ELSE CAST((sqrt_w * 1000000 // t_sqrt) * 1000000
+             |                 // (n_docs * 1000000 // t_docs) AS BIGINT)
+             |       END AS boost_ppm
+             |FROM per, tot
+             |ORDER BY source""".stripMargin)),
+
+    // --- Context-window packing census at seqLen=512: subword token
+    //     mass (the q126 TokenRunCount law), truncation exposure, and
+    //     padding waste under CONCAT vs ISOLATED packing.
+    QueryDef(
+      "q131_packing_census",
+      (s, dir) => Sampling.packingReport(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT source,
+             |         CAST(len(regexp_extract_all(lower(text),
+             |              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS t
+             |  FROM documents
+             |),
+             |agg AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(t) AS BIGINT) AS n_tokens,
+             |         CAST(SUM(CASE WHEN t > 512 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS docs_truncated,
+             |         CAST(SUM(GREATEST(t - 512, 0)) AS BIGINT) AS tokens_lost,
+             |         CAST(SUM((t + 511) // 512) AS BIGINT) AS isolated_seqs
+             |  FROM per GROUP BY source
+             |)
+             |SELECT source, n_docs, n_tokens, docs_truncated, tokens_lost,
+             |       CAST((n_tokens + 511) // 512 AS BIGINT) AS concat_seqs,
+             |       isolated_seqs,
+             |       CAST((((n_tokens + 511) // 512) * 512 - n_tokens) * 1000000
+             |            // (((n_tokens + 511) // 512) * 512) AS BIGINT)
+             |         AS concat_waste_ppm,
+             |       CAST((isolated_seqs * 512 - n_tokens) * 1000000
+             |            // (isolated_seqs * 512) AS BIGINT)
+             |         AS isolated_waste_ppm
+             |FROM agg
+             |ORDER BY source""".stripMargin)),
+
+    // --- Hash-threshold sample-rate census (25% target): md5 fold
+    //     under the ppm threshold — content-stable on any engine,
+    //     never rand(); reports target vs achieved rate per source.
+    QueryDef(
+      "q132_sample_rate_census",
+      (s, dir) => Sampling.sampleRateCensus(Tables(s, dir, "documents")),
+      Some(s"""WITH per AS (
+             |  SELECT source,
+             |         CASE WHEN ${Dedup.hexToLongSql(
+                        "md5(doc_id || '|strat')", 1, "strpos")}
+             |              * 1000000 < ${250000L * 4294967296L}
+             |              THEN 1 ELSE 0 END AS s
+             |  FROM documents
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(s) AS BIGINT) AS n_sampled,
+             |       CAST(250000 AS BIGINT) AS target_ppm,
+             |       CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT)
+             |         AS achieved_ppm
+             |FROM per GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

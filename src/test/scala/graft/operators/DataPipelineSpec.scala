@@ -165,6 +165,24 @@ class DataPipelineSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("native word_run_count matches size(tokens) exactly") {
+    graft.functions.GraftFunctions.install(spark)
+    val texts = Seq(
+      "", " ", "   ", "a", " a ", "a b c", "a  b   c", "über café",
+      "tab\tis not a separator", "nor\nnewline", "😀 emoji word",
+      "trailing space ", " leading", "ab")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val r = d.select(col("id"), col("text"),
+        graft.functions.WordRunCount(col("text")).as("native"),
+        size(Dedup.tokens(col("text"))).cast("long").as("arr"))
+      .collect()
+    r.foreach { x =>
+      assert(x.getLong(2) == x.getLong(3),
+        s"text '${x.getString(1)}': native ${x.getLong(2)} != array ${x.getLong(3)}")
+    }
+  }
+
   test("cosine_sim_q accepts mixed float/double arrays without casting") {
     graft.functions.GraftFunctions.install(spark)
     val e = embs((0L, Seq(0.6f, 0.8f), 0))
@@ -1663,6 +1681,63 @@ class DataPipelineSpec extends SparkSpec {
     val single = Similarity.semanticDedup(e, threshold = 0.9, k = 2,
       sampleN = 4, iters = 1).collect()
     assert(r.map(_.getLong(2)).sum <= single.map(_.getLong(2)).sum)
+  }
+
+  test("sourceMixture: sqrt tempering boosts the small source") {
+    val s = spark
+    import s.implicits._
+    // 16 docs in "big", 4 in "small": natural 800000/200000 ppm;
+    // sqrt weights 4e6/2e6 → tempered 666666/333333 ppm
+    val d = ((1L to 16L).map(i => (i, s"text $i", "big")) ++
+      (17L to 20L).map(i => (i, s"text $i", "small")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Sampling.sourceMixture(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3), x.getLong(4),
+        x.getLong(5))).toSeq
+    assert(r == Seq(
+      ("big", 16L, 800000L, 666666L, 833332L),
+      ("small", 4L, 200000L, 333333L, 1666665L)))
+  }
+
+  test("packingReport: exact truncation and waste under both regimes") {
+    val s = spark
+    import s.implicits._
+    // token counts (letters-only texts): 3, 5 → with L=4: doc2
+    // truncates 1 token; concat: 8 tokens → 2 seqs, 0 waste;
+    // isolated: ceil(3/4)+ceil(5/4) = 3 seqs → 12-8 = 4 pad tokens
+    val d = Seq((1L, "a b c", "s1"), (2L, "a b c d e", "s1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Sampling.packingReport(d, seqLen = 4).collect()
+    assert(r.length == 1)
+    val x = r.head
+    // (source, n_docs, n_tokens, docs_truncated, tokens_lost,
+    //  concat_seqs, isolated_seqs, concat_waste_ppm, isolated_waste_ppm)
+    assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+      x.getLong(5), x.getLong(6), x.getLong(7), x.getLong(8)) ==
+      (2L, 8L, 1L, 1L, 2L, 3L, 0L, 4L * 1000000 / 12))
+  }
+
+  test("sampleRateCensus: deterministic across layouts, near-target rate") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 400L).map(i => (i, s"text $i", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r1 = Sampling.sampleRateCensus(d).collect().map(_.toSeq).toSeq
+    val r2 = Sampling.sampleRateCensus(d.repartition(13)).collect()
+      .map(_.toSeq).toSeq
+    assert(r1 == r2) // content-pure: partitioning can't change the sample
+    // md5 mixing keeps each stratum near the 25% target (loose band —
+    // the pin is determinism and the census shape, not the tail bound)
+    r1.foreach { row =>
+      val ppm = row(4).asInstanceOf[Long]
+      assert(ppm > 120000 && ppm < 380000, s"achieved_ppm $ppm off target")
+    }
   }
 
   test("tokenizerFertility: exact word/subword/char ratios per lang") {
