@@ -86,30 +86,8 @@ object CorpusStreamOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(centroids.nonEmpty, "centroids must be trained in batch first")
-    val cents = centroids.sortBy(_._1)
-    val cn2 = cents.map { case (_, c) =>
-      c.map(x => math.floor(x * x * 1e12 + 0.5)).sum / 1e12
-    }
-    def assign(v: Seq[Float]): Int = {
-      var bestK = -1
-      var bestScore = Double.NegativeInfinity
-      var i = 0
-      while (i < cents.length) {
-        val c = cents(i)._2
-        var dq = 0.0
-        var j = 0
-        val n = math.min(v.length, c.length)
-        while (j < n) {
-          dq += math.floor(v(j).toDouble * c(j) * 1e12 + 0.5)
-          j += 1
-        }
-        val score = dq / 1e12 / math.sqrt(cn2(i))
-        if (score > bestScore) { bestScore = score; bestK = cents(i)._1 }
-        i += 1
-      }
-      bestK
-    }
-    vecs.map(v => (assign(v.embedding), v.vec_id, v.embedding))
+    val assignFn = assigner(centroids)
+    vecs.map(v => (assignFn(v.embedding), v.vec_id, v.embedding))
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Seq[Float])], SemDupCandidate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -139,6 +117,88 @@ object CorpusStreamOps {
           state.update(reps)
           out.result().iterator
       }
+  }
+
+  /** One row per arriving TRAIN vector that sits too close to a
+    * benchmark vector: the streaming decontamination flag.
+    */
+  final case class ContamFlag(vec_id: Long, bench_vec_id: Long,
+      cluster: Int, cosine: Double)
+
+  /** Streaming semantic decontamination — the online counterpart of
+    * the batch [[graft.operators.Similarity.semanticDecontamination]]
+    * (q128): flag an arriving train vector AT INGEST when its
+    * embedding is within `threshold` of any benchmark vector.
+    *
+    * Unlike [[semanticDedupCandidates]] this needs NO state at all:
+    * the benchmark set is fixed for a contamination horizon, so it
+    * rides the closure pre-bucketed by cluster — each arrival is
+    * assigned to its argmax centroid (same quantized law as batch)
+    * and compared only against ITS cluster's bench members, the q128
+    * probe discipline with nprobe=1 on the arrival side. A pure map:
+    * no shuffle, no stateful operator, trivially parallel at any
+    * ingest rate; the stateful budget stays free for the dedup
+    * consumer in the same query. Emits the BEST-matching bench vector
+    * (max cosine, ties → smaller bench id) per flagged arrival.
+    *
+    * At real cadence the bench set and centroids retrain/reload on
+    * query restart; |bench| is eval-suite-sized (thousands), so the
+    * per-cluster index stays broadcast-sized forever.
+    */
+  def decontaminationFlags(vecs: Dataset[VecIn],
+      centroids: Array[(Int, Array[Double])],
+      bench: Array[(Long, Seq[Float])], threshold: Double = 0.25)
+      : Dataset[ContamFlag] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "centroids must be trained in batch first")
+    val assignFn = assigner(centroids)
+    val byCluster: Map[Int, Array[(Long, Seq[Float])]] =
+      bench.map { case (id, v) => (assignFn(v), id, v) }
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          (k, rows.sortBy(_._2).map(r => (r._2, r._3))) }
+    vecs.flatMap { v =>
+      val k = assignFn(v.embedding)
+      var best: Option[(Long, Double)] = None
+      byCluster.getOrElse(k, Array.empty).foreach { case (bid, bv) =>
+        val c = cosQ(v.embedding, bv)
+        if (c >= threshold && best.forall(_._2 < c)) best = Some((bid, c))
+      }
+      best.map { case (bid, c) => ContamFlag(v.vec_id, bid, k, c) }
+    }
+  }
+
+  /** Argmax-centroid assignment closure shared by the streaming
+    * operators — the per-row form of the batch trained-quantizer
+    * scoring (pico-quantized dot over √Σfloor(c²·1e12+0.5); ties →
+    * smaller cluster id).
+    */
+  private def assigner(centroids: Array[(Int, Array[Double])])
+      : Seq[Float] => Int = {
+    val cents = centroids.sortBy(_._1)
+    val cn2 = cents.map { case (_, c) =>
+      c.map(x => math.floor(x * x * 1e12 + 0.5)).sum / 1e12
+    }
+    (v: Seq[Float]) => {
+      var bestK = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)._2
+        var dq = 0.0
+        var j = 0
+        val n = math.min(v.length, c.length)
+        while (j < n) {
+          dq += math.floor(v(j).toDouble * c(j) * 1e12 + 0.5)
+          j += 1
+        }
+        val score = dq / 1e12 / math.sqrt(cn2(i))
+        if (score > bestScore) { bestScore = score; bestK = cents(i)._1 }
+        i += 1
+      }
+      bestK
+    }
   }
 
   /** Exact quantized cosine — the same arithmetic as the batch

@@ -140,4 +140,40 @@ class CorpusStreamOpsSpec extends SparkSpec {
       assert(s.table("semdup_out").count() == 3)
     } finally q.stop()
   }
+
+  test("streaming decontamination flags near-bench arrivals statelessly") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val trainEmb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 0f, 1f, 0f), 1), (3L, Seq(0f, 0.1f, 0.9f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = CorpusStreamOps.collectCentroids(
+      graft.operators.Similarity.trainedCentroids(trainEmb, k = 2,
+        sampleN = 4, iters = 1))
+    // two bench exemplars in different semantic neighborhoods
+    val bench = Array(
+      (100L, Seq(1f, 0f, 0f, 0f)), (200L, Seq(0f, 0f, 1f, 0f)))
+
+    val mem = MemoryStream[CorpusStreamOps.VecIn]
+    val q = CorpusStreamOps.decontaminationFlags(mem.toDS(), cents, bench,
+        threshold = 0.9)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        CorpusStreamOps.VecIn(10L, Seq(1f, 0f, 0f, 0f)),   // = bench 100
+        CorpusStreamOps.VecIn(11L, Seq(0f, 0f, 0.98f, 0f)), // ≈ bench 200
+        CorpusStreamOps.VecIn(12L, Seq(0f, 1f, 0f, 0f)))    // clean
+      q.processAllAvailable()
+      val flags = s.table("contam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(flags == Seq((10L, 100L), (11L, 200L)))
+      // the clean vector is absent, and the two flags came from the
+      // arrival's OWN cluster (nprobe=1 probe discipline)
+      assert(s.table("contam_out").select("cluster").distinct().count() == 2)
+    } finally q.stop()
+  }
 }
