@@ -137,6 +137,10 @@ object GraftFunctions {
       "word_run_count",
       exprs => WordRunCount(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_k_hex_hashes",
+      exprs => MinKHexHashes(exprs(0), exprs(1)),
+      "built-in")
     ()
   }
 }

@@ -896,14 +896,17 @@ object TextAnalysis {
     * 128·k-bit key per document).
     */
   def fingerprint(docs: DataFrame, k: Int = 4): DataFrame = {
-    val sh = Dedup.shingles(docs)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    sh.select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
-      .select(col("doc_id"), col("h"), row_number().over(w).as("r"))
-      .where(col("r") <= k)
-      .groupBy(col("doc_id"))
-      .agg(array_join(sort_array(collect_list(col("h"))), "")
-        .as("fingerprint"))
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    // in-row min-k (round 9): the selection never crosses documents,
+    // so the explode + doc-keyed rank window (a full-corpus shuffle
+    // for a ≤k-per-doc result) is one native per-row loop — see
+    // MinKHexHashes for the value-identity argument
+    docs
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinKHexHashes(Dedup.tokens(col("text")), k)
+          .as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
       .orderBy("doc_id")
   }
 

@@ -183,6 +183,45 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("native min_k_hex_hashes matches the explode/window/sort SQL chain") {
+    graft.functions.GraftFunctions.install(spark)
+    val texts = Seq(
+      "a b c",                                       // 1 shingle
+      "a b c d e",                                   // 3 shingles
+      "p q r s t u v w x y z p q r s t u v w x y z", // > k, with dups
+      "x x x x x x",                                 // all-identical shingles
+      "one two three four five six seven")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+    val sqlForm = d
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', slice(w, i, 3))))")).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("h"))))
+      .where(col("r") <= 4)
+      .groupBy(col("doc_id"))
+      .agg(array_join(sort_array(collect_list(col("h"))), "").as("sql"))
+    val r = d
+      .select(col("doc_id"),
+        graft.functions.MinKHexHashes(col("w"), 4).as("native"))
+      .join(sqlForm, "doc_id")
+      .collect()
+    assert(r.length == texts.length)
+    r.foreach { x =>
+      assert(x.getString(1) == x.getString(2),
+        s"doc ${x.getLong(0)}: native ${x.getString(1)} != sql ${x.getString(2)}")
+    }
+    // < 3 tokens → NULL
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(graft.functions.MinKHexHashes(Dedup.tokens(col("text")), 4))
+      .collect()
+    assert(short.head.isNullAt(0))
+  }
+
   test("cosine_sim_q accepts mixed float/double arrays without casting") {
     graft.functions.GraftFunctions.install(spark)
     val e = embs((0L, Seq(0.6f, 0.8f), 0))
