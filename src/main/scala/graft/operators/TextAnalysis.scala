@@ -910,6 +910,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document n-gram repetition (the Gopher-style repetition
+    * filter, Rae et al. 2021 §A1.1): per document, the fraction of
+    * bigram occurrences consumed by the single most-frequent bigram —
+    * high coverage = looped boilerplate, keyboard mashing, SEO spam —
+    * plus the flag at the conventional 20% cutoff. Complements the
+    * CROSS-document passes (boilerplate q104, segment dedup q112):
+    * this one fires on documents that repeat THEMSELVES.
+    *
+    * Determinism: pure integer counts and one exact ppm DIV; "top
+    * bigram" needs no tie-breaking because only its COUNT is emitted.
+    * Scale shape: tokens explode once, (doc_id, bigram) hash agg with
+    * map-side partials, then a doc_id agg — two aggregates, no window,
+    * no join; at 100 TB both aggs are map-side-combined and doc_id is
+    * unique so the second has no skew.
+    */
+  def repetitionReport(docs: DataFrame, flagPpm: Long = 200000)
+      : DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', slice(w, i, 2)))")).as("bigram"))
+    bg.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        expr("top_bigram_n * 1000000 DIV n_bigrams").as("top_bigram_ppm"))
+      .withColumn("flagged",
+        (col("top_bigram_ppm") > flagPpm).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model quality score — the CCNet-style LM filter
     * re-expressed without transcendentals: each document's mean
     * conditional bigram probability p(b|a) = c(a,b)/c(a,·) under the

@@ -3578,6 +3578,38 @@ object DataPipeline {
              |       CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT)
              |         AS achieved_ppm
              |FROM per GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // --- Gopher-style within-document repetition: share of bigram
+    //     occurrences held by the doc's most frequent bigram, flagged
+    //     at 20% — fires on docs that repeat THEMSELVES (the
+    //     cross-doc passes are q104/q112).
+    QueryDef(
+      "q133_repetition_report",
+      (s, dir) => TextAnalysis.repetitionReport(
+        Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |bg AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(w)),
+             |                i -> array_to_string(w[i:i+1], ' '))) AS bigram
+             |  FROM toks WHERE len(w) >= 2
+             |),
+             |cnt AS (
+             |  SELECT doc_id, bigram, COUNT(*) AS c
+             |  FROM bg GROUP BY doc_id, bigram
+             |)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |       CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             |       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT)
+             |         AS top_bigram_ppm,
+             |       (MAX(c) * 1000000 // SUM(c)) > 200000 AS flagged
+             |FROM cnt GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1779,6 +1779,19 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetitionReport: looping doc flagged, varied doc clean") {
+    val d = docs(
+      1L -> "buy now buy now buy now buy now", // "buy now" 4 of 7 bigrams
+      2L -> "one two three four five six seven eight", // all distinct
+      3L -> "solo") // < 2 tokens: no bigrams, absent from the report
+    val r = TextAnalysis.repetitionReport(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4))).toSeq
+    assert(r == Seq(
+      (1L, 7L, 4L, 4L * 1000000 / 7, true),
+      (2L, 7L, 1L, 1L * 1000000 / 7, false)))
+  }
+
   test("tokenizerFertility: exact word/subword/char ratios per lang") {
     val d = docs(1L -> "ab cd.") // 2 words; regex tokens: ab, cd, "."
     val r = TextAnalysis.tokenizerFertility(d).collect()
