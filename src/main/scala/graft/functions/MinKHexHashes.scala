@@ -39,7 +39,13 @@ case class MinKHexHashes(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Structural parameter: enforce the documented positivity at
+        // analysis time (k=0 would index keep(-1) executor-side).
+        right.eval() match {
+          case k: java.lang.Integer if k > 0 => TypeCheckResult.TypeCheckSuccess
+          case v => TypeCheckResult.TypeCheckFailure(
+            s"min_k_hex_hashes requires k to be a positive int literal, got $v")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "min_k_hex_hashes expects (array<string> tokens, foldable int k), " +
           s"got (${left.dataType.sql}, ${right.dataType.sql})")
@@ -67,6 +73,17 @@ case class MinKHexHashes(left: Expression, right: Expression)
 object MinKHexHashes {
   private val HexChars = "0123456789abcdef".toCharArray
 
+  /** One digest per executor thread, not per row: this loop is one of
+    * the two hottest per-row paths in the engine (q38 runs it over
+    * every document), and `MessageDigest.getInstance` allocates the
+    * provider-lookup machinery each call. `reset()` before each
+    * shingle makes reuse across rows safe.
+    */
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Unsigned lexicographic digest compare; 0 only for equal digests. */
   private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
@@ -85,7 +102,7 @@ object MinKHexHashes {
     val n = toks.numElements()
     val p = n - 2
     if (p <= 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     // ≤ k digests kept sorted ascending; insertion sort — k is tiny
     val keep = new Array[Array[Byte]](k)
     var m = 0

@@ -60,7 +60,14 @@ case class WinnowPrints(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Structural parameter: enforce the documented positivity at
+        // analysis time (w=0 would read packed(p) out of bounds
+        // executor-side).
+        right.eval() match {
+          case w: java.lang.Integer if w > 0 => TypeCheckResult.TypeCheckSuccess
+          case v => TypeCheckResult.TypeCheckFailure(
+            s"winnow_prints requires w to be a positive int literal, got $v")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "winnow_prints expects (array<string> tokens, foldable int w), " +
           s"got (${left.dataType.sql}, ${right.dataType.sql})")
@@ -81,6 +88,15 @@ case class WinnowPrints(left: Expression, right: Expression)
 }
 
 object WinnowPrints {
+  /** One digest per executor thread, not per row — see the identical
+    * note at [[MinKHexHashes.Md5]]; this loop runs per document on the
+    * q113 hot path.
+    */
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** One fused pass; public static for the generated code. Fewer than
     * 3 tokens → empty array (the caller's `size(w) >= 3` filter makes
     * it unreachable on the gated path, but the value is still
@@ -90,7 +106,7 @@ object WinnowPrints {
     val n = toks.numElements()
     val p = n - 2
     if (p <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val packed = new Array[Long](p)
     var i = 0
     while (i < p) {

@@ -77,10 +77,15 @@ object Sampling {
         col("docs_truncated"), col("tokens_lost"),
         expr(s"(n_tokens + ${L - 1}) DIV $L").as("concat_seqs"),
         col("isolated_seqs"))
+      // NULL-guard the degenerate all-zero-token source: Spark DIV 0
+      // yields NULL but DuckDB's // raises, so make both engines
+      // explicitly agree on NULL (the q131 oracle carries the same CASE)
       .withColumn("concat_waste_ppm",
-        expr(s"(concat_seqs * $L - n_tokens) * 1000000 DIV (concat_seqs * $L)"))
+        expr(s"CASE WHEN concat_seqs = 0 THEN NULL ELSE " +
+          s"(concat_seqs * $L - n_tokens) * 1000000 DIV (concat_seqs * $L) END"))
       .withColumn("isolated_waste_ppm",
-        expr(s"(isolated_seqs * $L - n_tokens) * 1000000 DIV (isolated_seqs * $L)"))
+        expr(s"CASE WHEN isolated_seqs = 0 THEN NULL ELSE " +
+          s"(isolated_seqs * $L - n_tokens) * 1000000 DIV (isolated_seqs * $L) END"))
       .orderBy("source")
   }
 

@@ -3549,12 +3549,15 @@ object DataPipeline {
              |SELECT source, n_docs, n_tokens, docs_truncated, tokens_lost,
              |       CAST((n_tokens + 511) // 512 AS BIGINT) AS concat_seqs,
              |       isolated_seqs,
-             |       CAST((((n_tokens + 511) // 512) * 512 - n_tokens) * 1000000
-             |            // (((n_tokens + 511) // 512) * 512) AS BIGINT)
-             |         AS concat_waste_ppm,
-             |       CAST((isolated_seqs * 512 - n_tokens) * 1000000
-             |            // (isolated_seqs * 512) AS BIGINT)
-             |         AS isolated_waste_ppm
+             |       CASE WHEN (n_tokens + 511) // 512 = 0 THEN NULL
+             |            ELSE CAST((((n_tokens + 511) // 512) * 512 - n_tokens)
+             |                 * 1000000
+             |                 // (((n_tokens + 511) // 512) * 512) AS BIGINT)
+             |       END AS concat_waste_ppm,
+             |       CASE WHEN isolated_seqs = 0 THEN NULL
+             |            ELSE CAST((isolated_seqs * 512 - n_tokens) * 1000000
+             |                 // (isolated_seqs * 512) AS BIGINT)
+             |       END AS isolated_waste_ppm
              |FROM agg
              |ORDER BY source""".stripMargin)),
 

@@ -98,12 +98,14 @@ object CorpusStreamOps {
           val out = List.newBuilder[SemDupCandidate]
           arrivals.foreach { case (id, v) =>
             if (!reps.exists(_._1 == id)) {
-              // best stored match: max cosine, ties to the smaller id
-              // (reps is in insertion order = ascending arrival)
+              // best stored match: max cosine, ties to the smaller id —
+              // explicitly, since reps insertion order is ascending only
+              // WITHIN a batch (a later batch can append a smaller id)
               var best: Option[(Long, Double)] = None
               reps.foreach { case (rid, rv) =>
                 val c = cosQ(v, rv)
-                if (c >= threshold && best.forall(_._2 < c))
+                if (c >= threshold && best.forall { case (bid, bc) =>
+                    c > bc || (c == bc && rid < bid) })
                   best = Some((rid, c))
               }
               best match {
