@@ -28,9 +28,11 @@ object BucketRehearsal {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val buckets = args.lift(1).map(_.toInt).getOrElse(32)
     val iters = args.lift(2).map(_.toInt).getOrElse(4)
-    // optional 4th arg: regex over {docs, pair, sess} — the pair leg is
-    // Σ|block|² and only runs at sf0.1-ish scale
-    val legs = args.lift(3).getOrElse("docs|pair|sess").r
+    // optional 4th arg: regex over {docs, pair, sess, ops} — the pair
+    // leg is Σ|block|² and only runs at sf0.1-ish scale; ops drives the
+    // shipped writeEvents layout through funnel/sessionFeatures/
+    // interArrival
+    val legs = args.lift(3).getOrElse("docs|pair|sess|ops").r
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     // model the 100 TB regime: neither side of a fact-fact doc_id join
@@ -130,6 +132,29 @@ object BucketRehearsal {
 
     audit("sess-plain", sessionizeShape(events))
     audit("sess-bucketed", sessionizeShape(spark.table("events_b")))
+    }
+
+    // Fourth rehearsal: the SHIPPED writeEvents layout feeding the full
+    // per-user operator family (funnel q63, session features q75,
+    // inter-arrival q110) — the schema-preserving writer the resolver
+    // (Tables.events) substitutes in production. Same structural
+    // expectation: the corpus-sized user_id Exchange vanishes; what
+    // remains is presentation sorts and count-table-sized aggs.
+    if (legs.findFirstIn("ops").isDefined) {
+      val ev = Tables(spark, sfDir, "events")
+      dropBucketTable(spark, wh, operators.CorpusWriter.DefaultEventsTable)
+      operators.CorpusWriter.writeEvents(ev, buckets = buckets,
+        sourceDir = Some(sfDir))
+      val b = Tables.events(spark, sfDir)
+      require(b.inputFiles.forall(
+        _.contains(operators.CorpusWriter.DefaultEventsTable)),
+        "resolver did not substitute the bucketed layout")
+      audit("fun-plain", operators.EventFunnel.funnel(ev))
+      audit("fun-bucket", operators.EventFunnel.funnel(b))
+      audit("sf-plain", operators.EventFunnel.sessionFeatures(ev))
+      audit("sf-bucket", operators.EventFunnel.sessionFeatures(b))
+      audit("ia-plain", operators.EventFunnel.interArrival(ev))
+      audit("ia-bucket", operators.EventFunnel.interArrival(b))
     }
     spark.stop()
   }

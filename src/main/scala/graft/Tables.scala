@@ -20,6 +20,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table for `dir`, preferring the user_id-bucketed layout
+    * when [[graft.operators.CorpusWriter.writeEvents]] has registered
+    * one FOR THIS SOURCE in the session catalog (schema-identical, so
+    * values never change — only the per-user shuffle disappears; see
+    * the writer's scaladoc for the 100 TB argument). Falls back to the
+    * plain parquet read otherwise, which is what the round driver's
+    * fresh-session Verify/Bench runs always get.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusWriter.bucketedEvents(spark, dir)
+      .getOrElse(apply(spark, dir, "events"))
+
   /** Epoch-seconds for an event-time column, robust to the physical type
     * the driver's generator emits for `events.ts` (it has changed across
     * testdata generations): INT64(nanos) surfaced as a raw Long via

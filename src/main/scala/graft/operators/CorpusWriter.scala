@@ -65,4 +65,63 @@ object CorpusWriter {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Default table name for the user_id-bucketed events layout. */
+  val DefaultEventsTable = "graft_events_by_user"
+
+  /** Table property recording which source the bucketed events were
+    * written FROM, so [[bucketedEvents]] only substitutes the layout
+    * for queries over that same source (a layout written from last
+    * week's extract must never answer this week's query).
+    */
+  val EventsSourceProp = "graft.events.source"
+
+  /** Write the events stream as a user_id-bucketed, (user_id, ts)-sorted
+    * managed table — the layout that makes EVERY per-user analytic
+    * shuffle-free: sessionization (q22), session features (q75),
+    * inter-arrival profiles (q110), funnels (q63), transitions,
+    * retention all require nothing more than "rows of one user
+    * co-located" (`ClusteredDistribution` on user_id, or on a superset
+    * key like (user_id, event_type), which a HashPartitioning(user_id)
+    * scan satisfies — Spark's subset rule). On plain parquet each of
+    * those pays a full-corpus Exchange on user_id per query
+    * (ProfileQ22Decomp measured that Exchange alone exceeding the
+    * oracle's whole query at 50×); bucketed, the shuffle happens ONCE
+    * at ingest and amortizes across every per-user query forever —
+    * at 100 TB the event firehose is written this way from day one.
+    * Schema is preserved verbatim, so consumers are layout-agnostic;
+    * pass `sourceDir` to let [[graft.Tables.events]] auto-substitute
+    * the layout for reads of that source.
+    */
+  def writeEvents(events: DataFrame, table: String = DefaultEventsTable,
+      buckets: Int = 32, sourceDir: Option[String] = None): Unit = {
+    events.write
+      .mode("overwrite")
+      .bucketBy(buckets, "user_id")
+      .sortBy("user_id", "ts")
+      .format("parquet")
+      .saveAsTable(table)
+    sourceDir.foreach { d =>
+      events.sparkSession.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$EventsSourceProp' = '$d')")
+    }
+  }
+
+  /** The bucketed events layout for `sourceDir`, when one has been
+    * written and tagged via [[writeEvents]] in this catalog — None
+    * otherwise (including when a table of the right name exists but
+    * was written from a DIFFERENT source: the property must match).
+    */
+  def bucketedEvents(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, table: String = DefaultEventsTable)
+      : Option[DataFrame] =
+    if (!spark.catalog.tableExists(table)) None
+    else {
+      val props = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties
+      if (props.get(EventsSourceProp).contains(sourceDir))
+        Some(spark.table(table))
+      else None
+    }
 }

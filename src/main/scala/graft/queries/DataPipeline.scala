@@ -1170,7 +1170,7 @@ object DataPipeline {
     //     the emitted counts are domain-independent.
     QueryDef(
       "q63_funnel",
-      (s, dir) => EventFunnel.funnel(Tables(s, dir, "events")),
+      (s, dir) => EventFunnel.funnel(graft.Tables.events(s, dir)),
       Some("""WITH v AS (
              |  SELECT user_id, MIN(ts) AS t1 FROM events
              |  WHERE event_type = 'view' GROUP BY user_id
@@ -1202,7 +1202,7 @@ object DataPipeline {
     //     oracle from EPOCH(ts) — same integer weeks.
     QueryDef(
       "q64_retention",
-      (s, dir) => EventFunnel.retention(Tables(s, dir, "events")),
+      (s, dir) => EventFunnel.retention(graft.Tables.events(s, dir)),
       Some("""WITH uw AS (
              |  SELECT DISTINCT user_id,
              |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk
@@ -1270,7 +1270,7 @@ object DataPipeline {
     //     then a constant-size aggregate.
     QueryDef(
       "q67_transitions",
-      (s, dir) => EventFunnel.transitions(Tables(s, dir, "events")),
+      (s, dir) => EventFunnel.transitions(graft.Tables.events(s, dir)),
       Some("""WITH seq AS (
              |  SELECT user_id, event_type,
              |         LEAD(event_type) OVER (PARTITION BY user_id
@@ -1546,7 +1546,7 @@ object DataPipeline {
     //     emits the sessions.
     QueryDef(
       "q75_session_features",
-      (s, dir) => EventFunnel.sessionFeatures(Tables(s, dir, "events")),
+      (s, dir) => EventFunnel.sessionFeatures(graft.Tables.events(s, dir)),
       Some("""WITH e AS (
              |  SELECT user_id, event_id,
              |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, value
@@ -2490,7 +2490,7 @@ object DataPipeline {
     //     cumulative table — deterministic, unlike approx_percentile.
     QueryDef(
       "q110_interarrival",
-      (s, dir) => EventFunnel.interArrival(Tables(s, dir, "events")),
+      (s, dir) => EventFunnel.interArrival(graft.Tables.events(s, dir)),
       Some("""WITH e AS (
              |  SELECT user_id, event_type, event_id,
              |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec

@@ -691,7 +691,11 @@ object Relational {
         // corpus with unbounded power-user groups would use the Window
         // form instead. Integer seconds via Tables.epochSec (adaptive
         // to the testdata generation's physical ts type).
-        val ev = t(s, dir, "events")
+        // Tables.events resolves to the user_id-bucketed layout when
+        // CorpusWriter.writeEvents registered one for this source — then
+        // even the remaining Exchange disappears (pinned in
+        // DataPipelineSpec).
+        val ev = Tables.events(s, dir)
         ev.select(col("user_id"), Tables.epochSec(ev).as("sec"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),

@@ -1014,6 +1014,95 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("writeEvents layout: funnel/sessionFeatures/interArrival go " +
+      "user-shuffle-free with identical values") {
+    val s = spark
+    import s.implicits._
+    // the real events schema (event_id, ts, user_id, event_type, value,
+    // props); user 1 completes the funnel and has a >30-min session gap
+    val ev = Seq(
+      (1L, 100L, 1L, "view", 2.0), (2L, 400L, 1L, "click", 1.0),
+      (3L, 900L, 1L, "purchase", 5.0), (4L, 3000L, 1L, "view", 0.5),
+      (5L, 50L, 2L, "view", 1.0), (6L, 55L, 2L, "click", 1.0),
+      (7L, 60L, 2L, "view", 1.0), (8L, 10L, 3L, "click", 0.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    val savedAuto = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.CorpusWriter.writeEvents(ev, "evb_ops", buckets = 4,
+        sourceDir = Some("/marker/src"))
+      // the source tag gates substitution: right dir resolves, wrong
+      // dir does not
+      assert(graft.operators.CorpusWriter
+        .bucketedEvents(s, "/marker/src", "evb_ops").isDefined)
+      assert(graft.operators.CorpusWriter
+        .bucketedEvents(s, "/other/dir", "evb_ops").isEmpty)
+      val b = s.table("evb_ops")
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      for ((name, op) <- Seq[(String,
+          org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("funnel", EventFunnel.funnel(_)),
+        ("sessionFeatures", EventFunnel.sessionFeatures(_)),
+        ("interArrival", EventFunnel.interArrival(_)))) {
+        val plain = op(ev)
+        val bucketed = op(b)
+        assert(canon(bucketed) == canon(plain), s"$name values diverge")
+        // the corpus-sized per-user Exchange exists on plain parquet and
+        // is GONE on the bucketed layout (the scan's
+        // HashPartitioning(user_id) satisfies every per-user
+        // distribution, including (user_id, event_type) by the subset
+        // rule); only presentation sorts / 1-row global counts may
+        // still exchange
+        val bplan = bucketed.queryExecution.executedPlan.toString
+        val pplan = plain.queryExecution.executedPlan.toString
+        assert(pplan.contains("Exchange hashpartitioning(user_id"),
+          s"$name plain path lost its user shuffle?\n$pplan")
+        assert(!bplan.contains("Exchange hashpartitioning(user_id"),
+          s"$name still shuffles on user_id over the bucketed layout:\n$bplan")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      s.sql("DROP TABLE IF EXISTS evb_ops")
+    }
+  }
+
+  test("Tables.events substitutes the bucketed layout only for its " +
+      "tagged source") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evsrc").toString
+    val ev = Seq((1L, 10L, 7L, "view", 1.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    val dir2 = java.nio.file.Files.createTempDirectory("evsrc2").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    ev.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    try {
+      // no layout registered → plain parquet read
+      assert(graft.Tables.events(s, dir).inputFiles
+        .forall(_.contains(dir.stripPrefix("/"))))
+      graft.operators.CorpusWriter.writeEvents(ev, sourceDir = Some(dir))
+      // registered for THIS dir → catalog table; schema unchanged
+      val resolved = graft.Tables.events(s, dir)
+      assert(resolved.inputFiles.forall(
+        _.contains(graft.operators.CorpusWriter.DefaultEventsTable)))
+      assert(resolved.schema.fieldNames.toSeq ==
+        ev.schema.fieldNames.toSeq)
+      // a DIFFERENT source still reads its own parquet
+      assert(graft.Tables.events(s, dir2).inputFiles
+        .forall(!_.contains(graft.operators.CorpusWriter.DefaultEventsTable)))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS " +
+        graft.operators.CorpusWriter.DefaultEventsTable)
+    }
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
