@@ -43,8 +43,12 @@ object ScaleUp {
     val sfDir = args(0)
     val outDir = args(1)
     val factor = args(2).toInt
+    // optional 4th arg: regex of table names to replicate (default all)
+    // — a single-table sweep (e.g. the embeddings crossover harness)
+    // shouldn't pay for a full replica
+    val only = args.lift(3).getOrElse(".*").r
     val spark = GraftSession.local()
-    Tables.all.foreach { t =>
+    Tables.all.filter(t => only.findFirstIn(t).isDefined).foreach { t =>
       val src = spark.read.parquet(s"$sfDir/$t.parquet")
       val copies = if (shiftCols(t).isEmpty) 1 else factor
       (0 until copies).foreach { i =>

@@ -763,12 +763,55 @@ object Similarity {
     * q52's pico-quantized scoring; pair cosines are
     * [[graft.functions.CosineSimQ]] exact quantized arithmetic; the
     * keep-lowest-id rule needs no tie-breaking.
+    *
+    * With `k = 0` (derive the blocking) the DEFAULT path is scale-
+    * adaptive: at or above [[TwoLevelAutoThreshold]] corpus vectors it
+    * takes the [[semanticDedupTwoLevel]] branch (N^(4/3) total work)
+    * instead of single-level blocking (N^(3/2)) — see
+    * [[dedupBlockingPlan]] for the measured crossover. An explicit
+    * `k > 0` always pins single-level at that k (the q122 gate's
+    * replayed-quantizer contract).
     */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.25, k: Int = 0,
-      sampleN: Int = 256, iters: Int = 2): DataFrame = {
+      sampleN: Int = 256, iters: Int = 2): DataFrame =
+    if (k > 0) semanticDedupSingle(emb, threshold, k, sampleN, iters)
+    else dedupBlockingPlan(emb.count()) match {
+      case Right(kk) =>
+        semanticDedupTwoLevel(emb, threshold, kk, kk, sampleN, iters)
+      case Left(kk) =>
+        semanticDedupSingle(emb, threshold, kk, sampleN, iters)
+    }
+
+  /** Corpus-count threshold at which the k=0 default of
+    * [[semanticDedup]] switches to two-level blocking. Measured
+    * crossover (ProfileKnn, derived k on both sides, cold/warm seconds,
+    * PERF_NOTES round 10): 10k vectors 15.1/2.8 single vs 17.1/2.2
+    * two-level (fixed overhead dominates — single wins cold), 20k
+    * 18.1/2.3 vs 17.8/2.4 (parity), 50k 22.6/2.9 vs 21.9/2.4, 100k
+    * 35.9/4.6 vs 27.6/3.3, 200k 63.7/8.2 vs 37.4/4.6, 400k 135.2/19.2
+    * vs 64.5/10.4 (2.1×). The asymptotic model (N^(3/2)·√2 vs
+    * ~2.4·N^(4/3)) predicts an even lower crossover; 20k is where the
+    * second quantizer's fixed training cost stops mattering in
+    * practice. Above it two-level never lost a sample.
+    */
+  val TwoLevelAutoThreshold = 20000L
+
+  /** The k=0 blocking decision as a pure function of the corpus count
+    * (so the branch is unit-testable without a 20k-row training run
+    * and a replaying engine derives the same plan): Left(k) =
+    * single-level at k ≈ √(n/2), Right(k) = two-level at
+    * k1 = k2 = k ≈ n^(1/3).
+    */
+  def dedupBlockingPlan(n: Long): Either[Int, Int] =
+    if (n >= TwoLevelAutoThreshold)
+      Right(math.max(8, math.ceil(math.cbrt(n.toDouble)).toInt))
+    else Left(math.max(8, math.ceil(math.sqrt(n / 2.0)).toInt))
+
+  private def semanticDedupSingle(emb: DataFrame, threshold: Double,
+      k: Int, sampleN: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
     val (_, assign) =
-      trainedAssignments(emb, derivedK(emb, k), sampleN, iters)
+      trainedAssignments(emb, k, sampleN, iters)
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val dropped = assign.select(col("k"), col("vec_id").as("a"))
       .join(assign.select(col("k"), col("vec_id").as("b")), "k")
@@ -808,9 +851,12 @@ object Similarity {
     * quantizer with high probability (each assigns by nearest
     * centroid), but the two-level prune is strictly tighter than
     * single-level — this is the standard IVF-style recall/cost dial,
-    * turned one notch further. The gated operator (q122) stays the
-    * single-level [[semanticDedup]]; this variant is the 100 TB
-    * configuration, measured in ProfileKnn's `semdedup2` sweep.
+    * turned one notch further. The q122 gate pins single-level k=8
+    * (the oracle's replayed quantizer); [[semanticDedup]]'s k=0
+    * default ROUTES HERE at or above [[TwoLevelAutoThreshold]]
+    * vectors, so this IS the production path at scale — measured in
+    * ProfileKnn's `semdedup2` sweep (crossover table at
+    * [[TwoLevelAutoThreshold]]).
     *
     * Determinism: both quantizers replay q52's exact chain (the salt
     * only changes which vectors seed the sample); pair cosines are the

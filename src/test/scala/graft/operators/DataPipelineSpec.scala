@@ -1030,6 +1030,8 @@ class DataPipelineSpec extends SparkSpec {
         col("user_id"), col("event_type"), col("value"),
         lit("{}").as("props"))
     val savedAuto = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val wh0 = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.BucketRehearsal.dropBucketTable(s, wh0, "evb_ops")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       graft.operators.CorpusWriter.writeEvents(ev, "evb_ops", buckets = 4,
@@ -1066,7 +1068,7 @@ class DataPipelineSpec extends SparkSpec {
       }
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
-      s.sql("DROP TABLE IF EXISTS evb_ops")
+      graft.BucketRehearsal.dropBucketTable(s, wh0, "evb_ops")
     }
   }
 
@@ -1083,6 +1085,12 @@ class DataPipelineSpec extends SparkSpec {
     val dir2 = java.nio.file.Files.createTempDirectory("evsrc2").toString
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
     ev.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    // a previous JVM's run may have left the warehouse dir behind with
+    // no catalog entry (saveAsTable then fails LOCATION_ALREADY_EXISTS);
+    // the warehouse-aware drop clears both
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.BucketRehearsal.dropBucketTable(s, wh,
+      graft.operators.CorpusWriter.DefaultEventsTable)
     try {
       // no layout registered → plain parquet read
       assert(graft.Tables.events(s, dir).inputFiles
@@ -1098,9 +1106,25 @@ class DataPipelineSpec extends SparkSpec {
       assert(graft.Tables.events(s, dir2).inputFiles
         .forall(!_.contains(graft.operators.CorpusWriter.DefaultEventsTable)))
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS " +
+      graft.BucketRehearsal.dropBucketTable(s, wh,
         graft.operators.CorpusWriter.DefaultEventsTable)
     }
+  }
+
+  test("dedupBlockingPlan: k=0 default switches to two-level at the " +
+      "measured crossover") {
+    import graft.operators.Similarity
+    // below the threshold: single-level at k ~ sqrt(n/2)
+    assert(Similarity.dedupBlockingPlan(100L) == Left(8)) // floor
+    assert(Similarity.dedupBlockingPlan(19999L) ==
+      Left(math.ceil(math.sqrt(19999 / 2.0)).toInt))
+    // at/above: two-level at k1 = k2 ~ n^(1/3)
+    assert(Similarity.dedupBlockingPlan(20000L) ==
+      Right(math.ceil(math.cbrt(20000.0)).toInt))
+    assert(Similarity.dedupBlockingPlan(400000L) == Right(74))
+    // the q122 contract is untouched: an explicit k pins single-level
+    // (checked by the gate itself; here just the threshold constant)
+    assert(Similarity.TwoLevelAutoThreshold == 20000L)
   }
 
   test("saltedJoin equals the plain join and shuffles on the salt") {
