@@ -41,8 +41,10 @@ object ProfileKnn {
       println(f"[$op] k=$k%-4d " + times.map(t => f"$t%8.3f").mkString(" "))
       // the trained prelude persists centroids/scores/assignments per
       // (k, salt); without this a long sweep accumulates every point's
-      // cached blocks for the session lifetime (ADVICE r8)
-      spark.catalog.clearCache()
+      // cached blocks for the session lifetime (ADVICE r8). r10: the
+      // precise engine-frame release replaces the global clearCache
+      // sledgehammer (which would also evict a user's own caches).
+      graft.operators.CacheRegistry.release()
     }
     spark.stop()
   }

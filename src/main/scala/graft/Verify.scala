@@ -20,7 +20,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dev diagnostic for the engine-cache hygiene contract: cached
+      // entries must stay BOUNDED across the full run (plan-keyed
+      // dedup — distinct parameter combos only), not grow per query
+      if (sys.env.contains("GRAFT_CACHE_STATS"))
+        System.err.println(s"[cache] after $name: " +
+          s"rdds=${spark.sparkContext.getPersistentRDDs.size} " +
+          s"tracked=${graft.operators.CacheRegistry.size}")
     }
+    // release every engine-persisted frame before the session closes —
+    // the library-user contract for long-lived sessions (ADVICE r9)
+    graft.operators.CacheRegistry.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Deduplication operators over a `documents(doc_id, text, …)` relation —
   * the training-data-pipeline surface the brief requires: exact dedup,
@@ -600,7 +601,7 @@ object Dedup {
     // that would execute the job at plan-construction time and pin
     // non-recoverable executor blocks)
     val sim = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), bk -> struct(bk AS bk, substr(simhash, 1 + bk * 4, 4) AS block))"))
@@ -669,10 +670,10 @@ object Dedup {
     // far narrower than the corpus; MEMORY_AND_DISK spills, not OOMs.
     val lft = t.select(col("doc_id").as("left_id"),
       expr(s"concat_ws(' ', slice(w, size(w) - ${k - 1}, $k))").as("phrase"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rgt = t.select(col("doc_id").as("right_id"),
       expr(s"concat_ws(' ', slice(w, 1, $k))").as("phrase"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lc = lft.groupBy(col("phrase")).agg(count(lit(1)).as("c"))
       .where(col("c") <= maxDf).select(col("phrase"))
     val rc = rgt.groupBy(col("phrase")).agg(count(lit(1)).as("c"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Ordered funnel analysis over the `events` table: how many users
   * completed step 1, then step 2 strictly after their first step 1,
@@ -199,7 +200,7 @@ object EventFunnel {
       .where(col("gap").isNotNull)
     val c = gaps.groupBy(col("event_type"), col("gap"))
       .agg(count(lit(1)).as("n"))
-      .persist() // shared by the cumulative window and the totals agg
+      .trackedPersist() // shared by the cumulative window and the totals agg
     val t = c.groupBy("event_type").agg(sum(col("n")).as("n_gaps"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("gap"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Shuffle-key skew diagnostics: the report a pipeline runs BEFORE
   * choosing a join/aggregation strategy at scale (broadcast vs shuffle,
@@ -37,7 +38,7 @@ object KeyStats {
     // is |keys|-sized (far smaller than the stream) and spills to disk
     // if a key-heavy corpus outgrows executor memory.
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(
       sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
     val ord = Seq(col("n").desc, col(keyCol))
@@ -79,7 +80,7 @@ object KeyStats {
     val counts = df
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rc = counts
       .select(col("key"), col("n"),
         explode(expr(s"sequence(0, ${rows - 1})")).as("r"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Multimodal-column processing: image/audio/video handled as opaque
   * `BINARY` columns with typed metadata, the standard lakehouse layout
@@ -308,7 +309,7 @@ object MediaPipeline {
       AHashRow(fr.media_id, sb.toString)
     }.toDF("media_id", "fhash")
     val vf = fh.distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = vf.groupBy(col("fhash")).agg(count(lit(1)).as("c"))
       .where(col("c") <= maxDf).select(col("fhash"))
     vf.as("x")
@@ -335,7 +336,7 @@ object MediaPipeline {
       .groupBy(col("ahash"))
       .agg(min(col("media_id")).as("rep_id"),
         count(lit(1)).as("n_images"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = rep.select(col("rep_id"), col("ahash"), col("n_images"),
       explode(expr(
         "transform(sequence(0, 3), bk -> struct(bk AS bk, substr(ahash, 1 + bk * 4, 4) AS block))"))

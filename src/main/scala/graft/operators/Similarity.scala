@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Similarity search over an `embeddings(vec_id, embedding ARRAY<FLOAT>,
   * label)` relation: exact brute-force cosine top-k as the baseline, and
@@ -251,7 +252,7 @@ object Similarity {
         row_number().over(Window.orderBy("h")).as("r"))
     val sampleDims = dims.join(ranked, "vec_id")
       .select(col("vec_id"), col("i"), col("v"), col("r"))
-      .persist()
+      .trackedPersist()
     var cent = sampleDims.where(col("r") <= k)
       .select((col("r") - 1).as("k"), col("i"), col("v").as("c"))
     for (_ <- 1 to iters) {
@@ -355,10 +356,12 @@ object Similarity {
     * rows — MEMORY_AND_DISK spills rather than OOMs; at real scale
     * these are the materialized inverted file, written bucketed by
     * cluster id. The frames stay cached for the session (each
-    * consumer's single action reuses them); harnesses that call
-    * blocked operators in a sweep loop (ProfileKnn) clear the cache
-    * between points so per-(k, salt) blocks don't accumulate
-    * unboundedly (ADVICE r8).
+    * consumer's single action reuses them, and Spark's plan-keyed
+    * CacheManager dedupes repeat persists of the same combo), and
+    * every persist registers with [[CacheRegistry]] — long-lived
+    * sessions and sweep harnesses (ProfileKnn) call
+    * `CacheRegistry.release()` to drop all engine frames precisely
+    * (ADVICE r8/r9).
     */
   private def trainedAssignments(emb: DataFrame, k: Int, sampleN: Int,
       iters: Int, salt: String = "|ivfseed"): (DataFrame, DataFrame) = {
@@ -367,16 +370,16 @@ object Similarity {
     // explicit sampleN < 2k get the floored value (q52's gate chain
     // pins the defaults, where the floor is inert).
     val cent = trainedCentroids(emb, k, math.max(sampleN, 2 * k), iters,
-      salt).persist()
+      salt).trackedPersist()
     val scores = trainedScores(emb, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = Window.partitionBy(col("vec_id"))
       .orderBy(desc("score"), col("k"))
     val assign = scores
       .select(col("vec_id"), col("k"), row_number().over(best).as("rn"))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (scores, assign)
   }
 
@@ -877,7 +880,7 @@ object Similarity {
       trainedAssignments(emb, kk2, sampleN, iters, salt = "|ivfseed2")
     val cells = a1
       .join(a2.select(col("vec_id"), col("k").as("k2")), "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val dropped = cells.select(col("k"), col("k2"), col("vec_id").as("a"))
       .join(cells.select(col("k"), col("k2"), col("vec_id").as("b")),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.TrackedPersist
 
 /** Text-analysis operators over `documents`: per-document statistics /
   * quality signals, n-gram-heuristic language ID, and shingle-hash
@@ -739,7 +740,7 @@ object TextAnalysis {
     val benchShingles = sh
       .join(benchIds, sh("doc_id") === col("bench_id"), "left_semi")
       .select(col("shingle")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = benchShingles
       .select(col("shingle"), explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
       .select(md5(concat(col("shingle"), lit("|"), col("j").cast("string"))
@@ -749,7 +750,7 @@ object TextAnalysis {
     val trainSh = sh
       .join(benchIds, sh("doc_id") === col("bench_id"), "left_anti")
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = trainSh
       .select(col("doc_id"), col("shingle"),
         explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
@@ -1162,10 +1163,10 @@ object TextAnalysis {
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val cab = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK)
     val unig = docs.select(explode(Dedup.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(StorageLevel.MEMORY_AND_DISK)
     val totals = cab.agg(sum(col("n_ab")).as("nb"))
       .crossJoin(unig.agg(sum(col("c")).as("nu")))
     cab.where(col("n_ab") >= minCount)
@@ -1347,7 +1348,7 @@ object TextAnalysis {
       .select(length(col("t")).cast("long").as("len"))
       .groupBy(col("len"))
       .agg(count(lit(1)).as("n"))
-      .persist()
+      .trackedPersist()
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("len"), col("n"),
@@ -1423,7 +1424,7 @@ object TextAnalysis {
   def sourceSegmentOverlap(docs: DataFrame, segLen: Int = 10): DataFrame = {
     val fpSrc = segmentOccurrences(docs, segLen)
       .select(col("fp"), col("source")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = fpSrc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_segments"))
     val pairs = fpSrc.as("x")
@@ -1540,7 +1541,7 @@ object TextAnalysis {
     // the corpus tokenization runs twice
     val toks = docs.select(col("source"), col("doc_id"),
         Dedup.tokens(col("text")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = toks
       .select(col("source"), col("doc_id"),
         posexplode(when(size(col("w")) < k, array()).otherwise(expr(
@@ -1551,7 +1552,7 @@ object TextAnalysis {
         md5(col("win").cast("binary")).as("h"))
       // feeds BOTH the df agg and the hit join — unpersisted, the
       // windowed corpus pass (explode + md5) runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= 2)
@@ -1625,7 +1626,7 @@ object TextAnalysis {
       // feeds the target counts, the corpus counts, AND the scoring
       // join — unpersisted, the bigram explode + md5 + hex fold runs
       // three times over the corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = bg.where(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
     val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))

