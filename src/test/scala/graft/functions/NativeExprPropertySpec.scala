@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.SparkSpec
+import graft.operators.Dedup
+
+/** Property equivalence of the four native per-row expressions against
+  * their SQL spellings (the hand-picked adversarial pins live in
+  * DataPipelineSpec; this makes the value-identity claims mechanical
+  * over generated UTF-8, whitespace classes, and parameter sweeps —
+  * VERDICT r9 item 6). Seeded generators in the PayloadPropertySpec
+  * style: deterministic, replayable, no scalacheck-scalatest bridge
+  * needed.
+  */
+class NativeExprPropertySpec extends AnyFunSuite {
+
+  private def spark = SparkSpec.spark
+
+  /** Drive a generator with fixed seeds (deterministic, replayable). */
+  private def sample[T](gen: Gen[T], n: Int, seed: Long = 977L): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen(Gen.Parameters.default.withSize(12), Seed(seed + i)))
+
+  /** Text alphabet stressing every byte-length class and the \s
+    * corner: ASCII letters/digits/punct, the six Java whitespace
+    * chars incl. U+000B, 2-byte (é ü ß ñ), 3-byte (中 한 €), 4-byte
+    * surrogate-pair emoji, and a combining mark.
+    */
+  private val unitGen: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaLowerChar.map(_.toString),
+    3 -> Gen.alphaUpperChar.map(_.toString),
+    3 -> Gen.numChar.map(_.toString),
+    3 -> Gen.oneOf(".", ",", "!", "-", "(", ")", "*", "&", "#", "@"),
+    4 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", ""),
+    2 -> Gen.oneOf("é", "ü", "ß", "ñ"),
+    2 -> Gen.oneOf("中", "한", "€"),
+    1 -> Gen.oneOf("😀", "🚀"),
+    1 -> Gen.const("é"))
+
+  private val textGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, unitGen).map(_.mkString))
+
+  /** Token units exclude whitespace entirely (tokens are pre-split by
+    * contract and never contain a space) but keep every byte-length
+    * class; small alphabet forces duplicate shingles.
+    */
+  private val tokenGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.oneOf("a", "b", "c", "z", "q"),
+      2 -> Gen.oneOf("0", "9"),
+      2 -> Gen.oneOf("é", "中", "😀"),
+      1 -> Gen.oneOf(".", "!"))).map(_.mkString))
+
+  private val tokensGen: Gen[Seq[String]] =
+    Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, tokenGen))
+
+  test("token_run_count == regexp_count(lower, BPE pattern) over " +
+      "generated UTF-8") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val texts = sample(textGen, 150)
+    assert(texts.count(_.nonEmpty) > 100)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val r = d.select(col("id"), col("text"),
+        graft.functions.TokenRunCount(col("text")).as("native"),
+        expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')")
+          .cast("long").as("rx"))
+      .collect()
+    assert(r.length == texts.length)
+    r.foreach { x =>
+      assert(x.getLong(2) == x.getLong(3),
+        s"text ${x.getString(1).getBytes("UTF-8").mkString("[", ",", "]")}:" +
+          s" native ${x.getLong(2)} != regex ${x.getLong(3)}")
+    }
+  }
+
+  test("word_run_count == size(split-and-filter tokens) over " +
+      "generated UTF-8") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val texts = sample(textGen, 150)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val r = d.select(col("id"), col("text"),
+        graft.functions.WordRunCount(col("text")).as("native"),
+        size(Dedup.tokens(col("text"))).cast("long").as("arr"))
+      .collect()
+    r.foreach { x =>
+      assert(x.getLong(2) == x.getLong(3),
+        s"text ${x.getString(1).getBytes("UTF-8").mkString("[", ",", "]")}:" +
+          s" native ${x.getLong(2)} != array ${x.getLong(3)}")
+    }
+  }
+
+  test("min_k_hex_hashes == sorted-distinct-md5 SQL spelling for " +
+      "k in 1..6 over generated token arrays") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val tokenLists = sample(tokensGen, 120)
+    assert(tokenLists.count(_.length >= 3) > 60) // real shingle cases
+    val d = tokenLists.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "w")
+    for (k <- 1 to 6) {
+      val r = d.select(col("doc_id"),
+          graft.functions.MinKHexHashes(col("w"), k).as("native"),
+          when(size(col("w")) >= 3, expr(
+            "array_join(slice(array_sort(array_distinct(" +
+              "transform(sequence(1, size(w) - 2), " +
+              "i -> md5(CAST(concat_ws(' ', slice(w, i, 3)) AS BINARY))" +
+              s"))), 1, $k), '')")).as("sql"))
+        .collect()
+      r.foreach { x =>
+        assert(x.isNullAt(1) == x.isNullAt(2),
+          s"k=$k doc ${x.getLong(0)}: null mismatch")
+        if (!x.isNullAt(1))
+          assert(x.getString(1) == x.getString(2),
+            s"k=$k doc ${x.getLong(0)}: ${x.getString(1)} != ${x.getString(2)}")
+      }
+    }
+  }
+
+  test("winnow_prints == hex_prefix_long/array-HOF SQL spelling for " +
+      "w in 1..8 over generated token arrays") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val tokenLists = sample(tokensGen, 100)
+    val d = tokenLists.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "w")
+    for (win <- 1 to 8) {
+      val r = d.select(col("doc_id"),
+          graft.functions.WinnowPrints(col("w"), win).as("native"),
+          when(size(col("w")) >= 3, expr(
+            s"array_distinct(transform(" +
+              s"sequence(1, greatest(size(w) - 1 - $win, 1)), " +
+              "s -> array_min(slice(transform(sequence(1, size(w) - 2), " +
+              "i -> hex_prefix_long(md5(CAST(concat_ws(' ', slice(w, i, 3)) " +
+              s"AS BINARY)), 1) * ${1L << 20} + CAST(i - 1 AS BIGINT)), " +
+              s"s, $win))))"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("sql"))
+        .collect()
+      r.foreach { x =>
+        assert(x.getSeq[Long](1) == x.getSeq[Long](2),
+          s"w=$win doc ${x.getLong(0)}: " +
+            s"${x.getSeq[Long](1)} != ${x.getSeq[Long](2)}")
+      }
+    }
+  }
+}
