@@ -24,9 +24,93 @@ import graft.streaming.StreamIngest
   * delivery pool rather than raw engine cost.
   *
   * Usage: sbt "runMain graft.StreamThroughput [nProj] [nAgg] [latencyMs]".
+  *
+  * A separate mode drives the STREAMING SEMANTIC DEDUP state machine
+  * ([[graft.streaming.CorpusStreamOps.semanticDedupCandidates]]) at
+  * replica scale — the r9 operator had correctness pins but no
+  * throughput evidence (VERDICT r10 item 5). It feeds the replica's
+  * embeddings through a MemoryStream in fixed-size batches and prints,
+  * per micro-batch: wall seconds, events/s, the state store's row
+  * count and memory, and emitted flags — swept over `maxCluster` caps
+  * (the per-cluster exemplar bound, i.e. the state-size/recall dial).
+  *
+  * Usage: sbt "runMain graft.StreamThroughput semdedup [sfDir]
+  *   [batchSize] [nBatches] [k] [cap1,cap2,...]".
   */
 object StreamThroughput {
+
+  def semanticDedupLeg(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/tmp/sf200")
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(20000)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(20)
+    val k = args.lift(4).map(_.toInt).getOrElse(64)
+    val caps = args.lift(5).getOrElse("256,1024,4096")
+      .split(",").map(_.trim.toInt).toSeq
+    // threshold > 1 makes NOTHING match, so every arrival becomes an
+    // exemplar until its cluster caps out — the adversarial regime that
+    // shows maxCluster as the state/cost bound (the replica's default
+    // regime saturates at true diversity instead: 200 copies of 2000
+    // vectors → ~900 exemplars total, caps never bind)
+    val threshold = args.lift(6).map(_.toDouble).getOrElse(0.25)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.CorpusStreamOps
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = CorpusStreamOps.collectCentroids(
+      graft.operators.Similarity.trainedCentroids(emb, k = k,
+        sampleN = math.max(256, 2 * k), iters = 2))
+    graft.operators.CacheRegistry.release()
+    println(s"[semdedup-stream] trained ${cents.length} centroids " +
+      s"(d=${cents.head._2.length})")
+    val ids = emb.select("vec_id").orderBy("vec_id").as[Long].collect()
+    val chunks = ids.take(math.min(ids.length.toLong,
+      batchSize.toLong * nBatches).toInt).grouped(batchSize).toSeq
+    for (cap <- caps) {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CorpusStreamOps.VecIn]
+      val q = CorpusStreamOps
+        .semanticDedupCandidates(mem.toDS(), cents, threshold = threshold,
+          maxCluster = cap)
+        .writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation",
+          Files.createTempDirectory("semdedup-ck").toString)
+        .start()
+      try {
+        var totalRows = 0L
+        var totalSec = 0.0
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          // materialize the batch OUTSIDE the timed region
+          val batch = emb
+            .where(org.apache.spark.sql.functions.col("vec_id")
+              .between(chunk.head, chunk.last))
+            .selectExpr("vec_id", "embedding")
+            .as[CorpusStreamOps.VecIn].collect()
+          val t0 = System.nanoTime()
+          mem.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          totalRows += batch.length; totalSec += sec
+          val p = q.lastProgress
+          val st = p.stateOperators.headOption
+          println(f"[semdedup-stream] cap=$cap%-5d batch=$i%2d " +
+            f"n=${batch.length}%6d wall=$sec%6.2fs " +
+            f"eps=${batch.length / sec}%8.0f " +
+            f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%5d " +
+            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"flags=${p.sink.numOutputRows}%7d")
+        }
+        println(f"[semdedup-stream] cap=$cap%-5d TOTAL n=$totalRows " +
+          f"wall=$totalSec%7.2fs eps=${totalRows / totalSec}%8.0f")
+      } finally q.stop()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("semdedup")) { semanticDedupLeg(args); return }
     val nProj = args.headOption.map(_.toInt).getOrElse(50000)
     val nAgg = args.lift(1).map(_.toInt).getOrElse(500)
     val latencyMs = args.lift(2).map(_.toLong).getOrElse(50L)
