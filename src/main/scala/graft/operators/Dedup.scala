@@ -685,4 +685,49 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("phrase"))
       .orderBy("left_id", "right_id")
   }
+
+  /** Shingle-novelty census per source: every distinct word 3-gram
+    * shingle is attributed to its FIRST document (min doc_id over the
+    * corpus — the same keep-lowest-id attribution every dedup pass
+    * here uses), and each source reports how much of its shingle mass
+    * is NOVEL (first-occurrence) vs inherited from earlier documents.
+    * The pooled ratio Σnovel·10⁶ DIV Σshingles is exact integer ppm;
+    * fully-novel docs introduce every one of their shingles. This is
+    * the curriculum/acquisition signal a pipeline reads when deciding
+    * whether a new source still ADDS anything: a crawl snapshot whose
+    * novelty_ppm collapses is re-crawling what the corpus already
+    * holds (the doc-level complement of the q77 incremental probe).
+    *
+    * Scale shape: the shingle table ([[shingles]], distinct per doc)
+    * feeds ONE shingle-keyed min-aggregate (map-side partial MIN, md5-
+    * free — the raw shingle is the key exactly as q57 does) and one
+    * co-keyed join back; both shuffles share the shingle partitioning,
+    * and everything after the per-doc aggregate is |docs|- then
+    * |sources|-sized. Documents under 3 tokens carry no shingles and
+    * drop from the census (inner join), mirroring the oracle's range
+    * semantics. At 100 TB the shingle table is written bucketed by
+    * shingle and the min-owner side becomes a bucket-local merge.
+    */
+  def noveltyReport(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val own = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
+    val perDoc = sh.join(own, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L))
+          .as("n_own"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_own")).as("n_novel_shingles"),
+        sum(when(col("n_own") === col("n_sh"), 1L).otherwise(0L))
+          .as("n_fully_novel_docs"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_novel_shingles"),
+        expr("n_novel_shingles * 1000000 DIV n_shingles").as("novelty_ppm"),
+        col("n_fully_novel_docs"))
+      .orderBy("source")
+  }
 }

@@ -117,4 +117,45 @@ object Sampling {
         expr("n_sampled * 1000000 DIV n_docs").as("achieved_ppm"))
       .orderBy("source")
   }
+
+  /** Exact token-length distribution per source: min / lower-median /
+    * ceil-p90 / ceil-p99 / max of the subword token count (the q126
+    * [[graft.functions.TokenRunCount]] law) plus doc and token totals —
+    * the census that tunes `seqLen` BEFORE [[packingReport]] prices a
+    * choice. Exact at scale without sorting the corpus, by the same
+    * distinct-value construction as the inter-arrival percentiles:
+    * lengths collapse into a (source, t)-keyed count table (map-side
+    * partials; the distinct-length domain is tiny vs the doc count),
+    * percentiles read off the cumulative window over that table, and
+    * the target ranks are integer arithmetic — `(n+1) DIV 2`,
+    * `(9n+9) DIV 10`, `(99n+99) DIV 100` — so the report is
+    * bit-identical on any engine at any parallelism (never
+    * approx_percentile, whose sketch merges are nondeterministic).
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("t"))
+    val c = docs.select(col("source"),
+        graft.functions.TokenRunCount(col("text")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("t") * col("n")).as("n_tokens"))
+    c.withColumn("cum", sum(col("n")).over(w))
+      .join(tot, "source")
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("t")).as("min_tokens"),
+        min(when(col("cum") >= expr("(n_docs + 1) DIV 2"), col("t")))
+          .as("p50_tokens"),
+        min(when(col("cum") >= expr("(9 * n_docs + 9) DIV 10"), col("t")))
+          .as("p90_tokens"),
+        min(when(col("cum") >= expr("(99 * n_docs + 99) DIV 100"), col("t")))
+          .as("p99_tokens"),
+        max(col("t")).as("max_tokens"))
+      .orderBy("source")
+  }
 }

@@ -3613,6 +3613,87 @@ object DataPipeline {
              |         AS top_bigram_ppm,
              |       (MAX(c) * 1000000 // SUM(c)) > 200000 AS flagged
              |FROM cnt GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Shingle-novelty census: every distinct word 3-gram attributed
+    //     to its FIRST doc (min doc_id), per-source novel-vs-inherited
+    //     shingle mass — the "does this source still add anything"
+    //     acquisition signal (doc-level complement of q77).
+    QueryDef(
+      "q134_novelty_census",
+      (s, dir) => Dedup.noveltyReport(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |shraw AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_transform(range(1, len(w) - 1),
+             |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+             |  FROM toks WHERE len(w) >= 3
+             |),
+             |sh AS (SELECT DISTINCT doc_id, source, shingle FROM shraw),
+             |own AS (
+             |  SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY shingle
+             |),
+             |perdoc AS (
+             |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+             |         SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END)
+             |           AS n_own
+             |  FROM sh s JOIN own o ON o.shingle = s.shingle
+             |  GROUP BY s.doc_id, s.source
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+             |       CAST(SUM(n_own) AS BIGINT) AS n_novel_shingles,
+             |       CAST(SUM(n_own) * 1000000 // SUM(n_sh) AS BIGINT)
+             |         AS novelty_ppm,
+             |       CAST(SUM(CASE WHEN n_own = n_sh THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_fully_novel_docs
+             |FROM perdoc GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // --- Exact token-length percentiles per source (distinct-value
+    //     cumulative construction, integer ranks — never
+    //     approx_percentile): the census that tunes seqLen before
+    //     q131 prices a packing choice.
+    QueryDef(
+      "q135_length_percentiles",
+      (s, dir) => Sampling.lengthPercentiles(Tables(s, dir, "documents")),
+      Some("""WITH per AS (
+             |  SELECT source,
+             |         CAST(len(regexp_extract_all(lower(text),
+             |              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS t
+             |  FROM documents
+             |),
+             |cnt AS (
+             |  SELECT source, t, COUNT(*) AS n FROM per GROUP BY source, t
+             |),
+             |cum AS (
+             |  SELECT source, t, n,
+             |         SUM(n) OVER (PARTITION BY source ORDER BY t) AS cum
+             |  FROM cnt
+             |),
+             |tot AS (
+             |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+             |         CAST(SUM(t * n) AS BIGINT) AS n_tokens
+             |  FROM cnt GROUP BY source
+             |)
+             |SELECT c.source,
+             |       CAST(MIN(t2.n_docs) AS BIGINT) AS n_docs,
+             |       CAST(MIN(t2.n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(MIN(c.t) AS BIGINT) AS min_tokens,
+             |       CAST(MIN(CASE WHEN c.cum >= (t2.n_docs + 1) // 2
+             |                     THEN c.t END) AS BIGINT) AS p50_tokens,
+             |       CAST(MIN(CASE WHEN c.cum >= (9 * t2.n_docs + 9) // 10
+             |                     THEN c.t END) AS BIGINT) AS p90_tokens,
+             |       CAST(MIN(CASE WHEN c.cum >= (99 * t2.n_docs + 99) // 100
+             |                     THEN c.t END) AS BIGINT) AS p99_tokens,
+             |       CAST(MAX(c.t) AS BIGINT) AS max_tokens
+             |FROM cum c JOIN tot t2 USING (source)
+             |GROUP BY c.source
+             |ORDER BY source""".stripMargin))
   )
 }

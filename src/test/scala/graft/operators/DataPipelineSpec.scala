@@ -1151,6 +1151,37 @@ class DataPipelineSpec extends SparkSpec {
     assert(graft.operators.CacheRegistry.size == 0)
   }
 
+  test("noveltyReport: first-occurrence shingle attribution per source") {
+    val s = spark
+    import s.implicits._
+    // doc1 owns both its shingles; doc2 re-uses 'a b c' (1 of 2 novel);
+    // doc3 repeats doc1 exactly (0 novel); doc4 is sub-shingle length
+    val d = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c x", "A"),
+      (3L, "a b c d", "B"), (4L, "q q", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.noveltyReport(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      ("A", 2L, 4L, 3L, 750000L, 1L),
+      ("B", 1L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("lengthPercentiles: exact integer-rank percentiles per source") {
+    val s = spark
+    import s.implicits._
+    // token counts 1..4 in one source → p50=2 (lower median), p90=4,
+    // p99=4, totals 4 docs / 10 tokens
+    val d = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text").withColumn("source", lit("X"))
+    val r = Sampling.lengthPercentiles(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7))).toSeq
+    assert(r == Seq(("X", 4L, 10L, 1L, 2L, 4L, 4L, 4L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
