@@ -126,15 +126,25 @@ object WinnowPrints {
     val out = new Array[Long](starts)
     var m = 0
     var prev = Long.MinValue
+    // sliding-window minimum via a monotonic deque of indices (ascending
+    // packed values front→back): O(p) total instead of the old O(p·w)
+    // nested scan — each index enters and leaves the deque once. Values
+    // are distinct (position in the low bits), so strict < suffices.
+    val dq = new Array[Int](p)
+    var head = 0
+    var tail = 0 // exclusive
+    var j = 0
     var s = 0
     while (s < starts) {
-      val end = math.min(s + w, p)
-      var mn = packed(s)
-      var j = s + 1
+      val end = math.min(s + w, p) // window covers packed[s .. end-1]
       while (j < end) {
-        if (packed(j) < mn) mn = packed(j)
+        while (tail > head && packed(dq(tail - 1)) > packed(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
         j += 1
       }
+      while (dq(head) < s) head += 1 // expire indices left of the window
+      val mn = packed(dq(head))
       if (mn != prev) { out(m) = mn; m += 1; prev = mn }
       s += 1
     }
