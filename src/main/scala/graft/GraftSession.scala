@@ -13,6 +13,9 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // native-counter substitution for user SQL (graft.plans); the
+      // token rule stays conf-gated off inside the rule itself
+      .withExtensions(new graft.plans.GraftExtensions)
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // same extension set as GraftSession.local(), so the whole suite
+      // exercises the native-substitution rule
+      .withExtensions(new graft.plans.GraftExtensions)
     Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.SparkSpec
+
+/** Pins for the optimizer substitution rule: when it must fire, what it
+  * must preserve, and when it must stay out of the way.
+  */
+class NativeSubstitutionSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  // parquet-backed (not a LocalRelation): ConvertToLocalRelation would
+  // otherwise fold the whole projection during optimization and hide
+  // the rewritten expression from the plan assertions
+  private lazy val textsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("nst").toString
+    Seq((1L, "a b  c"), (2L, ""), (3L, "  "), (4L, "über café 😀 x"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text").write.mode("overwrite").parquet(p)
+    p
+  }
+  private def texts = s.read.parquet(textsPath)
+
+  private def optimized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("word spelling rewrites to word_run_count and keeps values") {
+    texts.createOrReplaceTempView("nst")
+    val df = s.sql("SELECT id, size(filter(split(lower(text), ' '), " +
+      "t -> t <> '')) AS c FROM nst")
+    assert(optimized(df).contains("wordruncount"), optimized(df))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    // 'a b  c' -> 3, empty/blank -> 0, multibyte words -> 4, NULL -> NULL
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 4, 5L -> null))
+  }
+
+  test("reversed comparison and missing lower() still rewrite") {
+    texts.createOrReplaceTempView("nst")
+    val rev = s.sql("SELECT size(filter(split(lower(text), ' '), " +
+      "t -> '' <> t)) AS c FROM nst WHERE id = 1")
+    assert(optimized(rev).contains("wordruncount"), optimized(rev))
+    assert(rev.collect().head.getInt(0) == 3)
+    val noLower = s.sql("SELECT size(filter(split(text, ' '), " +
+      "t -> t <> '')) AS c FROM nst WHERE id = 4")
+    assert(optimized(noLower).contains("wordruncount"), optimized(noLower))
+    assert(noLower.collect().head.getInt(0) == 4)
+  }
+
+  test("non-matching shapes are untouched") {
+    texts.createOrReplaceTempView("nst")
+    // different separator, different predicate, different limit
+    for (sql <- Seq(
+      "SELECT size(filter(split(text, ','), t -> t <> '')) AS c FROM nst",
+      "SELECT size(filter(split(text, ' '), t -> t <> 'x')) AS c FROM nst",
+      "SELECT size(filter(split(text, ' ', 2), t -> t <> '')) AS c FROM nst")) {
+      val df = s.sql(sql)
+      assert(!optimized(df).contains("wordruncount"), sql)
+    }
+  }
+
+  test("token substitution is conf-gated off by default, exact when on") {
+    texts.createOrReplaceTempView("nst")
+    val q = "SELECT id, size(regexp_extract_all(lower(text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS c FROM nst"
+    val off = s.sql(q)
+    assert(!optimized(off).contains("tokenruncount"), optimized(off))
+    val offVals = off.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    try {
+      s.conf.set("spark.graft.substitute.tokenRunCount", "true")
+      val on = s.sql(q)
+      assert(optimized(on).contains("tokenruncount"), optimized(on))
+      val onVals = on.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
+      assert(onVals == offVals)
+      // regexp_count spells the same replacement tree and rewrites too
+      val rc = s.sql("SELECT regexp_count(lower(text), " +
+        "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]') AS c FROM nst WHERE id = 4")
+      assert(optimized(rc).contains("tokenruncount"), optimized(rc))
+    } finally s.conf.unset("spark.graft.substitute.tokenRunCount")
+  }
+
+  test("word rule can be disabled by conf") {
+    texts.createOrReplaceTempView("nst")
+    try {
+      s.conf.set("spark.graft.substitute.wordRunCount", "false")
+      val df = s.sql("SELECT size(filter(split(lower(text), ' '), " +
+        "t -> t <> '')) AS c FROM nst")
+      assert(!optimized(df).contains("wordruncount"))
+    } finally s.conf.unset("spark.graft.substitute.wordRunCount")
+  }
+}
