@@ -229,6 +229,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source boilerplate concentration census: for each source, the
+    * total and distinct adjacent-token bigram counts plus the mass its
+    * own top-`topK` bigrams capture, as exact ppm. A templated source
+    * (navigation chrome, license headers, generated prose) concentrates
+    * bigram mass in a handful of patterns; organic text spreads it —
+    * the census ranks sources by that concentration so a curator knows
+    * where boilerplate-stripping effort pays. Complements
+    * [[bigramCoverage]] (per-DOC share of a corpus-wide vocabulary)
+    * and the q133 per-doc duplicate fraction: this is the per-SOURCE
+    * rollup with an explicit top-k mass share.
+    *
+    * Scale shape: the bigram explode feeds a (source, bigram) hash
+    * aggregate whose map-side partials absorb per-doc repetition, so
+    * the shuffle carries one row per DISTINCT (source, bigram) —
+    * vocabulary-sized, not corpus-sized. The row_number window then
+    * runs over that vocabulary frame partitioned by source, and the
+    * final rollup is |sources| rows. Nothing downstream of the first
+    * aggregate scales with the corpus.
+    */
+  def boilerplateCensus(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col("source"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('a', w[i-1], 'b', w[i]))")).as("p"))
+      .groupBy(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n"), col("a"), col("b"))))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(when(col("r") <= topK, col("n")).otherwise(lit(0L)))
+          .as("top_mass"))
+      .select(col("source"), col("total_bigrams"), col("distinct_bigrams"),
+        col("top_mass"),
+        expr("top_mass * 1000000 DIV total_bigrams").as("top_ppm"))
+      .orderBy("source")
+  }
+
   /** Cross-source shingle overlap matrix: for every source pair, the
     * number of distinct word 3-grams present in both — the
     * contamination / provenance signal a corpus curator watches when

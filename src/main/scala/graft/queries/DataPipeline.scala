@@ -3694,6 +3694,45 @@ object DataPipeline {
              |       CAST(MAX(c.t) AS BIGINT) AS max_tokens
              |FROM cum c JOIN tot t2 USING (source)
              |GROUP BY c.source
+             |ORDER BY source""".stripMargin)),
+
+    // --- Per-source boilerplate concentration: mass share of each
+    //     source's own top-10 bigrams, exact ppm. High share =
+    //     templated source (chrome/headers/generated prose); the
+    //     per-SOURCE rollup complementing q69 (per-doc vocab
+    //     coverage) and q133 (per-doc dup fraction).
+    QueryDef(
+      "q136_boilerplate_census",
+      (s, dir) => TextAnalysis.boilerplateCensus(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT source, list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |pr AS (
+             |  SELECT source,
+             |         unnest(list_transform(range(1, greatest(len(w), 1)),
+             |         i -> {'a': w[i], 'b': w[i+1]})) AS p
+             |  FROM toks
+             |),
+             |counts AS (
+             |  SELECT source, p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM pr GROUP BY 1, 2, 3
+             |),
+             |ranked AS (
+             |  SELECT source, n,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY n DESC, a, b) AS r
+             |  FROM counts
+             |)
+             |SELECT source,
+             |       CAST(SUM(n) AS BIGINT) AS total_bigrams,
+             |       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+             |       CAST(SUM(CASE WHEN r <= 10 THEN n ELSE 0 END)
+             |            AS BIGINT) AS top_mass,
+             |       CAST(SUM(CASE WHEN r <= 10 THEN n ELSE 0 END) * 1000000
+             |            // SUM(n) AS BIGINT) AS top_ppm
+             |FROM ranked GROUP BY source
              |ORDER BY source""".stripMargin))
   )
 }

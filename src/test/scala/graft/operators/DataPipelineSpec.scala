@@ -1182,6 +1182,25 @@ class DataPipelineSpec extends SparkSpec {
     assert(r == Seq(("X", 4L, 10L, 1L, 2L, 4L, 4L, 4L)))
   }
 
+  test("boilerplateCensus: per-source top-k bigram mass concentration") {
+    val s = spark
+    import s.implicits._
+    // T: two copies of "x y x y x y" — 2 distinct bigrams carry all 10
+    // occurrences (ppm 1000000). O: 11 distinct singleton bigrams, the
+    // (n DESC, a, b) tie-break keeps the lexicographically-first 10
+    // (ppm 10e6 DIV 11); the single-word doc contributes nothing.
+    val d = Seq(
+      (1L, "x y x y x y", "T"), (2L, "x y x y x y", "T"),
+      (3L, "a b c d e f g h i j k l", "O"), (4L, "z", "O"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.boilerplateCensus(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    assert(r == Seq(
+      ("O", 11L, 11L, 10L, 909090L),
+      ("T", 10L, 2L, 10L, 1000000L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
