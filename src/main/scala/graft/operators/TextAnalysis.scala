@@ -722,6 +722,46 @@ object TextAnalysis {
       .orderBy("shard", "seq_in_shard")
   }
 
+  /** Striding token chunker — the long-document counterpart of
+    * [[packSequences]]: where packing concatenates SHORT documents into
+    * budget-sized sequences, chunking SPLITS a long document into
+    * overlapping windows (the HF-tokenizer `stride` pattern a RAG
+    * indexer or long-doc trainer uses). Chunk starts advance by
+    * `stride` tokens, each chunk spans up to `window` tokens, so
+    * consecutive chunks overlap by `window - stride` and every token
+    * lands in at least one chunk; the final chunk is the document
+    * suffix. Token units are the whitespace words of [[Dedup.tokens]]
+    * (engine-exact, so the emitted md5-prefix `chunk_hash` — the handle
+    * chunk-level exact dedup keys on — replays bit-for-bit in any
+    * engine; a subword tokenizer slots in by swapping the token column).
+    *
+    * Scale shape: pure per-row transform — tokenize, explode
+    * ceil(n/stride) chunk starts, slice + hash each window inside the
+    * same projection. No join, no aggregate; the only shuffle is the
+    * presentation sort, and a writer would drop it. Output volume is
+    * (window/stride)× the corpus, the overlap factor the caller chose.
+    */
+  def chunkTokens(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(window), size(col("w")) - col("start")).cast("long")
+          .as("n_tok"),
+        Dedup.hexPrefix(md5(concat_ws(" ",
+          slice(col("w"), col("start") + 1, lit(window))).cast("binary")))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least one distinct word 3-gram with any benchmark document — the
     * standard eval-leakage sweep a training pipeline runs before a data

@@ -3733,6 +3733,32 @@ object DataPipeline {
              |       CAST(SUM(CASE WHEN r <= 10 THEN n ELSE 0 END) * 1000000
              |            // SUM(n) AS BIGINT) AS top_ppm
              |FROM ranked GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // --- Striding token chunker: overlapping window/stride spans per
+    //     document with an engine-exact md5-prefix chunk hash — the
+    //     long-doc splitting pass (packSequences' counterpart). Pure
+    //     per-row transform; the hash replays bit-for-bit in DuckDB.
+    QueryDef(
+      "q137_chunk_tokens",
+      (s, dir) => TextAnalysis.chunkTokens(Tables(s, dir, "documents")),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |st AS (
+             |  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start
+             |  FROM toks WHERE len(w) > 0
+             |)
+             |SELECT doc_id,
+             |       CAST(start // 24 AS BIGINT) AS chunk_id,
+             |       CAST(start AS BIGINT) AS start_tok,
+             |       CAST(least(32, len(w) - start) AS BIGINT) AS n_tok,
+             |       ${Dedup.hexToLongSql(
+                        "md5(array_to_string(w[start+1:start+32], ' '))",
+                        1, "strpos")} AS chunk_hash
+             |FROM st
+             |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

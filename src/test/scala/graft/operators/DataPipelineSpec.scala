@@ -1201,6 +1201,29 @@ class DataPipelineSpec extends SparkSpec {
       ("T", 10L, 2L, 10L, 1000000L)))
   }
 
+  test("chunkTokens: striding windows, suffix tail, engine-stable hash") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "x"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(d, window = 3, stride = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // doc1: starts 0/2/4 -> "a b c", "c d e" (overlap window-stride=1), "e";
+    // doc2 one whole-doc chunk; empty/blank docs emit nothing
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq == Seq(
+      (1L, 0L, 0L, 3L), (1L, 1L, 2L, 3L), (1L, 2L, 4L, 1L),
+      (2L, 0L, 0L, 1L)))
+    // the chunk hash is the md5 prefix of the space-joined token slice
+    val expected = d.sparkSession.range(1)
+      .select(graft.operators.Dedup.hexPrefix(
+        md5(lit("c d e").cast("binary")))).collect().head.getLong(0)
+    assert(r.find(x => x._1 == 1L && x._2 == 1L).get._5 == expected)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(d, window = 2, stride = 3)
+    }
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
