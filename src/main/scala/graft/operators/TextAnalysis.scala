@@ -725,15 +725,18 @@ object TextAnalysis {
   /** Striding token chunker — the long-document counterpart of
     * [[packSequences]]: where packing concatenates SHORT documents into
     * budget-sized sequences, chunking SPLITS a long document into
-    * overlapping windows (the HF-tokenizer `stride` pattern a RAG
-    * indexer or long-doc trainer uses). Chunk starts advance by
-    * `stride` tokens, each chunk spans up to `window` tokens, so
-    * consecutive chunks overlap by `window - stride` and every token
-    * lands in at least one chunk; the final chunk is the document
-    * suffix. Token units are the whitespace words of [[Dedup.tokens]]
-    * (engine-exact, so the emitted md5-prefix `chunk_hash` — the handle
-    * chunk-level exact dedup keys on — replays bit-for-bit in any
-    * engine; a subword tokenizer slots in by swapping the token column).
+    * overlapping windows. This is the TRAINING-side stride semantics
+    * (the HF-tokenizer `stride` pattern): chunk starts advance by
+    * `stride` tokens — EVERY stride start is emitted, including a final
+    * suffix tail contained in its predecessor's window, because that is
+    * what a striding trainer actually consumes — and the payload is a
+    * compact hash handle, not text. [[chunkDocuments]] is the sibling
+    * serving RAG/indexing: it suppresses contained tails and emits the
+    * chunk text itself. Token units are the whitespace words of
+    * [[Dedup.tokens]] (engine-exact, so the emitted md5-prefix
+    * `chunk_hash` — the handle chunk-level exact dedup keys on —
+    * replays bit-for-bit in any engine; a subword tokenizer slots in by
+    * swapping the token column).
     *
     * Scale shape: pure per-row transform — tokenize, explode
     * ceil(n/stride) chunk starts, slice + hash each window inside the
@@ -741,26 +744,69 @@ object TextAnalysis {
     * presentation sort, and a writer would drop it. Output volume is
     * (window/stride)× the corpus, the overlap factor the caller chose.
     */
-  def chunkTokens(docs: DataFrame, window: Int = 32,
-      stride: Int = 24): DataFrame = {
+  /** Shared chunk-span builder: one row per (doc, window) with the FULL
+    * md5 hex of the space-joined token slice. Extra pass-through
+    * columns (e.g. `source`) survive the explode.
+    */
+  private def chunkSpans(docs: DataFrame, window: Int, stride: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
-    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val keep = (Seq("doc_id") ++ carry).map(col)
     docs
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(keep :+ Dedup.tokens(col("text")).as("w"): _*)
       .where(size(col("w")) > 0)
-      .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("start"))
-      .select(col("doc_id"),
+      .select(keep ++ Seq(col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("start")): _*)
+      .select(keep ++ Seq(
         expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
         col("start").cast("long").as("start_tok"),
         least(lit(window), size(col("w")) - col("start")).cast("long")
           .as("n_tok"),
-        Dedup.hexPrefix(md5(concat_ws(" ",
-          slice(col("w"), col("start") + 1, lit(window))).cast("binary")))
-          .as("chunk_hash"))
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(window)))
+          .cast("binary")).as("hex")): _*)
+  }
+
+  def chunkTokens(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    chunkSpans(docs, window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        Dedup.hexPrefix(col("hex")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Chunk-level dedup savings census: for each source, the token mass
+    * chunk-granular exact dedup would reclaim — the estimator a curator
+    * reads before deciding whether sub-document dedup pays for a
+    * boilerplate-heavy source (whole-doc dedup misses chrome repeated
+    * INSIDE otherwise-distinct pages; this measures it). Groups
+    * [[chunkSpans]] windows by their FULL md5 (collision-free at any
+    * corpus size, unlike the 32-bit prefix id `chunkTokens` emits for
+    * compactness), counts within-source duplicate windows, and prices
+    * the reclaim: `dup_tokens = Σ_groups (count-1)·n_tok`, as exact ppm
+    * of the source's chunk token mass.
+    *
+    * Scale shape: explode → (source, hash) hash-aggregate with map-side
+    * partials (the shuffle carries one row per DISTINCT chunk per
+    * source, and duplicate-heavy inputs shrink the exchange, not grow
+    * it) → |sources| rollup. Same skew-free 128-bit key discipline as
+    * [[Dedup.exactGroups]].
+    */
+  def chunkDedupCensus(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame =
+    chunkSpans(docs, window, stride, carry = Seq("source"))
+      .groupBy(col("source"), col("hex"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_tok")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") * col("n_tok")).as("chunk_tokens"),
+        sum((col("cnt") - 1) * col("n_tok")).as("dup_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("chunk_tokens"), col("dup_tokens"),
+        expr("dup_tokens * 1000000 DIV chunk_tokens").as("dup_ppm"))
+      .orderBy("source")
 
   /** Benchmark decontamination: flag training documents that share at
     * least one distinct word 3-gram with any benchmark document — the
@@ -907,6 +953,11 @@ object TextAnalysis {
     * their predecessor). Pure per-row explode — no shuffle; chunk
     * boundaries are token-index arithmetic, so the emitted text is
     * engine-exact.
+    *
+    * Sibling of [[chunkTokens]], which serves the TRAINING-side stride
+    * semantics instead: every stride start is emitted (including
+    * contained suffix tails, because a striding trainer consumes them)
+    * and the payload is a compact hash handle rather than chunk text.
     */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
       overlap: Int = 16): DataFrame = {

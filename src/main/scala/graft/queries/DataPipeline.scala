@@ -3759,6 +3759,44 @@ object DataPipeline {
                         "md5(array_to_string(w[start+1:start+32], ' '))",
                         1, "strpos")} AS chunk_hash
              |FROM st
-             |ORDER BY doc_id, chunk_id""".stripMargin))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // --- Chunk-level dedup savings census: token mass reclaimed by
+    //     window-granular exact dedup per source (catches chrome
+    //     repeated INSIDE otherwise-distinct pages, which whole-doc
+    //     dedup misses). Full-md5 group key — collision-free at scale.
+    QueryDef(
+      "q138_chunk_dedup_census",
+      (s, dir) => TextAnalysis.chunkDedupCensus(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split(lower(text), ' '),
+             |         t -> t <> '') AS w
+             |  FROM documents
+             |),
+             |st AS (
+             |  SELECT source, w, unnest(range(0, len(w), 24)) AS start
+             |  FROM toks WHERE len(w) > 0
+             |),
+             |ch AS (
+             |  SELECT source,
+             |         md5(array_to_string(w[start+1:start+32], ' ')) AS hex,
+             |         CAST(least(32, len(w) - start) AS BIGINT) AS n_tok
+             |  FROM st
+             |),
+             |g AS (
+             |  SELECT source, hex, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |         MIN(n_tok) AS n_tok
+             |  FROM ch GROUP BY source, hex
+             |)
+             |SELECT source,
+             |       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+             |       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+             |       CAST(SUM(cnt * n_tok) AS BIGINT) AS chunk_tokens,
+             |       CAST(SUM((cnt - 1) * n_tok) AS BIGINT) AS dup_tokens,
+             |       CAST(SUM((cnt - 1) * n_tok) * 1000000
+             |            // SUM(cnt * n_tok) AS BIGINT) AS dup_ppm
+             |FROM g GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -1224,6 +1224,24 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedupCensus: within-source duplicate window mass, exact ppm") {
+    val s = spark
+    import s.implicits._
+    // A: doc1 chunks "a b c"/"c d e"/"e", doc2 chunks "a b c"/"c" ->
+    // the repeated "a b c" window is the only reclaim (3 of 11 tokens,
+    // ppm 3e6 DIV 11); B has nothing to reclaim
+    val d = Seq(
+      (1L, "a b c d e", "A"), (2L, "a b c", "A"), (3L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.chunkDedupCensus(d, window = 3, stride = 2)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      ("A", 5L, 4L, 11L, 3L, 272727L),
+      ("B", 1L, 1L, 1L, 0L, 0L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
