@@ -168,6 +168,41 @@ object EventFunnel {
       .orderBy("cohort_week", "offset")
   }
 
+  /** DAU/WAU stickiness census: per absolute epoch week, the weekly
+    * active user count, the summed daily-active counts over its days,
+    * and the stickiness ratio `Σ_day DAU · 10⁶ DIV (7 · WAU)` — the
+    * engagement ratio (avg DAU / WAU) growth analytics tracks, in
+    * exact ppm (a user active all 7 days contributes 7/7; one-day
+    * drive-by traffic pulls the ratio toward 10⁶/7).
+    *
+    * Scale shape: ONE corpus-sized operation — the distinct
+    * (user, day) projection, whose map-side partial distinct collapses
+    * each user's within-day events before the shuffle. Everything
+    * downstream ([day]-sized DAU agg, [user-week]-sized WAU distinct,
+    * [weeks]-sized join + rollup) is bounded by active days and users,
+    * not by event volume. Event-time arithmetic goes through
+    * [[graft.Tables.epochSec]].
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val uds = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"))
+      .distinct()
+    val daily = uds.groupBy(expr("day DIV 7").as("wk"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val weekly = uds.select(col("user_id"), expr("day DIV 7").as("wk"))
+      .distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    daily.join(weekly, "wk")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_days_active"),
+        sum(col("dau")).as("sum_dau"),
+        min(col("wau")).as("wau"))
+      .select(col("wk"), col("n_days_active"), col("sum_dau"), col("wau"),
+        expr("sum_dau * 1000000 DIV (7 * wau)").as("stickiness_ppm"))
+      .orderBy("wk")
+  }
+
   /** Per-event-type inter-arrival profile: EXACT percentiles (lower
     * median and ceil-p90) of the gaps in seconds between a user's
     * consecutive events of the same type — the cadence signal that

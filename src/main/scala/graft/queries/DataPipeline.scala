@@ -3797,6 +3797,35 @@ object DataPipeline {
              |       CAST(SUM((cnt - 1) * n_tok) * 1000000
              |            // SUM(cnt * n_tok) AS BIGINT) AS dup_ppm
              |FROM g GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // --- DAU/WAU stickiness: per epoch week, exact avg-DAU/WAU ratio
+    //     in ppm. One corpus-sized distinct (user, day); everything
+    //     downstream is bounded by active days/users, not events.
+    QueryDef(
+      "q139_stickiness",
+      (s, dir) => EventFunnel.stickiness(Tables(s, dir, "events")),
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events
+             |),
+             |d AS (
+             |  SELECT day // 7 AS wk, day, CAST(COUNT(*) AS BIGINT) AS dau
+             |  FROM ud GROUP BY 1, 2
+             |),
+             |w AS (
+             |  SELECT day // 7 AS wk,
+             |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+             |  FROM ud GROUP BY 1
+             |)
+             |SELECT d.wk,
+             |       CAST(COUNT(*) AS BIGINT) AS n_days_active,
+             |       CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+             |       CAST(MIN(w.wau) AS BIGINT) AS wau,
+             |       CAST(SUM(d.dau) * 1000000 // (7 * MIN(w.wau))
+             |            AS BIGINT) AS stickiness_ppm
+             |FROM d JOIN w USING (wk) GROUP BY d.wk
+             |ORDER BY wk""".stripMargin))
   )
 }

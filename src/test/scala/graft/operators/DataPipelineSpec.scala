@@ -1242,6 +1242,25 @@ class DataPipelineSpec extends SparkSpec {
       ("B", 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("stickiness: exact avg-DAU/WAU ppm per epoch week") {
+    val s = spark
+    import s.implicits._
+    // week 0: u1 on days 0/1/2 (two events day 0 collapse), u2 on day 0
+    //   -> sum_dau 4, wau 2, ppm = 4e6 DIV 14; week 1: u1 only
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 100L, 1L), (3L, 86400L, 1L), (4L, 172800L, 1L),
+      (5L, 50L, 2L), (6L, 604800L, 1L))
+      .toDF("event_id", "sec", "user_id")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"))
+    val r = EventFunnel.stickiness(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    assert(r == Seq(
+      (0L, 3L, 4L, 2L, 285714L),
+      (1L, 1L, 1L, 1L, 142857L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
