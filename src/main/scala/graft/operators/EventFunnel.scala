@@ -203,6 +203,47 @@ object EventFunnel {
       .orderBy("wk")
   }
 
+  /** Weekly growth accounting: the new / retained / resurrected /
+    * churned user-flow decomposition (the standard growth-team ledger;
+    * [[retention]] is the cohort triangle, this is the week-over-week
+    * flow). Per active epoch week: WAU, users active for the first
+    * time (`n_new`), users also active the immediately preceding
+    * calendar week (`n_retained`), users returning after a gap
+    * (`n_resurrected`), and `n_churned` = previous ACTIVE week's WAU
+    * minus this week's retained — i.e. attributed to the next active
+    * week when fully-inactive calendar weeks intervene, since an
+    * all-quiet week emits no row (documented caveat; 0 for the first
+    * week).
+    *
+    * Scale shape: the distinct (user, week) projection is the only
+    * corpus-sized op (map-side partial distinct); the per-user lag
+    * window shuffles that already-collapsed frame by user_id; the
+    * weekly rollup and the single-partition churn lag run on |weeks|
+    * rows.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 604800").as("wk"))
+      .distinct()
+    val perUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("wk"))
+    val weekly = uw
+      .withColumn("prev", lag(col("wk"), 1).over(perUser))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("wau"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("wk") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val byWk = org.apache.spark.sql.expressions.Window.orderBy(col("wk"))
+    weekly
+      .withColumn("n_churned",
+        coalesce(lag(col("wau"), 1).over(byWk), lit(0L)) - col("n_retained"))
+      .orderBy("wk")
+  }
+
   /** Per-event-type inter-arrival profile: EXACT percentiles (lower
     * median and ceil-p90) of the gaps in seconds between a user's
     * consecutive events of the same type — the cadence signal that

@@ -3826,6 +3826,38 @@ object DataPipeline {
              |       CAST(SUM(d.dau) * 1000000 // (7 * MIN(w.wau))
              |            AS BIGINT) AS stickiness_ppm
              |FROM d JOIN w USING (wk) GROUP BY d.wk
-             |ORDER BY wk""".stripMargin))
+             |ORDER BY wk""".stripMargin)),
+
+    // --- Weekly growth accounting: new/retained/resurrected/churned
+    //     user flows (retention q64 is the cohort triangle; this is
+    //     the week-over-week ledger). churned = prev ACTIVE week's WAU
+    //     minus retained (gap-week caveat in the scaladoc).
+    QueryDef(
+      "q140_growth_accounting",
+      (s, dir) => EventFunnel.growthAccounting(Tables(s, dir, "events")),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk
+             |  FROM events
+             |),
+             |cl AS (
+             |  SELECT user_id, wk,
+             |         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+             |  FROM uw
+             |),
+             |weekly AS (
+             |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau,
+             |         CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_new,
+             |         CAST(SUM(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_retained,
+             |         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 1
+             |              THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+             |  FROM cl GROUP BY wk
+             |)
+             |SELECT wk, wau, n_new, n_retained, n_resurrected,
+             |       COALESCE(lag(wau) OVER (ORDER BY wk), 0) - n_retained
+             |         AS n_churned
+             |FROM weekly ORDER BY wk""".stripMargin))
   )
 }

@@ -1261,6 +1261,26 @@ class DataPipelineSpec extends SparkSpec {
       (1L, 1L, 1L, 1L, 142857L)))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned per week") {
+    val s = spark
+    import s.implicits._
+    // u1 wks {0,1,3}, u2 {0}, u3 {1,3}: wk1 retains u1, births u3,
+    // churns u2; wk3 resurrects both actives after the quiet wk2
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 604800L, 1L), (3L, 3 * 604800L, 1L),
+      (4L, 10L, 2L), (5L, 604810L, 3L), (6L, 3 * 604800L + 5, 3L))
+      .toDF("event_id", "sec", "user_id")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"))
+    val r = EventFunnel.growthAccounting(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 1L),
+      (3L, 2L, 0L, 0L, 2L, 2L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
