@@ -228,6 +228,34 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Cross-source near-dup attribution matrix: [[nearDupPairs]]'
+    * VERIFIED pairs rolled up per unordered source pair — where q70's
+    * shingle-overlap matrix says two crawls share vocabulary, this
+    * counts actual verified near-duplicate document pairs crossing
+    * each source boundary (within-source republication lands on the
+    * diagonal). The provenance report that decides which source a
+    * dedup keep-policy demotes when crawls mirror each other.
+    *
+    * Scale shape: inherits nearDupPairs' LSH discipline (banded
+    * candidates, never all-pairs); the attribution joins the
+    * |pairs|-sized frame to the doc_id→source map twice (doc_id-keyed —
+    * on the bucketed docs layout both probes co-locate shuffle-free),
+    * and the rollup output is bounded by |sources|², independent of
+    * corpus size.
+    */
+  def sourceNearDupMatrix(docs: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    nearDupPairs(docs, threshold)
+      .join(src.as("sa"), col("sa.doc_id") === col("a"))
+      .join(src.as("sb"), col("sb.doc_id") === col("b"))
+      .select(least(col("sa.source"), col("sb.source")).as("s1"),
+        greatest(col("sa.source"), col("sb.source")).as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s1", "s2")
+  }
+
   /** Size distribution of the near-dup clusters: (cluster_size,
     * n_clusters, n_docs), the one-page profile a curation run reads to
     * decide whether near-dup collapse is removing scattered pairs or

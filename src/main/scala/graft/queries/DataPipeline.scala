@@ -3858,6 +3858,42 @@ object DataPipeline {
              |SELECT wk, wau, n_new, n_retained, n_resurrected,
              |       COALESCE(lag(wau) OVER (ORDER BY wk), 0) - n_retained
              |         AS n_churned
-             |FROM weekly ORDER BY wk""".stripMargin))
+             |FROM weekly ORDER BY wk""".stripMargin)),
+
+    // --- Cross-source near-dup attribution: q32's verified pairs
+    //     rolled up per unordered source pair (within-source on the
+    //     diagonal) — republication provenance at verified-near-dup
+    //     granularity, vs q70's vocabulary-level shingle overlap.
+    QueryDef(
+      "q141_source_neardup_matrix",
+      (s, dir) => Dedup.sourceNearDupMatrix(Tables(s, dir, "documents")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |pairs AS (
+             |  SELECT i.a, i.b
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+             |)
+             |SELECT least(da.source, db.source) AS s1,
+             |       greatest(da.source, db.source) AS s2,
+             |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM pairs p
+             |JOIN documents da ON da.doc_id = p.a
+             |JOIN documents db ON db.doc_id = p.b
+             |GROUP BY 1, 2
+             |ORDER BY s1, s2""".stripMargin))
   )
 }

@@ -1281,6 +1281,22 @@ class DataPipelineSpec extends SparkSpec {
       (3L, 2L, 0L, 0L, 2L, 2L)))
   }
 
+  test("sourceNearDupMatrix: verified pairs per unordered source pair") {
+    val s = spark
+    import s.implicits._
+    // docs 1/2 duplicate across A-B, docs 3/4 within A; doc5 unrelated
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog", "B"),
+      (3L, "completely different words here entirely unrelated tokens", "A"),
+      (4L, "completely different words here entirely unrelated tokens", "A"),
+      (5L, "nothing in common with any of the other documents listed", "C"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.sourceNearDupMatrix(d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("A", "A", 1L), ("A", "B", 1L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
