@@ -30,9 +30,14 @@ object ProfileSubst {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val hex = "SELECT source, SUM(" + graft.operators.Dedup
+      .hexToLongSql("md5(text)", 1, "instr") +
+      ") AS s FROM documents GROUP BY source"
+
     for ((leg, sql, flag) <- Seq(
         ("word", word, "spark.graft.substitute.wordRunCount"),
-        ("token", token, "spark.graft.substitute.tokenRunCount"))) {
+        ("token", token, "spark.graft.substitute.tokenRunCount"),
+        ("hex", hex, "spark.graft.substitute.hexPrefix"))) {
       // interleaved off/on pairs so drift hits both sides equally
       val pairs = (1 to iters).map { _ =>
         spark.conf.set(flag, "false")

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{TokenRunCount, WordRunCount}
+import graft.functions.{HexPrefixLong, TokenRunCount, WordRunCount}
 
 /** Optimizer rule substituting the engine's codegen'd native counters
   * for their interpreted SQL spellings, so USER-written SQL gets the
@@ -35,7 +35,20 @@ import graft.functions.{TokenRunCount, WordRunCount}
   *    those two code points must keep the flag off; everything else
   *    gets the measured ~9× regex→run-classifier win (q126, r9).
   *
-  * Both substitutions are skipped under `legacySizeOfNull` (where
+  *  - the portable 8-term hex-prefix arithmetic over an md5 —
+  *    `(instr('0123456789abcdef', substr(md5(x), p, 1)) - 1) * 16⁷ +
+  *    … + (instr(…, substr(md5(x), p+7, 1)) - 1)` — →
+  *    `hex_prefix_long(md5(x), p)`. This is exactly the spelling
+  *    [[graft.operators.Dedup.hexToLongSql]] emits for the DuckDB
+  *    oracle, so a user porting oracle SQL to Spark carries it
+  *    verbatim; the native is one fused byte loop (~6× measured, r9)
+  *    and evaluates the md5 ONCE instead of eight times. Restricted to
+  *    `Md5` children with start+7 ≤ 32: md5 hex is pure ASCII, where
+  *    the native's byte positions coincide with substr's char
+  *    positions (an arbitrary string operand could carry multibyte
+  *    chars, where they don't — such trees are left alone).
+  *
+  * The size() substitutions are skipped under `legacySizeOfNull` (where
   * `size(NULL)` is -1, not NULL — the natives propagate NULL).
   * Registered via [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions` on a stock
@@ -65,6 +78,55 @@ object NativeSubstitutionRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  private val HexAlphabet = "0123456789abcdef"
+
+  /** One hex-digit term of the portable spelling:
+    * `cast((instr(alphabet, substr(md5(x), pos, 1)) - 1) as bigint)`
+    * optionally times a long weight (the ×1 term arrives bare after
+    * constant folding). Returns (md5 operand, 1-based pos, weight).
+    */
+  private def digitTerm(e: Expression): Option[(Expression, Int, Long)] = {
+    def core(c: Expression): Option[(Expression, Int)] = c match {
+      case Cast(Subtract(StringInstr(Literal(alpha, _),
+            Substring(h: Md5, Literal(pos: Int, IntegerType),
+              Literal(1, IntegerType))),
+            Literal(1, IntegerType), _), LongType, _, _)
+          if alpha != null && alpha.toString == HexAlphabet &&
+            h.deterministic =>
+        Some((h, pos))
+      case _ => None
+    }
+    e match {
+      case Multiply(c, Literal(w: Long, LongType), _) =>
+        core(c).map { case (h, p) => (h, p, w) }
+      case Multiply(Literal(w: Long, LongType), c, _) =>
+        core(c).map { case (h, p) => (h, p, w) }
+      case other => core(other).map { case (h, p) => (h, p, 1L) }
+    }
+  }
+
+  private def flattenAdd(e: Expression): Seq[Expression] = e match {
+    case Add(l, r, _) => flattenAdd(l) :+ r
+    case other => Seq(other)
+  }
+
+  /** The full 8-term chain: consecutive positions, descending 16-power
+    * weights, one common md5 operand, start+7 within the 32 hex chars.
+    */
+  private def rewriteHexSpelling(a: Add): Option[Expression] = {
+    val terms = flattenAdd(a)
+    if (terms.length != 8) return None
+    val digs = terms.map(digitTerm)
+    if (digs.exists(_.isEmpty)) return None
+    val ds = digs.map(_.get)
+    val (h0, p0, _) = ds.head
+    val ok = p0 >= 1 && p0 + 7 <= 32 &&
+      ds.zipWithIndex.forall { case ((h, p, w), k) =>
+        h.semanticEquals(h0) && p == p0 + k && w == (1L << (4 * (7 - k)))
+      }
+    if (ok) Some(HexPrefixLong(h0, Literal(p0))) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val wordOn =
       conf.getConfString("spark.graft.substitute.wordRunCount", "true")
@@ -72,8 +134,13 @@ object NativeSubstitutionRule extends Rule[LogicalPlan] {
     val tokenOn =
       conf.getConfString("spark.graft.substitute.tokenRunCount", "false")
         .toBoolean
-    if (!wordOn && !tokenOn) return plan
+    val hexOn =
+      conf.getConfString("spark.graft.substitute.hexPrefix", "true")
+        .toBoolean
+    if (!wordOn && !tokenOn && !hexOn) return plan
     plan.transformAllExpressions {
+      case a @ Add(_, _, _) if hexOn && rewriteHexSpelling(a).isDefined =>
+        rewriteHexSpelling(a).get
       // size(filter(split(lower(x), ' '), t -> t <> ''))  [lower optional]
       case Size(ArrayFilter(
             StringSplit(str, Literal(sep, _), Literal(-1, IntegerType)),

@@ -84,6 +84,43 @@ class NativeSubstitutionSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.substitute.tokenRunCount")
   }
 
+  test("hex-prefix spelling fuses to hex_prefix_long and keeps values") {
+    texts.createOrReplaceTempView("nst")
+    val spelling = graft.operators.Dedup
+      .hexToLongSql("md5(coalesce(text, ''))", 1, "instr")
+    val q = s"SELECT id, $spelling AS h FROM nst"
+    val on = s.sql(q)
+    assert(optimized(on).contains("hexprefixlong"), optimized(on))
+    val onVals = on.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      s.conf.set("spark.graft.substitute.hexPrefix", "false")
+      val off = s.sql(q)
+      assert(!optimized(off).contains("hexprefixlong"), optimized(off))
+      val offVals = off.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(onVals == offVals)
+    } finally s.conf.unset("spark.graft.substitute.hexPrefix")
+    // an offset start (the h2 = chars 9..16 spelling) fuses too
+    val mid = s.sql("SELECT " + graft.operators.Dedup
+      .hexToLongSql("md5(coalesce(text, ''))", 9, "instr") +
+      " AS h FROM nst WHERE id = 1")
+    assert(optimized(mid).contains("hexprefixlong"), optimized(mid))
+  }
+
+  test("hex-prefix spelling over a NON-md5 operand is untouched") {
+    texts.createOrReplaceTempView("nst")
+    // multibyte text breaks byte-position = char-position, so the rule
+    // must leave a bare-string operand alone
+    val q = "SELECT " + graft.operators.Dedup
+      .hexToLongSql("text", 1, "instr") + " AS h FROM nst WHERE id = 4"
+    assert(!optimized(s.sql(q)).contains("hexprefixlong"))
+    // weight or position drift must not match either
+    val drift = "SELECT " + graft.operators.Dedup
+      .hexToLongSql("md5(text)", 1, "instr")
+      .replace("* CAST(16 AS BIGINT)", "* CAST(17 AS BIGINT)") +
+      " AS h FROM nst"
+    assert(!optimized(s.sql(drift)).contains("hexprefixlong"))
+  }
+
   test("word rule can be disabled by conf") {
     texts.createOrReplaceTempView("nst")
     try {
