@@ -175,33 +175,30 @@ object EventFunnel {
     * exact ppm (a user active all 7 days contributes 7/7; one-day
     * drive-by traffic pulls the ratio toward 10⁶/7).
     *
-    * Scale shape: ONE corpus-sized operation — the distinct
-    * (user, day) projection, whose map-side partial distinct collapses
-    * each user's within-day events before the shuffle. Everything
-    * downstream ([day]-sized DAU agg, [user-week]-sized WAU distinct,
-    * [weeks]-sized join + rollup) is bounded by active days and users,
-    * not by event volume. Event-time arithmetic goes through
-    * [[graft.Tables.epochSec]].
+    * Scale shape: ONE corpus-sized operation and ONE scan — the
+    * distinct (user, day) projection, whose map-side partial distinct
+    * collapses each user's within-day events before the shuffle; all
+    * three weekly measures (sum-DAU = the row count, WAU and active
+    * days = two distinct-aggregates) come off that single collapsed
+    * frame in one grouped aggregate (planned as an Expand ×2 over the
+    * ALREADY-collapsed rows — a branching daily/weekly formulation
+    * instead re-scans and re-distincts the corpus once per branch,
+    * which is what this shape avoids). Event-time arithmetic goes
+    * through [[graft.Tables.epochSec]].
     */
-  def stickiness(events: DataFrame): DataFrame = {
-    val uds = events
+  def stickiness(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
       .select(col("user_id"), expr("sec DIV 86400").as("day"))
       .distinct()
-    val daily = uds.groupBy(expr("day DIV 7").as("wk"), col("day"))
-      .agg(count(lit(1)).as("dau"))
-    val weekly = uds.select(col("user_id"), expr("day DIV 7").as("wk"))
-      .distinct()
-      .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
-    daily.join(weekly, "wk")
+      .select(col("user_id"), col("day"), expr("day DIV 7").as("wk"))
       .groupBy(col("wk"))
-      .agg(count(lit(1)).as("n_days_active"),
-        sum(col("dau")).as("sum_dau"),
-        min(col("wau")).as("wau"))
+      .agg(countDistinct(col("day")).as("n_days_active"),
+        count(lit(1)).as("sum_dau"),
+        countDistinct(col("user_id")).as("wau"))
       .select(col("wk"), col("n_days_active"), col("sum_dau"), col("wau"),
         expr("sum_dau * 1000000 DIV (7 * wau)").as("stickiness_ppm"))
       .orderBy("wk")
-  }
 
   /** Weekly growth accounting: the new / retained / resurrected /
     * churned user-flow decomposition (the standard growth-team ledger;
