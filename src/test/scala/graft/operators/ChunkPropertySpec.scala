@@ -108,6 +108,37 @@ class ChunkPropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sourceNearDupMatrix: exact-duplicate groups are fully attributed") {
+    val s = spark
+    import s.implicits._
+    // generated corpora of docs drawn from a small pool of >=3-token
+    // texts: every exact-duplicate pair is a CERTAIN LSH capture
+    // (identical signatures) with Jaccard 1, so the matrix must count
+    // at least the per-source-pair exact-dup pairs; distinct pool
+    // texts share no trigrams, so cross-text pairs cannot appear
+    val pool = Vector(
+      "alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+      "lambda mu nu xi omicron", "pi rho sigma tau upsilon")
+    val docsGen = Gen.choose(2, 14).flatMap(n => Gen.listOfN(n, for {
+      t <- Gen.oneOf(pool.indices)
+      src <- Gen.oneOf("A", "B", "C")
+    } yield (t, src)))
+    for ((docs, i) <- sample(docsGen, 10, seed = 555L).zipWithIndex) {
+      val df = docs.zipWithIndex
+        .map { case ((t, src), j) => (j.toLong, pool(t), src) }
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.sourceNearDupMatrix(df).collect()
+        .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+      val want = docs.zipWithIndex.combinations(2).toSeq
+        .map { case Seq((a, _), (b, _)) => (a, b) }
+        .filter { case ((ta, _), (tb, _)) => ta == tb }
+        .groupBy { case ((_, sa), (_, sb)) =>
+          if (sa <= sb) (sa, sb) else (sb, sa) }
+        .map { case (k, v) => (k, v.size.toLong) }
+      assert(got == want, s"sample $i: got $got want $want")
+    }
+  }
+
   private val eventsGen: Gen[Seq[(Long, Long)]] = for {
     n <- Gen.choose(1, 40)
     evs <- Gen.listOfN(n, for {
