@@ -41,7 +41,7 @@ class ChunkPropertySpec extends AnyFunSuite {
     seps <- Gen.listOfN(math.max(n - 1, 0), Gen.choose(1, 3))
     lead <- Gen.choose(0, 2)
     trail <- Gen.choose(0, 2)
-  } yield " " * lead + (toks, seps :+ 0).zipped
+  } yield " " * lead + toks.lazyZip(seps :+ 0)
     .map((t, s) => t + " " * s).mkString + " " * trail
 
   private def refTokens(text: String): Seq[String] =
