@@ -748,7 +748,7 @@ object TextAnalysis {
     * md5 hex of the space-joined token slice. Extra pass-through
     * columns (e.g. `source`) survive the explode.
     */
-  private def chunkSpans(docs: DataFrame, window: Int, stride: Int,
+  private[graft] def chunkSpans(docs: DataFrame, window: Int, stride: Int,
       carry: Seq[String] = Nil): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")

@@ -264,4 +264,60 @@ object CorpusStreamOps {
           out.result().iterator
       }
   }
+
+  /** One flagged duplicate window of an arriving document. */
+  final case class DupChunk(doc_id: Long, chunk_id: Long, n_tok: Long)
+
+  /** Streaming chunk-level dedup — the online counterpart of
+    * [[graft.operators.TextAnalysis.chunkDedupCensus]]: flag, at
+    * ARRIVAL time, the training-stride windows of an incoming document
+    * whose exact token content the stream has already stored (chrome
+    * repeated inside otherwise-new pages, shard-split re-deliveries).
+    * Downstream sums `n_tok` for the live reclaim counter the batch
+    * census reports offline.
+    *
+    * State discipline (same bound pattern as [[nearDupCandidates]]):
+    * chunks key by the first `prefixLen` hex chars of their full md5 —
+    * 16^prefixLen buckets — and each bucket stores at most `maxBucket`
+    * full hashes, so state is ≤ 16^prefixLen·maxBucket hashes TOTAL
+    * regardless of stream length. md5 prefixes are uniform, so buckets
+    * fill evenly and the cap binds only as the DISTINCT-chunk count
+    * approaches that product (16⁴·256 ≈ 16.8M chunks at the defaults);
+    * an overflowing bucket stops storing NEW chunks (their later
+    * copies go unflagged — dedup degrades to sampling, never errors).
+    * Each stored hash carries its first HOLDER doc, so a re-delivered
+    * document never flags against itself (at-least-once sources), and
+    * within-doc repetition stays unflagged (that is q133's metric, not
+    * cross-doc dedup). Emission is deterministic under iterator/
+    * partition reordering: arrivals process in (doc_id, chunk_id)
+    * order within a batch.
+    */
+  def chunkDupFlags(docs: Dataset[DocIn], window: Int = 32,
+      stride: Int = 24, prefixLen: Int = 4, maxBucket: Int = 256)
+      : Dataset[DupChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextAnalysis.chunkSpans(docs.toDF(), window, stride)
+      .select(substring(col("hex"), 1, prefixLen).as("bucket"),
+        col("hex"), col("doc_id"), col("chunk_id"), col("n_tok"))
+      .as[(String, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Long)], DupChunk](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(String, Long)]]) =>
+          val arrivals = rows.toSeq.sortBy(r => (r._3, r._4))
+          var known = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[DupChunk]
+          arrivals.foreach { case (_, hex, did, cid, ntok) =>
+            known.find(_._1 == hex) match {
+              case Some((_, holder)) =>
+                if (holder != did) out += DupChunk(did, cid, ntok)
+              case None =>
+                if (known.length < maxBucket) known = known :+ (hex -> did)
+            }
+          }
+          state.update(known)
+          out.result().iterator
+      }
+  }
 }

@@ -176,4 +176,39 @@ class CorpusStreamOpsSpec extends SparkSpec {
       assert(s.table("contam_out").select("cluster").distinct().count() == 2)
     } finally q.stop()
   }
+
+  test("streaming chunk dedup flags cross-doc windows, never self/within") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[CorpusStreamOps.DocIn]
+    val q = CorpusStreamOps.chunkDupFlags(mem.toDS(), window = 3, stride = 2)
+      .writeStream.format("memory").queryName("chunkdup_out")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = s.table("chunkdup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    try {
+      // batch 1: doc1 stores "a b c"/"c d e"/"e"; doc4's repeated
+      // within-doc window ("z w z" at chunks 0 AND 1) must NOT flag
+      mem.addData(
+        CorpusStreamOps.DocIn(1L, "a b c d e"),
+        CorpusStreamOps.DocIn(4L, "z w z w z w"))
+      q.processAllAvailable()
+      assert(rows() == Seq())
+
+      // batch 2: doc2 reuses doc1's opening window only; doc3 is a
+      // full duplicate of doc1 -> all three windows flag
+      mem.addData(
+        CorpusStreamOps.DocIn(2L, "a b c x y"),
+        CorpusStreamOps.DocIn(3L, "a b c d e"))
+      q.processAllAvailable()
+      assert(rows() == Seq((2L, 0L, 3L), (3L, 0L, 3L), (3L, 1L, 3L),
+        (3L, 2L, 1L)))
+
+      // re-delivery of the stored holder doc is a no-op
+      mem.addData(CorpusStreamOps.DocIn(1L, "a b c d e"))
+      q.processAllAvailable()
+      assert(rows().size == 4)
+    } finally q.stop()
+  }
 }
