@@ -109,8 +109,74 @@ object StreamThroughput {
     spark.stop()
   }
 
+  /** Streaming CHUNK dedup throughput ([[graft.streaming.CorpusStreamOps
+    * .chunkDupFlags]]): feeds a replica's documents through a
+    * MemoryStream in fixed batches, printing per-batch wall/eps/state
+    * size/flag volume, swept over the per-bucket cap. On a ScaleUp
+    * replica every doc's text repeats factor-fold, so the state-row
+    * count must PLATEAU at the base corpus's distinct-chunk count
+    * while flags keep flowing — the bounded-state claim, measured.
+    *
+    * Usage: runMain graft.StreamThroughput chunkdedup [sfDir]
+    *   [batchSize] [nBatches] [cap1,cap2,...]
+    */
+  def chunkDedupLeg(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/tmp/sf200")
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(10000)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(10)
+    val caps = args.lift(4).getOrElse("64,256")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.CorpusStreamOps
+    val docs = Tables(spark, sfDir, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").as[Long].collect()
+    val chunks = ids.take(math.min(ids.length.toLong,
+      batchSize.toLong * nBatches).toInt).grouped(batchSize).toSeq
+    for (cap <- caps) {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CorpusStreamOps.DocIn]
+      val q = CorpusStreamOps.chunkDupFlags(mem.toDS(), maxBucket = cap)
+        .writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation",
+          Files.createTempDirectory("chunkdedup-ck").toString)
+        .start()
+      try {
+        var totalRows = 0L
+        var totalSec = 0.0
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          val batch = docs
+            .where(org.apache.spark.sql.functions.col("doc_id")
+              .between(chunk.head, chunk.last))
+            .selectExpr("doc_id", "text")
+            .as[CorpusStreamOps.DocIn].collect()
+          val t0 = System.nanoTime()
+          mem.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          totalRows += batch.length; totalSec += sec
+          val p = q.lastProgress
+          val st = p.stateOperators.headOption
+          println(f"[chunkdedup-stream] cap=$cap%-4d batch=$i%2d " +
+            f"n=${batch.length}%6d wall=$sec%6.2fs " +
+            f"eps=${batch.length / sec}%8.0f " +
+            f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%6d " +
+            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"flags=${p.sink.numOutputRows}%8d")
+        }
+        println(f"[chunkdedup-stream] cap=$cap%-4d TOTAL n=$totalRows " +
+          f"wall=$totalSec%7.2fs eps=${totalRows / totalSec}%8.0f")
+      } finally q.stop()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("semdedup")) { semanticDedupLeg(args); return }
+    if (args.headOption.contains("chunkdedup")) { chunkDedupLeg(args); return }
     val nProj = args.headOption.map(_.toInt).getOrElse(50000)
     val nAgg = args.lift(1).map(_.toInt).getOrElse(500)
     val latencyMs = args.lift(2).map(_.toLong).getOrElse(50L)
