@@ -139,6 +139,41 @@ class ChunkPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sourceNearDupMatrix equals the uncollapsed pipeline's rollup") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{greatest, least}
+    // pool with NEAR pairs (0~1 share 4 of 5 trigram positions) and
+    // exact duplicates layered on by the generator — the collapsed
+    // cross-group/within-group arithmetic must reproduce the direct
+    // nearDupPairs -> source-join -> rollup on every corpus
+    val pool = Vector(
+      "alpha beta gamma delta epsilon zeta eta",
+      "alpha beta gamma delta epsilon zeta NINE",
+      "one two three four five six seven",
+      "pi rho sigma tau upsilon phi chi")
+    val docsGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, for {
+      t <- Gen.oneOf(pool.indices)
+      src <- Gen.oneOf("A", "B")
+    } yield (t, src)))
+    for ((docs, i) <- sample(docsGen, 8, seed = 777L).zipWithIndex) {
+      val df = docs.zipWithIndex
+        .map { case ((t, src), j) => (j.toLong, pool(t), src) }
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.sourceNearDupMatrix(df).collect()
+        .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+      val src = df.select(col("doc_id"), col("source"))
+      val want = Dedup.nearDupPairs(df)
+        .join(src.as("sa"), col("sa.doc_id") === col("a"))
+        .join(src.as("sb"), col("sb.doc_id") === col("b"))
+        .select(least(col("sa.source"), col("sb.source")).as("s1"),
+          greatest(col("sa.source"), col("sb.source")).as("s2"))
+        .groupBy("s1", "s2").count().collect()
+        .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
   private val eventsGen: Gen[Seq[(Long, Long)]] = for {
     n <- Gen.choose(1, 40)
     evs <- Gen.listOfN(n, for {
