@@ -75,6 +75,44 @@ object Dedup {
         (col("n_sources") > 1 || col("n_langs") > 1))
       .orderBy("representative")
 
+  /** Snapshot delta report — the dataset-versioning ledger a curation
+    * pipeline prints between corpus releases: per source, documents
+    * ADDED (doc_id only in the new snapshot), REMOVED (only in the
+    * old), CHANGED (same doc_id, different content digest) and
+    * UNCHANGED. Content equality is the same md5 discipline as
+    * [[exactGroups]], so "changed" means the bytes changed, not that a
+    * mutable timestamp column drifted.
+    *
+    * Scale shape: one full-outer join keyed on doc_id — co-located and
+    * shuffle-free when both snapshots are written with
+    * [[graft.operators.CorpusWriter.writeBucketed]] — comparing
+    * 128-bit digests computed in the scan projection, then a
+    * |sources|-sized rollup. A removed doc reports under its OLD
+    * source, everything else under the new one.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("src_old"),
+      md5(col("text").cast("binary")).as("h_old"))
+    val n = newDocs.select(col("doc_id"), col("source").as("src_new"),
+      md5(col("text").cast("binary")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy("source")
+  }
+
   /** SQL spelling of "8 hex chars starting at `start` (1-based) of `h`,
     * as a non-negative long" — pure arithmetic over a position lookup,
     * so it is portable across engines (`posFn` = instr for Spark,

@@ -3894,6 +3894,47 @@ object DataPipeline {
              |JOIN documents da ON da.doc_id = p.a
              |JOIN documents db ON db.doc_id = p.b
              |GROUP BY 1, 2
-             |ORDER BY s1, s2""".stripMargin))
+             |ORDER BY s1, s2""".stripMargin)),
+
+    // --- Snapshot delta report: per source, docs added/removed/
+    //     changed/unchanged between two corpus versions (synthesized
+    //     deterministically from the one table: old drops doc_id%11=3,
+    //     new drops %13=5 and rewrites text for %7=2).
+    QueryDef(
+      "q142_snapshot_diff",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.snapshotDiff(
+          d.where(expr("doc_id % 11 != 3")),
+          d.where(expr("doc_id % 13 != 5")).withColumn("text",
+            expr("CASE WHEN doc_id % 7 = 2 THEN text || ' v2' " +
+              "ELSE text END")))
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  WHERE doc_id % 11 != 3
+             |),
+             |new AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN doc_id % 7 = 2 THEN text || ' v2'
+             |              ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 != 5
+             |)
+             |SELECT COALESCE(n.source, o.source) AS source,
+             |       CAST(SUM(CASE WHEN o.doc_id IS NULL
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |       CAST(SUM(CASE WHEN n.doc_id IS NULL
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL
+             |            AND n.doc_id IS NOT NULL
+             |            AND md5(o.text) <> md5(n.text)
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL
+             |            AND n.doc_id IS NOT NULL
+             |            AND md5(o.text) = md5(n.text)
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+             |FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+             |GROUP BY 1
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -1297,6 +1297,23 @@ class DataPipelineSpec extends SparkSpec {
     assert(r == Seq(("A", "A", 1L), ("A", "B", 1L)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged per source") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a", "S"), (2L, "b", "S"), (3L, "c", "T"),
+      (5L, "e", "S"))
+      .toDF("doc_id", "text", "source")
+    // doc1 removed, doc2 rewritten, doc3 untouched, doc4 new, doc5
+    // moved S->T with identical bytes (counts under the NEW source)
+    val nw = Seq((2L, "b2", "S"), (3L, "c", "T"), (4L, "d", "T"),
+      (5L, "e", "T"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.snapshotDiff(old, nw).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    assert(r == Seq(("S", 0L, 1L, 1L, 0L), ("T", 1L, 0L, 0L, 2L)))
+  }
+
   test("saltedJoin equals the plain join and shuffles on the salt") {
     val s = spark
     import s.implicits._
