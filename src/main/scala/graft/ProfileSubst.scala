@@ -7,7 +7,8 @@ package graft
   * Two legs, each a full-corpus aggregate over `documents.text`:
   *  - word: SUM(size(filter(split(lower(text),' '), t -> t <> ''))) per source
   *  - token: SUM(size(regexp_extract_all(lower(text), BPE, 0))) per source
-  *    (rule-on leg also sets spark.graft.substitute.tokenRunCount=true)
+  *    (each leg pins its flag explicitly, so the harness is
+  *    independent of the rule's defaults)
   *
   * Usage: sbt "runMain graft.ProfileSubst [sfDir] [iters]"
   */

@@ -31,15 +31,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - every non-ASCII code point counts 1 alone (a UTF-8 lead byte
   *     counts, its continuation bytes don't), matching the regex on
   *     a non-ASCII char: never `a-z`/`0-9`/`\s`, so a standalone
-  *     `[^a-z0-9\s]` match that breaks runs.
+  *     `[^a-z0-9\s]` match that breaks runs —
+  *   - EXCEPT the two code points whose full lowercase involves an
+  *     ASCII letter, handled to match `lower()` exactly (so the
+  *     [[graft.plans.NativeSubstitutionRule]] rewrite of the regex
+  *     spelling is sound for every input, not just ASCII): U+212A
+  *     KELVIN SIGN lowers to `k` and so joins/extends a letter run;
+  *     U+0130 İ lowers to `i` + U+0307 COMBINING DOT ABOVE, i.e. a
+  *     letter that joins/starts a run immediately followed by a
+  *     standalone mark that breaks it (`"aİb"` → `ai̇b` → 3 tokens:
+  *     `ai`, the dot, `b`). Property-pinned against the regex
+  *     spelling over a generator that includes both code points
+  *     (NativeExprPropertySpec).
   *
-  * Deliberate contract divergence from `lower(text)` + regex, same
-  * spirit as [[HexPrefixLong]]: the case fold is ASCII-only, so the
-  * two Unicode characters whose full lowercase IS an ASCII letter
-  * (U+212A KELVIN SIGN → k, U+0130 İ → i̇) count here as standalone
-  * marks instead of joining a letter run. No call site can observe
-  * this on the gated corpora (ASCII text), and at 100 TB the ASCII
-  * fold is the behavior a byte-level tokenizer census actually wants.
+  * Locale note: `lower()` (Spark's `UTF8String.toLowerCase`, which
+  * defers to Java's default-locale `String.toLowerCase`) assumes a
+  * non-Turkish/Azeri JVM locale — under `tr`/`az`, plain ASCII `I`
+  * lowers to dotless `ı` and the regex spelling itself changes
+  * meaning. This expression implements the root-locale semantics,
+  * the only one a distributed engine can sanely pin (executors with
+  * heterogeneous default locales would otherwise disagree with each
+  * other, never mind with this classifier).
   */
 case class TokenRunCount(child: Expression) extends UnaryExpression {
 
@@ -85,6 +97,22 @@ object TokenRunCount {
       } else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
           b == '\f' || b == '\r') {
         state = 0
+      } else if (b == 0xE2.toByte && i + 2 < n &&
+          bytes(i + 1) == 0x84.toByte && bytes(i + 2) == 0xAA.toByte) {
+        // U+212A KELVIN SIGN: lower() folds it to 'k' — a letter that
+        // joins/extends the current run; consume all three bytes here
+        if (state != 1) c += 1
+        state = 1
+        i += 2
+      } else if (b == 0xC4.toByte && i + 1 < n &&
+          bytes(i + 1) == 0xB0.toByte) {
+        // U+0130 İ: lower() expands it to 'i' + U+0307 — a letter
+        // (joins/starts a run) immediately followed by a standalone
+        // combining-mark token that breaks the run
+        if (state != 1) c += 1
+        c += 1
+        state = 0
+        i += 1
       } else if ((b & 0xC0) == 0x80) {
         // UTF-8 continuation byte: its lead byte already counted
         state = 0

@@ -1,6 +1,9 @@
 package graft.operators
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Precise release of the frames the engine persists internally
@@ -9,36 +12,48 @@ import org.apache.spark.storage.StorageLevel
   * blocks; `spark.catalog.clearCache()` is the sledgehammer that also
   * evicts the USER's caches).
   *
-  * Accumulation is bounded, not unbounded: Spark's CacheManager keys
-  * cache entries by canonicalized plan, so repeated calls with the
-  * same (corpus, parameters) reuse ONE entry (the "Asked to cache
-  * already cached data" warning) — the registry only grows with
-  * DISTINCT parameter combos, i.e. a sweep. [[release]] unpersists
-  * everything the engine registered and nothing else. Blocking=false:
-  * eviction proceeds asynchronously, callers never wait on it.
+  * Registrations are keyed by the CANONICALIZED analyzed plan — the
+  * same key Spark's CacheManager dedupes cache entries by — so
+  * repeated calls with the same (corpus, parameters) hold ONE tracked
+  * reference, mirroring the single cache entry they share (ADVICE r10:
+  * a per-call queue grew one plan-tree reference per call in a
+  * long-lived session even though the block cache didn't). The
+  * registry therefore only grows with DISTINCT parameter combos, i.e.
+  * a sweep. [[release]] unpersists everything the engine registered
+  * and nothing else. Blocking=false: eviction proceeds asynchronously,
+  * callers never wait on it.
   */
 object CacheRegistry {
   private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, DataFrame]()
 
-  /** Persist `df` at `level` and register it for [[release]]. */
+  /** Persist `df` at `level` and register it for [[release]]. One
+    * tracked entry per canonicalized plan: re-registering an
+    * already-tracked plan is a no-op beyond Spark's own idempotent
+    * re-persist (which logs "already cached" and keeps the first
+    * entry — including its ORIGINAL storage level; a differing
+    * `level` on a repeat call never takes effect, in the registry or
+    * in the CacheManager).
+    */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    tracked.add(p)
+    tracked.putIfAbsent(p.queryExecution.analyzed.canonicalized, p)
     p
   }
 
   /** Unpersist every engine-registered frame. Safe to call at any
     * point (frames are re-persisted on next use by the plan-keyed
-    * CacheManager) and safe against already-stopped sessions.
+    * CacheManager) and safe against already-stopped sessions — a
+    * frame whose session died just drops from tracking.
     */
   def release(): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-      df = tracked.poll()
+    val it = tracked.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      try e.getValue.unpersist(blocking = false)
+      catch { case NonFatal(_) => () }
     }
   }
 

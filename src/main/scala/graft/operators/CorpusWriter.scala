@@ -76,6 +76,41 @@ object CorpusWriter {
     */
   val EventsSourceProp = "graft.events.source"
 
+  /** Table property recording a content fingerprint of the source
+    * parquet at write time (file count : total bytes : max
+    * modification time). Path equality alone is not freshness
+    * (ADVICE r10): regenerating the parquet at the same path — a new
+    * testdata generation, a ScaleUp re-run into the same outDir —
+    * would otherwise leave a long-lived session silently serving last
+    * generation's rows through [[bucketedEvents]].
+    */
+  val EventsFingerprintProp = "graft.events.fingerprint"
+
+  /** Content fingerprint of `sourceDir`'s events parquet: recursive
+    * (file count, total bytes, max mtime) over the leaf files — cheap
+    * (pure listing, no data read; at 100 TB this is one namenode
+    * listing of the ingest prefix) and it changes whenever a
+    * regeneration rewrites, adds, or drops a part file.
+    */
+  def eventsFingerprint(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(sourceDir, "events.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) "absent"
+    else {
+      var n = 0L; var bytes = 0L; var maxM = 0L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) {
+          n += 1; bytes += f.getLen
+          if (f.getModificationTime > maxM) maxM = f.getModificationTime
+        }
+      }
+      s"$n:$bytes:$maxM"
+    }
+  }
+
   /** Write the events stream as a user_id-bucketed, (user_id, ts)-sorted
     * managed table — the layout that makes EVERY per-user analytic
     * shuffle-free: sessionization (q22), session features (q75),
@@ -102,15 +137,20 @@ object CorpusWriter {
       .format("parquet")
       .saveAsTable(table)
     sourceDir.foreach { d =>
+      val fp = eventsFingerprint(events.sparkSession, d)
       events.sparkSession.sql(
-        s"ALTER TABLE $table SET TBLPROPERTIES ('$EventsSourceProp' = '$d')")
+        s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$EventsSourceProp' = '$d', '$EventsFingerprintProp' = '$fp')")
     }
   }
 
   /** The bucketed events layout for `sourceDir`, when one has been
     * written and tagged via [[writeEvents]] in this catalog — None
-    * otherwise (including when a table of the right name exists but
-    * was written from a DIFFERENT source: the property must match).
+    * otherwise: a table of the right name written from a DIFFERENT
+    * source must not answer, and neither may one whose source parquet
+    * has been REGENERATED since the write (the recorded
+    * [[EventsFingerprintProp]] is re-validated against the files on
+    * disk; mismatch falls back to the plain read).
     */
   def bucketedEvents(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, table: String = DefaultEventsTable)
@@ -120,7 +160,9 @@ object CorpusWriter {
       val props = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .properties
-      if (props.get(EventsSourceProp).contains(sourceDir))
+      if (props.get(EventsSourceProp).contains(sourceDir) &&
+          props.get(EventsFingerprintProp)
+            .contains(eventsFingerprint(spark, sourceDir)))
         Some(spark.table(table))
       else None
     }

@@ -91,15 +91,23 @@ object Dedup {
     * source, everything else under the new one.
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // Presence is EXPLICIT marker columns, never digest-nullness
+    // (ADVICE r10: md5(NULL text) is NULL, so a doc present in both
+    // snapshots with NULL text would read as "added"). Digests are
+    // compared null-safely: NULL text on both sides is "unchanged",
+    // NULL on one side is "changed" — every present-both doc counts
+    // exactly once, so added+removed+changed+unchanged covers the
+    // id universe (the q142 oracle spells the same contract with
+    // IS [NOT] DISTINCT FROM).
     val o = oldDocs.select(col("doc_id"), col("source").as("src_old"),
-      md5(col("text").cast("binary")).as("h_old"))
+      md5(col("text").cast("binary")).as("h_old"), lit(true).as("in_old"))
     val n = newDocs.select(col("doc_id"), col("source").as("src_new"),
-      md5(col("text").cast("binary")).as("h_new"))
+      md5(col("text").cast("binary")).as("h_new"), lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(coalesce(col("src_new"), col("src_old")).as("source"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") === col("h_new"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("h_old") <=> col("h_new"), "unchanged")
           .otherwise("changed").as("status"))
       .groupBy(col("source"))
       .agg(

@@ -26,14 +26,16 @@ import graft.functions.{HexPrefixLong, TokenRunCount, WordRunCount}
   *
   *  - `size(regexp_extract_all(lower(x), '[a-z]+|[0-9]+|[^a-z0-9\s]'))`
   *    (the `regexp_count` replacement tree) →
-  *    `CAST(token_run_count(x) AS INT)` — OFF by default, enabled by
-  *    `spark.graft.substitute.tokenRunCount=true`. Not unconditionally
-  *    sound: [[TokenRunCount]]'s case fold is deliberately ASCII-only,
-  *    so U+212A (KELVIN) and U+0130 (İ) — the only two code points
-  *    whose full lowercase is an ASCII letter — count as standalone
-  *    marks instead of joining a letter run. Corpora that can carry
-  *    those two code points must keep the flag off; everything else
-  *    gets the measured ~9× regex→run-classifier win (q126, r9).
+  *    `CAST(token_run_count(x) AS INT)` — ON by default (disable with
+  *    `spark.graft.substitute.tokenRunCount=false`), the measured ~9×
+  *    regex→run-classifier win (q126, r9). Value-identical for every
+  *    input since r11: [[TokenRunCount]] handles the two code points
+  *    whose full lowercase involves an ASCII letter (U+212A KELVIN →
+  *    `k` joins a letter run; U+0130 İ → `i` + combining U+0307, a
+  *    run-joining letter then a run-breaking mark) exactly as
+  *    `lower()` + the regex does — property-pinned over a generator
+  *    carrying both (NativeExprPropertySpec). Shares `lower()`'s
+  *    root-locale assumption (see the [[TokenRunCount]] locale note).
   *
   *  - the portable 8-term hex-prefix arithmetic over an md5 —
   *    `(instr('0123456789abcdef', substr(md5(x), p, 1)) - 1) * 16⁷ +
@@ -127,20 +129,29 @@ object NativeSubstitutionRule extends Rule[LogicalPlan] {
     if (ok) Some(HexPrefixLong(h0, Literal(p0))) else None
   }
 
+  /** Flag read that RECOVERS to the default on a malformed value
+    * (ADVICE r10: `.toBoolean` threw IllegalArgumentException out of
+    * the optimizer, failing the whole query over a typo'd conf).
+    */
+  private def flag(name: String, default: Boolean): Boolean = {
+    val v = conf.getConfString(name, default.toString).trim
+    if (v.equalsIgnoreCase("true")) true
+    else if (v.equalsIgnoreCase("false")) false
+    else default
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val wordOn =
-      conf.getConfString("spark.graft.substitute.wordRunCount", "true")
-        .toBoolean
+    val wordOn = flag("spark.graft.substitute.wordRunCount", default = true)
     val tokenOn =
-      conf.getConfString("spark.graft.substitute.tokenRunCount", "false")
-        .toBoolean
-    val hexOn =
-      conf.getConfString("spark.graft.substitute.hexPrefix", "true")
-        .toBoolean
+      flag("spark.graft.substitute.tokenRunCount", default = true)
+    val hexOn = flag("spark.graft.substitute.hexPrefix", default = true)
     if (!wordOn && !tokenOn && !hexOn) return plan
     plan.transformAllExpressions {
-      case a @ Add(_, _, _) if hexOn && rewriteHexSpelling(a).isDefined =>
-        rewriteHexSpelling(a).get
+      // single evaluation of the 8-term structural match (ADVICE r10:
+      // the guard-then-get shape ran it twice per matched Add during
+      // fixed-point optimization); returning `a` unchanged is the
+      // no-match identity transformDown expects
+      case a: Add if hexOn => rewriteHexSpelling(a).getOrElse(a)
       // size(filter(split(lower(x), ' '), t -> t <> ''))  [lower optional]
       case Size(ArrayFilter(
             StringSplit(str, Literal(sep, _), Literal(-1, IntegerType)),

@@ -3927,11 +3927,11 @@ object DataPipeline {
              |            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
              |       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL
              |            AND n.doc_id IS NOT NULL
-             |            AND md5(o.text) <> md5(n.text)
+             |            AND md5(o.text) IS DISTINCT FROM md5(n.text)
              |            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
              |       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL
              |            AND n.doc_id IS NOT NULL
-             |            AND md5(o.text) = md5(n.text)
+             |            AND md5(o.text) IS NOT DISTINCT FROM md5(n.text)
              |            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
              |FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
              |GROUP BY 1

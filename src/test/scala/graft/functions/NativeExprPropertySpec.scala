@@ -39,6 +39,11 @@ class NativeExprPropertySpec extends AnyFunSuite {
     2 -> Gen.oneOf("é", "ü", "ß", "ñ"),
     2 -> Gen.oneOf("中", "한", "€"),
     1 -> Gen.oneOf("😀", "🚀"),
+    // the two code points whose full lowercase involves an ASCII
+    // letter (U+212A KELVIN → k, U+0130 İ → i+U+0307): the r11
+    // classifier handles them byte-exact, so the property must hold
+    // with them in the alphabet
+    2 -> Gen.oneOf("K", "İ"),
     1 -> Gen.const("é"))
 
   private val textGen: Gen[String] =
@@ -125,6 +130,32 @@ class NativeExprPropertySpec extends AnyFunSuite {
             s"k=$k doc ${x.getLong(0)}: ${x.getString(1)} != ${x.getString(2)}")
       }
     }
+  }
+
+  test("min_k_hex_hashes / winnow_prints: non-positive structural " +
+      "parameter fails at ANALYSIS time, not executor-side") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val d = Seq((1L, Seq("a", "b", "c", "d"))).toDF("doc_id", "w")
+    // k=0 would index keep(-1), w=0 would read packed(p) out of bounds
+    // executor-side; the contract is a type-check rejection instead —
+    // df.select analyzes eagerly, so the intercept needs no action.
+    for (bad <- Seq(0, -3)) {
+      val ek = intercept[org.apache.spark.sql.AnalysisException] {
+        d.select(graft.functions.MinKHexHashes(col("w"), bad))
+      }
+      assert(ek.getMessage.contains("positive int literal"), ek.getMessage)
+      val ew = intercept[org.apache.spark.sql.AnalysisException] {
+        d.select(graft.functions.WinnowPrints(col("w"), bad))
+      }
+      assert(ew.getMessage.contains("positive int literal"), ew.getMessage)
+    }
+    // non-foldable parameter is equally structural: rejected too
+    val ef = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(expr("min_k_hex_hashes(w, CAST(doc_id AS INT))"))
+    }
+    assert(ef.getMessage.contains("foldable int"), ef.getMessage)
   }
 
   test("winnow_prints == hex_prefix_long/array-HOF SQL spelling for " +

@@ -1105,6 +1105,17 @@ class DataPipelineSpec extends SparkSpec {
       // a DIFFERENT source still reads its own parquet
       assert(graft.Tables.events(s, dir2).inputFiles
         .forall(!_.contains(graft.operators.CorpusWriter.DefaultEventsTable)))
+      // REGENERATING the source parquet at the same path invalidates
+      // the layout (ADVICE r10: path equality alone would serve last
+      // generation's rows): the recorded content fingerprint no longer
+      // matches, so the read falls back to the fresh plain parquet
+      ev.union(ev.withColumn("event_id", col("event_id") + 1))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val stale = graft.Tables.events(s, dir)
+      assert(stale.inputFiles.forall(
+        !_.contains(graft.operators.CorpusWriter.DefaultEventsTable)),
+        "regenerated source must not resolve to the stale bucketed table")
+      assert(stale.count() == 2)
     } finally {
       graft.BucketRehearsal.dropBucketTable(s, wh,
         graft.operators.CorpusWriter.DefaultEventsTable)
@@ -1147,6 +1158,14 @@ class DataPipelineSpec extends SparkSpec {
     val ia2 = EventFunnel.interArrival(ev)
     assert(ia2.collect().nonEmpty)
     assert(graft.operators.CacheRegistry.size >= 1)
+    // registrations are canonicalized-plan-keyed (ADVICE r10): the
+    // SAME (corpus, parameters) called again holds the same tracked
+    // entries, mirroring the single CacheManager entry — a long-lived
+    // session repeating one operator does not grow the registry
+    val before = graft.operators.CacheRegistry.size
+    assert(EventFunnel.interArrival(ev).collect().nonEmpty)
+    assert(graft.operators.CacheRegistry.size == before,
+      "repeat same-parameter call must not grow the registry")
     graft.operators.CacheRegistry.release()
     assert(graft.operators.CacheRegistry.size == 0)
   }
@@ -1312,6 +1331,28 @@ class DataPipelineSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4))).toSeq
     assert(r == Seq(("S", 0L, 1L, 1L, 0L), ("T", 1L, 0L, 0L, 2L)))
+  }
+
+  test("snapshotDiff: NULL text classifies by PRESENCE, null-safe " +
+      "digest compare") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r10: md5(NULL) is NULL, so digest-nullness misread a
+    // present-both NULL-text doc as 'added'. The contract now: doc6
+    // NULL-on-both-sides is UNCHANGED, doc7 text->NULL is CHANGED,
+    // doc8 NULL->text is CHANGED, doc9 NULL text only in new is ADDED
+    val old = Seq((6L, null.asInstanceOf[String], "S"), (7L, "t", "S"),
+      (8L, null.asInstanceOf[String], "S"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((6L, null.asInstanceOf[String], "S"),
+      (7L, null.asInstanceOf[String], "S"), (8L, "u", "S"),
+      (9L, null.asInstanceOf[String], "S"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.snapshotDiff(old, nw).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    // (source, added, removed, changed, unchanged)
+    assert(r == Seq(("S", 1L, 0L, 2L, 1L)))
   }
 
   test("saltedJoin equals the plain join and shuffles on the salt") {
@@ -2058,6 +2099,30 @@ class DataPipelineSpec extends SparkSpec {
     assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
       x.getLong(5), x.getLong(6), x.getLong(7), x.getLong(8)) ==
       (2L, 8L, 1L, 1L, 2L, 3L, 0L, 4L * 1000000 / 12))
+  }
+
+  test("packingReport: zero-token source yields NULL waste, never raises") {
+    val s = spark
+    import s.implicits._
+    // whitespace-only texts tokenize to 0 subword tokens, so both seq
+    // counts are 0 — the ppm denominators the CASE guards protect. The
+    // pin: NULL on both engines (the q131 oracle carries the same CASE;
+    // DuckDB's bare // would raise instead).
+    val d = Seq((1L, "   ", "empty"), (2L, "", "empty"),
+        (3L, "a b c", "real"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Sampling.packingReport(d, seqLen = 4).collect()
+      .sortBy(_.getString(0))
+    assert(r.length == 2)
+    val e = r.head
+    assert((e.getString(0), e.getLong(1), e.getLong(2), e.getLong(5),
+      e.getLong(6)) == ("empty", 2L, 0L, 0L, 0L))
+    assert(e.isNullAt(7) && e.isNullAt(8),
+      "zero-seq source must report NULL waste ppm")
+    val x = r(1)
+    assert(x.getString(0) == "real" && !x.isNullAt(7) && !x.isNullAt(8))
   }
 
   test("sampleRateCensus: deterministic across layouts, near-target rate") {

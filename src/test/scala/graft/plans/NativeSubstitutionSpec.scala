@@ -62,26 +62,65 @@ class NativeSubstitutionSpec extends SparkSpec {
     }
   }
 
-  test("token substitution is conf-gated off by default, exact when on") {
+  test("token substitution is ON by default, exact, and disable-able") {
     texts.createOrReplaceTempView("nst")
     val q = "SELECT id, size(regexp_extract_all(lower(text), " +
       "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS c FROM nst"
-    val off = s.sql(q)
-    assert(!optimized(off).contains("tokenruncount"), optimized(off))
-    val offVals = off.collect().map(r =>
+    val on = s.sql(q)
+    assert(optimized(on).contains("tokenruncount"), optimized(on))
+    val onVals = on.collect().map(r =>
       (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
     try {
-      s.conf.set("spark.graft.substitute.tokenRunCount", "true")
-      val on = s.sql(q)
-      assert(optimized(on).contains("tokenruncount"), optimized(on))
-      val onVals = on.collect().map(r =>
+      s.conf.set("spark.graft.substitute.tokenRunCount", "false")
+      val off = s.sql(q)
+      assert(!optimized(off).contains("tokenruncount"), optimized(off))
+      val offVals = off.collect().map(r =>
         (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toMap
       assert(onVals == offVals)
-      // regexp_count spells the same replacement tree and rewrites too
-      val rc = s.sql("SELECT regexp_count(lower(text), " +
-        "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]') AS c FROM nst WHERE id = 4")
-      assert(optimized(rc).contains("tokenruncount"), optimized(rc))
     } finally s.conf.unset("spark.graft.substitute.tokenRunCount")
+    // regexp_count spells the same replacement tree and rewrites too
+    val rc = s.sql("SELECT regexp_count(lower(text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]') AS c FROM nst WHERE id = 4")
+    assert(optimized(rc).contains("tokenruncount"), optimized(rc))
+  }
+
+  test("token substitution is exact on the two full-lowercase code " +
+      "points (U+212A KELVIN, U+0130 dotted I)") {
+    // the r10 half-state gated the rewrite off over exactly these two;
+    // the r11 classifier handles them byte-exact, so the default-on
+    // rewrite must agree with lower()+regex on the adversarial cases
+    val p = java.nio.file.Files.createTempDirectory("nstk").toString
+    Seq((1L, "aKb"), (2L, "aİb"), (3L, "İİ"),
+      (4L, "K"), (5L, "x KK 9İ2"))
+      .toDF("id", "text").write.mode("overwrite").parquet(p)
+    s.read.parquet(p).createOrReplaceTempView("nstk")
+    val q = "SELECT id, size(regexp_extract_all(lower(text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS c FROM nstk"
+    val on = s.sql(q)
+    assert(optimized(on).contains("tokenruncount"), optimized(on))
+    val got = on.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    try {
+      s.conf.set("spark.graft.substitute.tokenRunCount", "false")
+      val ref = s.sql(q).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == ref, s"native $got != regex $ref")
+    } finally s.conf.unset("spark.graft.substitute.tokenRunCount")
+    // aKb lowers to akb: ONE run; aİb lowers to ai̇b: run + mark + run
+    assert(got == Map(1L -> 1, 2L -> 3, 3L -> 4, 4L -> 1, 5L -> 6))
+  }
+
+  test("malformed conf values recover to the default, never throw") {
+    texts.createOrReplaceTempView("nst")
+    val wq = "SELECT size(filter(split(lower(text), ' '), " +
+      "t -> t <> '')) AS c FROM nst WHERE id = 1"
+    try {
+      // a typo'd flag must not fail the query out of the optimizer
+      // (ADVICE r10: .toBoolean threw IllegalArgumentException); it
+      // recovers to the flag's default — ON for wordRunCount
+      s.conf.set("spark.graft.substitute.wordRunCount", "enabled")
+      val df = s.sql(wq)
+      assert(optimized(df).contains("wordruncount"), optimized(df))
+      assert(df.collect().head.getInt(0) == 3)
+    } finally s.conf.unset("spark.graft.substitute.wordRunCount")
   }
 
   test("hex-prefix spelling fuses to hex_prefix_long and keeps values") {

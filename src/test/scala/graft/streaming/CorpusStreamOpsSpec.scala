@@ -141,6 +141,43 @@ class CorpusStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup ties break to the smaller stored id " +
+      "across batches") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    // one centroid → one cluster: every arrival shares the exemplar
+    // list, so the tie-break (not the blocking) is what's under test
+    val cents = Array((0, Array(1.0, 1.0, 0.0, 0.0)))
+    val mem = MemoryStream[CorpusStreamOps.VecIn]
+    val q = CorpusStreamOps.semanticDedupCandidates(mem.toDS(), cents,
+        threshold = 0.5)
+      .writeStream.format("memory").queryName("semdup_tie_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: id 10 becomes the first exemplar
+      mem.addData(CorpusStreamOps.VecIn(10L, Seq(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 2: SMALLER id 5, orthogonal to 10 (cos 0 < 0.5) → joins
+      // the exemplar list AFTER 10 — insertion order now disagrees
+      // with id order, the case the explicit (c, rid) update covers
+      mem.addData(CorpusStreamOps.VecIn(5L, Seq(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(s.table("semdup_tie_out").count() == 0)
+      // batch 3: (1,1,0,0) ties EXACTLY between both exemplars by
+      // symmetry of the quantized arithmetic (cos = 1/√2 each) →
+      // the contract says match the smaller stored id, 5, even though
+      // 10 was stored first
+      mem.addData(CorpusStreamOps.VecIn(20L, Seq(1f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      val r = s.table("semdup_tie_out").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(r == Seq((20L, 5L)),
+        s"tie must resolve to the smaller stored id: $r")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags near-bench arrivals statelessly") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
