@@ -1670,20 +1670,43 @@ object DataPipeline {
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // --- Most-duplicated texts: exact-dup groups of 2+ ranked by copy
-    //     count with a fingerprint tiebreak (total-ordered top-k).
+    //     count with a fingerprint tiebreak (total-ordered top-k). The
+    //     synthetic corpus has no natural exact dups at sf<=0.01, so
+    //     the gate unions a deterministic 'mirror' re-crawl of every
+    //     9th doc (the q98 technique; every 3rd of those twice) —
+    //     identical construction both sides, so the report exercises
+    //     real rows AND distinct copy counts at every gate SF.
     QueryDef(
       "q82_top_duplicates",
-      (s, dir) =>
-        TextAnalysis.topDuplicatedTexts(Tables(s, dir, "documents")),
-      Some("""SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val mirror = docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("lang"), lit("mirror").as("source"), col("n_chars"))
+        val mirror2 = docs.where(col("doc_id") % 27 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            col("lang"), lit("mirror2").as("source"), col("n_chars"))
+        TextAnalysis.topDuplicatedTexts(
+          docs.unionByName(mirror).unionByName(mirror2))
+      },
+      Some("""WITH un AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text
+             |  FROM documents WHERE doc_id % 9 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text
+             |  FROM documents WHERE doc_id % 27 = 0
+             |)
+             |SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
              |       MIN(doc_id) AS example_doc_id
-             |FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2
+             |FROM un GROUP BY md5(text) HAVING COUNT(*) >= 2
              |ORDER BY n_copies DESC, fingerprint LIMIT 20""".stripMargin)),
 
     // --- Shared boilerplate openings: dup groups keyed on the first
     //     100 chars — catches near-dups whose tails diverge (license
-    //     headers, nav chrome). Non-empty at every gate SF, unlike the
-    //     exact-dup report which is honestly 0 at sf<=0.01.
+    //     headers, nav chrome). Non-empty at every gate SF even
+    //     without q82's mirror union.
     QueryDef(
       "q83_top_duplicate_prefixes",
       (s, dir) =>

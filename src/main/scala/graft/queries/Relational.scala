@@ -708,6 +708,23 @@ object Relational {
                 (a, b) => b - a > 1800),
               x => x)).cast("long")).as("n_sessions"),
             col("n_events"))
+          // Anchor the presentation sort: a global ORDER BY range-
+          // partitions, and Spark's range sampler RECOMPUTES the
+          // sort's child for the bounds pass unless something below
+          // materializes it. On plain parquet the aggregation's hash
+          // Exchange is that point (the sampler re-reads shuffle
+          // files); on the bucketed layout the aggregation is
+          // exchange-free, so the bounds pass re-scanned and
+          // re-aggregated the WHOLE corpus — 2× the query, measured at
+          // the 200× replica (an inserted repartition doesn't survive:
+          // EnsureRequirements collapses adjacent exchanges). The
+          // lazy localCheckpoint materializes the |users|-row report
+          // (three longs per row, corpus-size-independent) on first
+          // compute; bounds pass and sort both read the blocks. At
+          // 100 TB this is the rule, not a tweak: a global sort over
+          // an exchange-free corpus aggregate must pin its child
+          // first or the engine pays the corpus twice.
+          .localCheckpoint(eager = false)
           .orderBy("user_id")
       },
       Some("""WITH e AS (SELECT user_id, event_id,
