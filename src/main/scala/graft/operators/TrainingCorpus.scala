@@ -26,13 +26,30 @@ object TrainingCorpus {
     * one-row-per-stage count table (the report a data release ships
     * with). If `outDir` is non-empty the final corpus is also written
     * partitioned by split via [[CorpusWriter]].
+    *
+    * `onStage` (default no-op) receives (stage, wallSeconds) at each
+    * funnel boundary — the boundaries are the count actions the
+    * funnel already pays, so instrumentation adds NO extra action
+    * (ProfileCorpusBuild drives the 50×/200× stage-wall tables with
+    * it). PII + decontamination share one boundary because the
+    * composition materializes them together (stage 5's count is the
+    * first action after both).
     */
   def build(docs: DataFrame, isBenchmark: Column,
-      minTokens: Int = 4, outDir: String = ""): (DataFrame, DataFrame) = {
+      minTokens: Int = 4, outDir: String = "",
+      onStage: (String, Double) => Unit = (_, _) => ()):
+      (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val nInput = docs.count()
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+
+    val nInput = timed("1_input")(docs.count())
 
     // 1. exact dedup (keep min doc_id per md5(text)), text retained
     val exactW = org.apache.spark.sql.expressions.Window
@@ -41,7 +58,7 @@ object TrainingCorpus {
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("rn", row_number().over(exactW))
       .where(col("rn") === 1).drop("fp", "rn")
-    val nExact = exact.count()
+    val nExact = timed("2_exact_dedup")(exact.count())
 
     // 2. collapse near-dup clusters to their representative (cluster =
     //    component min doc_id; docs in no cluster pass through)
@@ -50,7 +67,7 @@ object TrainingCorpus {
       .select(col("doc_id").as("drop_id"))
     val nearDeduped = exact
       .join(reps, exact("doc_id") === reps("drop_id"), "left_anti")
-    val nNearDup = nearDeduped.count()
+    val nNearDup = timed("3_near_dup_collapse")(nearDeduped.count())
 
     // 3. quality: repetition flag + token floor. LEFT join: repetition()
     //    only emits docs with >= 2 tokens, and an inner join here would
@@ -64,7 +81,7 @@ object TrainingCorpus {
       .where(coalesce(col("flag"), lit("ok")) === "ok" &&
         size(Dedup.tokens(col("text"))) >= minTokens)
       .drop("rep_id", "flag")
-    val nQuality = quality.count()
+    val nQuality = timed("4_quality")(quality.count())
 
     // 4. PII redaction (replace text with the scrubbed form)
     val redacted = quality
@@ -81,14 +98,14 @@ object TrainingCorpus {
     val clean = redacted
       .where(!isBenchmark)
       .join(contaminatedIds, col("doc_id") === col("contam_id"), "left_anti")
-    val nClean = clean.count()
+    val nClean = timed("5_decontaminated")(clean.count())
 
     // 6. deterministic split
     val corpus = TextAnalysis.withSplit(clean)
 
     if (outDir.nonEmpty)
-      CorpusWriter.writePartitioned(corpus, outDir,
-        partitionCols = Seq("split"))
+      timed("6_split_write")(CorpusWriter.writePartitioned(corpus, outDir,
+        partitionCols = Seq("split")))
 
     val funnel = Seq(
       ("1_input", nInput),
