@@ -247,7 +247,26 @@ object Dedup {
     * surface.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    verifiedPairStats(docs, bands)
+      .select(col("a"), col("b"), col("i"),
+        (col("i").cast("double") / col("u")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+
+  /** The shared LSH→exact-verify core of [[nearDupPairs]] /
+    * [[dupRateSweep]]: banded candidate pairs with their exact shingle
+    * INTERSECTION `i` and UNION `u` counts, unfiltered — so callers
+    * can apply a threshold in whichever arithmetic they need (the
+    * double `i/u` of the pair report, or the exact-integer
+    * `i·10⁶ ≥ t_ppm·u` of the sweep, which never touches a float).
+    *
+    * Scale shape: candidates are bucket-bounded (banded equi-join,
+    * never all-pairs); the intersection count is a shingle equi-join
+    * over candidates only; `u` is inclusion–exclusion from the
+    * per-doc distinct-shingle counts.
+    */
+  def verifiedPairStats(docs: DataFrame, bands: Int = 8): DataFrame = {
     val mh = minhash(docs, bands)
     val cand = mh.as("m1")
       .join(mh.as("m2"),
@@ -264,14 +283,85 @@ object Dedup {
         col("s2.doc_id") === col("b") && col("s2.shingle") === col("s1.shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("ca.n") + col("cb.n") - col("i"))
     inter
       .join(cnt.as("ca"), col("ca.doc_id") === col("a"))
       .join(cnt.as("cb"), col("cb.doc_id") === col("b"))
-      .select(col("a"), col("b"), col("i"), jac.as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      .orderBy("a", "b")
+      .select(col("a"), col("b"), col("i"),
+        (col("ca.n") + col("cb.n") - col("i")).as("u"))
+  }
+
+  /** Train/val/test LEAKAGE census — the release check a split ships
+    * with: verified near-dup pairs ([[nearDupPairs]] semantics at
+    * `threshold`) rolled up by the UNORDERED pair of splits their
+    * documents landed in under [[TextAnalysis.withSplit]]'s
+    * deterministic assignment. Same-split rows are ordinary intra-split
+    * duplication; cross-split rows (`is_leak`) are evaluation leakage —
+    * a val/test document whose near-copy sits in train scores as
+    * memorization, not generalization. The split is content-blind
+    * (md5 of doc_id), so near-dups scatter across splits at the split
+    * rates — exactly why this census must run BEFORE a release, and
+    * why [[TrainingCorpus.build]] deduplicates before splitting.
+    *
+    * Scale shape: pairs are bucket-bounded; the split map is a
+    * per-row hash (no join against a split table — the assignment is
+    * recomputed, which is the point of a deterministic split); the
+    * rollup is ≤ 6 unordered split pairs.
+    */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sp = TextAnalysis.withSplit(docs).select(col("doc_id"), col("split"))
+    nearDupPairs(docs, threshold)
+      .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(sp.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** Duplicate-rate threshold sweep — the tuning table for "where do
+    * we set the near-dup threshold": for each candidate threshold (in
+    * ppm), how many VERIFIED pairs and how many distinct documents a
+    * dedup pass at that threshold would touch, all from ONE pass of
+    * the LSH/verify machinery. The compare is exact integer
+    * (`i·10⁶ ≥ t_ppm·u`), so the sweep is bit-identical across
+    * engines — no float threshold ever enters a gated value.
+    * Thresholds below 500000 are rejected: with b=8/r=2 banding the
+    * candidate recall below J=0.5 is not advertised (see
+    * [[nearDupPairs]]), so a sweep row there would undercount.
+    *
+    * Scale shape: one [[verifiedPairStats]] pass; the threshold table
+    * is a broadcast cross join of ≤ a handful of rows; the distinct-
+    * doc count works on (threshold, doc) pairs bounded by
+    * 2·|pairs|·|thresholds|.
+    */
+  def dupRateSweep(docs: DataFrame,
+      thresholdsPpm: Seq[Long] =
+        Seq(500000L, 600000L, 700000L, 800000L, 900000L, 1000000L),
+      bands: Int = 8): DataFrame = {
+    require(thresholdsPpm.nonEmpty && thresholdsPpm.forall(_ >= 500000L),
+      "sweep thresholds below 0.5 are not surfaced reliably by b=8/r=2 " +
+        "banding; raise bands for a lower sweep")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thr = thresholdsPpm.toDF("threshold_ppm")
+    val q = verifiedPairStats(docs, bands)
+      .crossJoin(broadcast(thr))
+      .where(col("i") * lit(1000000L) >= col("threshold_ppm") * col("u"))
+    val np = q.groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = q.select(col("threshold_ppm"),
+        explode(array(col("a"), col("b"))).as("d"))
+      .distinct()
+      .groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+    thr.join(np, Seq("threshold_ppm"), "left")
+      .join(nd, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .orderBy("threshold_ppm")
   }
 
   /** Cross-source near-dup attribution matrix: VERIFIED near-dup

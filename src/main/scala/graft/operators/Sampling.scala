@@ -118,6 +118,65 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Token-budget greedy selection census — "take documents in a
+    * content-stable random order until each source's token budget is
+    * spent", the selection a data-mixing recipe actually executes
+    * after [[sourceMixture]] chose the budgets. Order is the md5 hash
+    * of `doc_id || '|budget'` (folded by [[Dedup.hexPrefix]], doc_id
+    * tiebreak) — uniform, engine-independent, never `rand()`. A
+    * document is selected iff the running token total up to and
+    * including it stays ≤ `budgetTokens`; tokens are the q126 subword
+    * law ([[graft.functions.TokenRunCount]]). Reports per source:
+    * docs seen/selected, tokens selected, and exact-integer budget
+    * utilization ppm.
+    *
+    * Scale shape — the distributed prefix sum, not a per-source
+    * window: `SUM OVER (PARTITION BY source ORDER BY h)` puts an
+    * entire source on ONE reducer, which at 100 TB is a single-task
+    * sort of a trillion rows. Instead the hash space splits into
+    * `buckets` ORDER-ALIGNED ranges (`h DIV width`, monotone in h):
+    * a |sources|·buckets token-mass table gives exclusive per-bucket
+    * offsets (tiny window), broadcast back, and each row's global
+    * running total is its bucket offset plus a within-bucket prefix —
+    * the window partitions are (source, bucket), 64× finer, and
+    * `buckets` scales with the cluster. Value-identical to the
+    * single window (same total order; the q144 oracle spells the
+    * plain window), pinned by spec against the window formulation.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 2000L,
+      buckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val width = 4294967296L / buckets
+    val base = docs.select(col("source"), col("doc_id"),
+        graft.functions.TokenRunCount(col("text")).as("t"),
+        Dedup.hexPrefix(md5(concat(col("doc_id").cast("string"),
+          lit("|budget")).cast("binary"))).as("h"))
+      .withColumn("bkt", expr(s"h DIV $width"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("t")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    val wLocal = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(off), Seq("source", "bkt"))
+      .withColumn("cum", sum(col("t")).over(wLocal) + col("off"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= budgetTokens, 1L).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("cum") <= budgetTokens, col("t")).otherwise(0L))
+          .as("tokens_selected"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("tokens_selected"), lit(budgetTokens).as("budget_tokens"),
+        expr("tokens_selected * 1000000 DIV budget_tokens")
+          .as("utilization_ppm"))
+      .orderBy("source")
+  }
+
   /** Exact token-length distribution per source: min / lower-median /
     * ceil-p90 / ceil-p99 / max of the subword token count (the q126
     * [[graft.functions.TokenRunCount]] law) plus doc and token totals —

@@ -3958,6 +3958,136 @@ object DataPipeline {
              |            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
              |FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
              |GROUP BY 1
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // --- Train/val/test leakage census: verified near-dup pairs by
+    //     the unordered split pair of their endpoints. Cross-split
+    //     rows are evaluation leakage; the reason build() dedups
+    //     BEFORE splitting.
+    QueryDef(
+      "q143_split_leakage",
+      (s, dir) => Dedup.splitLeakage(Tables(s, dir, "documents")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |pairs AS (
+             |  SELECT i.a, i.b
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+             |),
+             |sp AS (
+             |  SELECT doc_id,
+             |         CASE WHEN bk < 90 THEN 'train'
+             |              WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, ${Dedup.hexToLongSql(
+                        "md5(CAST(doc_id AS VARCHAR))", 1, "strpos")} % 100
+             |          AS bk FROM documents)
+             |),
+             |j AS (
+             |  SELECT LEAST(s1.split, s2.split) AS split_a,
+             |         GREATEST(s1.split, s2.split) AS split_b
+             |  FROM pairs p JOIN sp s1 ON s1.doc_id = p.a
+             |               JOIN sp s2 ON s2.doc_id = p.b
+             |)
+             |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       split_a <> split_b AS is_leak
+             |FROM j GROUP BY split_a, split_b
+             |ORDER BY split_a, split_b""".stripMargin)),
+
+    // --- Token-budget greedy selection: content-stable random order
+    //     (md5 hash), running subword-token total per source, select
+    //     while <= budget. The oracle spells the plain per-source
+    //     window; the operator computes the same prefix sums two-phase
+    //     (order-aligned hash buckets + offsets) so no single reducer
+    //     ever holds a whole source.
+    QueryDef(
+      "q144_budget_select",
+      (s, dir) => Sampling.budgetSelect(Tables(s, dir, "documents")),
+      Some(s"""WITH per AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(regexp_extract_all(lower(text),
+             |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS t,
+             |         ${Dedup.hexToLongSql(
+                        "md5(doc_id || '|budget')", 1, "strpos")} AS h
+             |  FROM documents
+             |),
+             |c AS (
+             |  SELECT source, t,
+             |         SUM(t) OVER (PARTITION BY source ORDER BY h, doc_id
+             |                      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM per
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_selected,
+             |       CAST(SUM(CASE WHEN cum <= 2000 THEN t ELSE 0 END)
+             |            AS BIGINT) AS tokens_selected,
+             |       CAST(2000 AS BIGINT) AS budget_tokens,
+             |       CAST(SUM(CASE WHEN cum <= 2000 THEN t ELSE 0 END)
+             |            * 1000000 // 2000 AS BIGINT) AS utilization_ppm
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- Near-dup threshold sweep: verified pair and touched-doc
+    //     counts at each candidate threshold from ONE LSH/verify pass;
+    //     exact-integer compare (i*1e6 >= t_ppm*u) keeps floats out of
+    //     the gate.
+    QueryDef(
+      "q145_dup_threshold_sweep",
+      (s, dir) => Dedup.dupRateSweep(Tables(s, dir, "documents")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |stats AS (
+             |  SELECT i.a, i.b, i.i, ca.n + cb.n - i.i AS u
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |),
+             |thr AS (SELECT CAST(unnest([500000, 600000, 700000, 800000,
+             |                      900000, 1000000]) AS BIGINT)
+             |          AS threshold_ppm),
+             |q AS (
+             |  SELECT t.threshold_ppm, s.a, s.b
+             |  FROM stats s JOIN thr t
+             |    ON s.i * 1000000 >= t.threshold_ppm * s.u
+             |),
+             |np AS (
+             |  SELECT threshold_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |  FROM q GROUP BY threshold_ppm
+             |),
+             |nd AS (
+             |  SELECT threshold_ppm, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+             |  FROM (SELECT threshold_ppm, a AS d FROM q
+             |        UNION SELECT threshold_ppm, b FROM q)
+             |  GROUP BY threshold_ppm
+             |)
+             |SELECT t.threshold_ppm AS threshold_ppm,
+             |       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             |       CAST(COALESCE(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+             |FROM thr t LEFT JOIN np USING (threshold_ppm)
+             |           LEFT JOIN nd USING (threshold_ppm)
+             |ORDER BY threshold_ppm""".stripMargin))
   )
 }

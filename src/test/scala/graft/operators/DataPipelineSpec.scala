@@ -1316,6 +1316,125 @@ class DataPipelineSpec extends SparkSpec {
     assert(r == Seq(("A", "A", 1L), ("A", "B", 1L)))
   }
 
+  test("splitLeakage equals the manual pairs-joined-to-splits rollup " +
+      "and flags only cross-split rows") {
+    val s = spark
+    import s.implicits._
+    // 30 near-dup pairs (identical 20-token texts per pair, token
+    // alphabets fully DISJOINT across pairs so no cross-pair shingle
+    // overlap) spread over md5-assigned splits — enough ids that
+    // train/val/test all appear with high probability
+    val d = docs((1L to 60L).map { i =>
+      val k = (i + 1) / 2
+      i -> (1 to 20).map(j => s"k${k}t$j").mkString(" ")
+    }: _*)
+    // doc 2k-1 and 2k share text => near-dup pair per k
+    val r = graft.operators.Dedup.splitLeakage(d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getBoolean(3))).toSeq
+    // reference: compose the same rollup by hand from the public parts
+    val sp = graft.operators.TextAnalysis.withSplit(d)
+      .select(col("doc_id"), col("split")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val expect = (1L to 30L).map { k =>
+      val (sa, sb) = (sp(2 * k - 1), sp(2 * k))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).map { case ((sa, sb), v) =>
+      (sa, sb, v.size.toLong, sa != sb)
+    }.toSeq.sorted
+    assert(r.sorted == expect)
+    assert(r.exists(_._4), "test construction should yield leakage rows")
+    r.foreach { case (sa, sb, _, leak) => assert(leak == (sa != sb)) }
+  }
+
+  test("budgetSelect: two-phase prefix equals the single-window " +
+      "spelling; greedy prefix semantics exact") {
+    val s = spark
+    import s.implicits._
+    // hand case first: tokens 3 each, budget 7 => exactly the first
+    // TWO docs in hash order are kept (3, 6 <= 7; 9 > 7)
+    val d3 = Seq((1L, "a b c", "S"), (2L, "d e f", "S"), (3L, "g h i", "S"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val hand = graft.operators.Sampling.budgetSelect(d3, budgetTokens = 7L)
+      .collect().head
+    assert((hand.getLong(1), hand.getLong(2), hand.getLong(3),
+      hand.getLong(5)) == (3L, 2L, 6L, 6L * 1000000 / 7))
+    // property: the bucketed two-phase cumsum equals the plain
+    // per-source window over a 300-doc two-source frame, at several
+    // budgets, and is layout-independent
+    val big = (1L to 300L).map(i =>
+        (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" "),
+          if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    graft.functions.GraftFunctions.install(s)
+    for (budget <- Seq(50L, 200L, 1000L)) {
+      val got = graft.operators.Sampling.budgetSelect(big, budget)
+        .collect().map(_.toSeq).toSeq
+      val gotR = graft.operators.Sampling
+        .budgetSelect(big.repartition(13), budget)
+        .collect().map(_.toSeq).toSeq
+      assert(got == gotR, s"budget $budget: layout changed the result")
+      // single-window reference (the q144 oracle's formulation)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val ref = big.select(col("source"), col("doc_id"),
+          graft.functions.TokenRunCount(col("text")).as("t"),
+          graft.operators.Dedup.hexPrefix(
+            md5(concat(col("doc_id").cast("string"), lit("|budget"))
+              .cast("binary"))).as("h"))
+        .withColumn("cum", sum(col("t")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum") <= budget, 1L).otherwise(0L))
+            .as("n_selected"),
+          sum(when(col("cum") <= budget, col("t")).otherwise(0L))
+            .as("tokens_selected"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          col("tokens_selected"), lit(budget).as("budget_tokens"),
+          expr("tokens_selected * 1000000 DIV budget_tokens")
+            .as("utilization_ppm"))
+        .orderBy("source")
+        .collect().map(_.toSeq).toSeq
+      assert(got == ref, s"budget $budget: two-phase != window")
+    }
+  }
+
+  test("dupRateSweep: counts monotone non-increasing, exact at J=1, " +
+      "sub-banding thresholds rejected") {
+    val s = spark
+    // docs 1/2 identical (J=1); docs 3/4 share most shingles (J<1)
+    val twenty = (1 to 20).map(i => s"tok$i")
+    val d = docs(
+      1L -> twenty.mkString(" "),
+      2L -> twenty.mkString(" "),
+      3L -> twenty.mkString(" "),
+      4L -> (twenty.dropRight(1) :+ "tail").mkString(" "),
+      5L -> "one two three four five six seven eight nine ten")
+    val r = graft.operators.Dedup.dupRateSweep(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r.map(_._1) == Seq(500000L, 600000L, 700000L, 800000L,
+      900000L, 1000000L))
+    // monotone: higher threshold can only lose pairs/docs
+    r.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3)
+    }
+    // at t=1.0 only the J=1 triangle among docs 1/2/3 survives
+    assert(r.last == (1000000L, 3L, 3L))
+    // docs 4 pairs with 1/2/3 at J = 18/20-ish shingles (19/21 windows
+    // share 18) => present at 0.5, absent at 1.0
+    assert(r.head._2 > r.last._2)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dupRateSweep(d, thresholdsPpm = Seq(300000L))
+    }
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged per source") {
     val s = spark
     import s.implicits._
