@@ -302,23 +302,24 @@ object Dedup {
     * rates — exactly why this census must run BEFORE a release, and
     * why [[TrainingCorpus.build]] deduplicates before splitting.
     *
-    * Scale shape: pairs are bucket-bounded; the split map is a
-    * per-row hash (no join against a split table — the assignment is
-    * recomputed, which is the point of a deterministic split); the
-    * rollup is ≤ 6 unordered split pairs.
+    * Scale shape: the [[nearDupMatrixByLabel]] exact-dup-collapse core
+    * with split as the label — LSH/verify over |distinct texts| only,
+    * member splits re-entering through per-(group, split) histograms
+    * (splits are per-doc_id, so members of one text group scatter
+    * across splits; the expansion convolves the histograms instead of
+    * materializing member pairs). The split itself is a per-row hash
+    * (recomputed, never joined — the point of a deterministic split);
+    * output is ≤ 6 unordered split pairs.
     */
-  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sp = TextAnalysis.withSplit(docs).select(col("doc_id"), col("split"))
-    nearDupPairs(docs, threshold)
-      .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), "a")
-      .join(sp.select(col("doc_id").as("b"), col("split").as("sb")), "b")
-      .select(least(col("sa"), col("sb")).as("split_a"),
-        greatest(col("sa"), col("sb")).as("split_b"))
-      .groupBy(col("split_a"), col("split_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupMatrixByLabel(
+      TextAnalysis.withSplit(docs)
+        .select(col("doc_id"), col("text"), col("split").as("lbl")),
+      threshold)
+      .select(col("l1").as("split_a"), col("l2").as("split_b"),
+        col("n_pairs"))
       .withColumn("is_leak", col("split_a") =!= col("split_b"))
       .orderBy("split_a", "split_b")
-  }
 
   /** Duplicate-rate threshold sweep — the tuning table for "where do
     * we set the near-dup threshold": for each candidate threshold (in
@@ -329,37 +330,94 @@ object Dedup {
     * engines — no float threshold ever enters a gated value.
     * Thresholds below 500000 are rejected: with b=8/r=2 banding the
     * candidate recall below J=0.5 is not advertised (see
-    * [[nearDupPairs]]), so a sweep row there would undercount.
+    * [[nearDupPairs]]); above 1000000 nothing can pass.
     *
-    * Scale shape: one [[verifiedPairStats]] pass; the threshold table
-    * is a broadcast cross join of ≤ a handful of rows; the distinct-
-    * doc count works on (threshold, doc) pairs bounded by
-    * 2·|pairs|·|thresholds|.
+    * Exact-duplicate collapse FIRST — the [[sourceNearDupMatrix]]
+    * discipline, which is exactly what a sweep needs at scale (a
+    * corpus whose duplication motivates the sweep is the corpus where
+    * uncollapsed LSH blows up quadratically in copy count):
+    * [[verifiedPairStats]] runs over one representative per distinct
+    * text, and counts expand back arithmetically — value-identical
+    * because identical texts have identical shingle sets, hence
+    * identical signatures (candidacy transfers member-for-member) and
+    * identical (i, u):
+    *  - cross-group: a rep pair passing threshold t stands for
+    *    n_A·n_B member pairs;
+    *  - within-group: members are Jaccard-1 pairs — C(n, 2) at every
+    *    t ≤ 10⁶, counted only for texts of ≥ 3 tokens (shorter docs
+    *    emit no shingles and never pair in the uncollapsed pipeline);
+    *  - touched docs at t: every member of every group in a passing
+    *    cross pair, plus every member of an eligible n ≥ 2 group.
+    * Spec-pinned equal to the uncollapsed formulation on a
+    * duplicate-heavy frame; the q145 oracle stays the uncollapsed
+    * spelling, so the gate hash enforces the identity too.
+    *
+    * Scale shape: one md5 hash-agg collapse, LSH/verify over
+    * |distinct texts|, expansions join groups-sized frames, output is
+    * |thresholds| rows.
     */
   def dupRateSweep(docs: DataFrame,
       thresholdsPpm: Seq[Long] =
         Seq(500000L, 600000L, 700000L, 800000L, 900000L, 1000000L),
       bands: Int = 8): DataFrame = {
-    require(thresholdsPpm.nonEmpty && thresholdsPpm.forall(_ >= 500000L),
-      "sweep thresholds below 0.5 are not surfaced reliably by b=8/r=2 " +
-        "banding; raise bands for a lower sweep")
+    require(thresholdsPpm.nonEmpty &&
+      thresholdsPpm.forall(t => t >= 500000L && t <= 1000000L),
+      "sweep thresholds must lie in [0.5, 1.0] ppm-scaled: below 0.5 " +
+        "b=8/r=2 banding recall is not advertised (raise bands), above " +
+        "1.0 nothing passes")
     val spark = docs.sparkSession
     import spark.implicits._
     val thr = thresholdsPpm.toDF("threshold_ppm")
-    val q = verifiedPairStats(docs, bands)
+
+    val fp = docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("fp"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+    val repDocs = fp
+      .join(groups.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val repN = groups.select(col("rep"), col("fp"), col("n"))
+
+    // cross-group rep pairs, thresholded in exact integers, expanded
+    val crossQ = verifiedPairStats(repDocs, bands)
+      .join(repN.select(col("rep").as("a"), col("fp").as("fpa"),
+        col("n").as("na")), "a")
+      .join(repN.select(col("rep").as("b"), col("fp").as("fpb"),
+        col("n").as("nb")), "b")
       .crossJoin(broadcast(thr))
       .where(col("i") * lit(1000000L) >= col("threshold_ppm") * col("u"))
-    val np = q.groupBy(col("threshold_ppm"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nd = q.select(col("threshold_ppm"),
-        explode(array(col("a"), col("b"))).as("d"))
-      .distinct()
+    val crossPairs = crossQ.groupBy(col("threshold_ppm"))
+      .agg(sum(col("na") * col("nb")).as("cp"))
+
+    // within-group J=1 pairs: per-threshold constant over eligible
+    // (>= 3 token) groups with n >= 2
+    val eligible = repDocs.where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id").as("rep"))
+      .join(repN, "rep")
+    val withinAgg = eligible.where(col("n") >= 2)
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("wp"))
+      .crossJoin(broadcast(thr))
+      .select(col("threshold_ppm"), col("wp"))
+
+    // touched docs: groups in passing cross pairs ∪ eligible n>=2
+    // groups, member counts summed over the union
+    val crossGroups = crossQ.select(col("threshold_ppm"),
+        explode(array(col("fpa"), col("fpb"))).as("gfp"))
+    val withinGroups = eligible.where(col("n") >= 2)
+      .select(col("fp").as("gfp"))
+      .crossJoin(broadcast(thr))
+      .select(col("threshold_ppm"), col("gfp"))
+    val nd = crossGroups.union(withinGroups).distinct()
+      .join(groups.select(col("fp").as("gfp"), col("n")), "gfp")
       .groupBy(col("threshold_ppm"))
-      .agg(count(lit(1)).as("n_dup_docs"))
-    thr.join(np, Seq("threshold_ppm"), "left")
+      .agg(sum(col("n")).as("n_dup_docs"))
+
+    thr.join(crossPairs, Seq("threshold_ppm"), "left")
+      .join(withinAgg, Seq("threshold_ppm"), "left")
       .join(nd, Seq("threshold_ppm"), "left")
       .select(col("threshold_ppm"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (coalesce(col("cp"), lit(0L)) + coalesce(col("wp"), lit(0L)))
+          .as("n_pairs"),
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
       .orderBy("threshold_ppm")
   }
@@ -397,11 +455,30 @@ object Dedup {
     * |sources|².
     */
   def sourceNearDupMatrix(docs: DataFrame, threshold: Double = 0.5)
+      : DataFrame =
+    nearDupMatrixByLabel(
+      docs.select(col("doc_id"), col("text"), col("source").as("lbl")),
+      threshold)
+      .select(col("l1").as("s1"), col("l2").as("s2"), col("n_pairs"))
+      .orderBy("s1", "s2")
+
+  /** The label-generic core of [[sourceNearDupMatrix]] /
+    * [[splitLeakage]]: verified near-dup pairs rolled up per unordered
+    * pair of the endpoints' `lbl` values, computed with the
+    * exact-dup-collapse expansion (the q141 argument — near-dup-ness
+    * depends only on text, labels only re-weight the expansion):
+    * cross-group rep pairs contribute per-(group, label) member-count
+    * products; within-group Jaccard-1 pairs come from each group's
+    * label histogram (C(n,2) on the diagonal, n₁·n₂ across), gated on
+    * the ≥ 3-token shingle floor. Input must expose
+    * (doc_id, text, lbl); output (l1 ≤ l2, n_pairs), unordered.
+    */
+  private def nearDupMatrixByLabel(docs: DataFrame, threshold: Double)
       : DataFrame = {
-    val fp = docs.select(col("doc_id"), col("source"), col("text"),
+    val fp = docs.select(col("doc_id"), col("lbl"), col("text"),
       md5(col("text").cast("binary")).as("fp"))
-    // per-(group, source) member counts + one representative per group
-    val members = fp.groupBy(col("fp"), col("source"))
+    // per-(group, label) member counts + one representative per group
+    val members = fp.groupBy(col("fp"), col("lbl"))
       .agg(count(lit(1)).as("n"))
     val reps = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val repDocs = fp.join(reps.select(col("doc_id")), "doc_id")
@@ -409,39 +486,38 @@ object Dedup {
     val repFp = fp.join(reps.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("fp"))
 
-    // cross-group: rep pair -> member-count product per source pair
+    // cross-group: rep pair -> member-count product per label pair
     val cross = nearDupPairs(repDocs, threshold)
       .join(repFp.select(col("doc_id").as("a"), col("fp").as("fpa")), "a")
       .join(repFp.select(col("doc_id").as("b"), col("fp").as("fpb")), "b")
-      .join(members.select(col("fp").as("fpa"), col("source").as("sa"),
+      .join(members.select(col("fp").as("fpa"), col("lbl").as("sa"),
         col("n").as("na")), "fpa")
-      .join(members.select(col("fp").as("fpb"), col("source").as("sb"),
+      .join(members.select(col("fp").as("fpb"), col("lbl").as("sb"),
         col("n").as("nb")), "fpb")
-      .select(least(col("sa"), col("sb")).as("s1"),
-        greatest(col("sa"), col("sb")).as("s2"),
+      .select(least(col("sa"), col("sb")).as("l1"),
+        greatest(col("sa"), col("sb")).as("l2"),
         (col("na") * col("nb")).as("n_pairs"))
 
     // within-group Jaccard-1 pairs (only texts the shingle pipeline
     // would pair: >= 3 tokens; and only when the threshold admits J=1)
     val eligible = fp
       .where(size(tokens(col("text"))) >= 3)
-      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("fp"), col("lbl")).agg(count(lit(1)).as("n"))
     val withinSame = eligible
-      .select(col("source").as("s1"), col("source").as("s2"),
+      .select(col("lbl").as("l1"), col("lbl").as("l2"),
         expr("n * (n - 1) DIV 2").as("n_pairs"))
       .where(col("n_pairs") > 0)
     val withinCross = eligible.as("x")
       .join(eligible.as("y"),
-        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
-      .select(col("x.source").as("s1"), col("y.source").as("s2"),
+        col("x.fp") === col("y.fp") && col("x.lbl") < col("y.lbl"))
+      .select(col("x.lbl").as("l1"), col("y.lbl").as("l2"),
         (col("x.n") * col("y.n")).as("n_pairs"))
     val within = withinSame.union(withinCross)
       .where(lit(threshold <= 1.0))
 
     cross.union(within)
-      .groupBy(col("s1"), col("s2"))
+      .groupBy(col("l1"), col("l2"))
       .agg(sum(col("n_pairs")).as("n_pairs"))
-      .orderBy("s1", "s2")
   }
 
   /** Size distribution of the near-dup clusters: (cluster_size,

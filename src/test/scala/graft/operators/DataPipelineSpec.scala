@@ -1433,6 +1433,32 @@ class DataPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.dupRateSweep(d, thresholdsPpm = Seq(300000L))
     }
+    // the exact-dup collapse is value-identical to the UNCOLLAPSED
+    // formulation (the q145 oracle's spelling) on a duplicate-heavy
+    // frame — the q141 expansion argument, re-pinned for the sweep
+    val dupHeavy = docs((1L to 24L).map { i =>
+      // 4 text groups x 6 copies; group 3 shares group 2's alphabet
+      // with a divergent tail (J = 17/19), so a CROSS-group near-dup
+      // rep pair exists alongside the J=1 within-group pairs
+      val t =
+        if (i % 4 == 3) (1 to 19).map(j => s"g2w$j") :+ "tail"
+        else (1 to 20).map(j => s"g${i % 4}w$j")
+      i -> t.mkString(" ")
+    }: _*)
+    val got = graft.operators.Dedup.dupRateSweep(dupHeavy).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val thr = Seq(500000L, 600000L, 700000L, 800000L, 900000L, 1000000L)
+    val stats = graft.operators.Dedup.verifiedPairStats(dupHeavy)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    val ref = thr.map { t =>
+      val pass = stats.filter { case (_, _, i, u) => i * 1000000L >= t * u }
+      val docsTouched = pass.flatMap(p => Seq(p._1, p._2)).distinct.size
+      (t, pass.size.toLong, docsTouched.toLong)
+    }
+    assert(got == ref, s"collapsed $got != uncollapsed $ref")
+    // non-degenerate: the frame really has cross-group AND within rows
+    assert(got.head._2 > 0 && got.last._2 > 0 && got.head._2 > got.last._2)
   }
 
   test("snapshotDiff: added/removed/changed/unchanged per source") {
