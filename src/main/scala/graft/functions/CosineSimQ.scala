@@ -141,6 +141,10 @@ object GraftFunctions {
       "min_k_hex_hashes",
       exprs => MinKHexHashes(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_cuts",
+      exprs => CdcCuts(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     ()
   }
 }

@@ -808,6 +808,69 @@ object TextAnalysis {
         expr("dup_tokens * 1000000 DIV chunk_tokens").as("dup_ppm"))
       .orderBy("source")
 
+  /** Content-defined chunk census: [[chunkDedupCensus]]'s per-source
+    * reclaim table, but with chunk boundaries chosen by CONTENT
+    * ([[graft.functions.CdcCuts]]: a cut wherever the windowed-md5
+    * fold of the trailing `window` chars is ≡ 0 mod `div`) instead of
+    * by offset stride. The difference is what each census can see: one
+    * inserted banner shifts every strided window after it and the
+    * strided census scores the re-crawl as 100% novel, while CDC
+    * boundaries resynchronize within ~`window` chars of the edit and
+    * the shared tail dedups chunk-for-chunk — the rsync/LBFS argument,
+    * measured directly by the q146 gate's prefix-injected re-crawl.
+    *
+    * Duplication is counted CORPUS-WIDE and attributed per source —
+    * unlike [[chunkDedupCensus]]'s within-source reclaim, because the
+    * signal CDC exists to catch is cross-source: a re-crawl's chunks
+    * match the ORIGINAL source's documents, never its own siblings. A
+    * chunk instance is duplicated iff its full md5 occurs ≥ 2 times
+    * anywhere in the corpus; per source the census reports total /
+    * source-distinct chunk counts, chunk char mass, the char mass
+    * sitting in corpus-duplicated chunks, and that share in exact ppm.
+    *
+    * Scale shape: the cut scan is one codegen'd per-row pass (no
+    * |text|-row position explode — that spelling is the oracle's, not
+    * ours); chunk extraction is a per-row `zip_with` over the ~L/div
+    * cuts; then a (source, md5) hash-aggregate (the shuffle carries
+    * one row per distinct chunk per source), a |distinct hex|-sized
+    * global-count aggregate, and a hex-keyed join of those two
+    * DISTINCT-chunk frames — duplication shrinks every exchange, and
+    * no instance-level join exists. Expected chunk length is `div`
+    * chars regardless of corpus size; both parameters are structural
+    * literals validated at analysis time.
+    */
+  def cdcChunkCensus(docs: DataFrame, window: Int = 16,
+      div: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val sc = docs
+      .select(col("source"), col("text"),
+        call_function("cdc_cuts", col("text"), lit(window), lit(div))
+          .as("cuts"))
+      .where(size(col("cuts")) > 0)
+      .select(col("source"), explode(expr(
+        "zip_with(concat(array(0), slice(cuts, 1, size(cuts) - 1)), cuts," +
+          " (s, e) -> named_struct(" +
+          "'hex', md5(cast(substring(text, s + 1, e - s) as binary))," +
+          " 'n_chars', cast(e - s as bigint)))")).as("c"))
+      .select(col("source"), col("c.hex").as("hex"),
+        col("c.n_chars").as("n_chars"))
+      .groupBy(col("source"), col("hex"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_chars")).as("n_chars"))
+    val global = sc.groupBy(col("hex"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    sc.join(global, "hex")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") * col("n_chars")).as("chunk_chars"),
+        sum(when(col("gcnt") >= 2, col("cnt") * col("n_chars"))
+          .otherwise(lit(0L))).as("dup_chars"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("chunk_chars"), col("dup_chars"),
+        expr("dup_chars * 1000000 DIV chunk_chars").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least one distinct word 3-gram with any benchmark document — the
     * standard eval-leakage sweep a training pipeline runs before a data

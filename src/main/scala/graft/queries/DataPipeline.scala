@@ -4088,6 +4088,87 @@ object DataPipeline {
              |       CAST(COALESCE(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
              |FROM thr t LEFT JOIN np USING (threshold_ppm)
              |           LEFT JOIN nd USING (threshold_ppm)
-             |ORDER BY threshold_ppm""".stripMargin))
+             |ORDER BY threshold_ppm""".stripMargin)),
+
+    // --- Content-defined chunk census: the q138 reclaim table with
+    //     CDC boundaries (cut where the windowed-md5 fold of the
+    //     trailing 16 chars ≡ 0 mod 32) instead of offset striding.
+    //     The gate unions a prefix-injected re-crawl of every 9th doc
+    //     (a banner prepended — the edit that zeroes a strided
+    //     census's dup signal); CDC boundaries resynchronize after the
+    //     banner, so the recrawl source dedups against documents almost
+    //     chunk-for-chunk and the census proves the shift-robustness
+    //     directly. The oracle spells the cut rule as an exploded
+    //     position scan (one md5 per position); the Spark side fuses it
+    //     into one codegen'd pass per row (functions/CdcCuts.scala).
+    QueryDef(
+      "q146_cdc_chunk_census",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val mirror = docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("refetched with banner: "), col("text")).as("text"),
+            col("lang"), lit("recrawl").as("source"), col("n_chars"))
+        TextAnalysis.cdcChunkCensus(docs.unionByName(mirror))
+      },
+      Some(s"""WITH un AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, 'refetched with banner: ' || text,
+             |         'recrawl'
+             |  FROM documents WHERE doc_id % 9 = 0
+             |),
+             |d AS (
+             |  SELECT doc_id, source, text,
+             |         CAST(length(text) AS BIGINT) AS L
+             |  FROM un
+             |),
+             |pos AS (
+             |  SELECT doc_id, p,
+             |         md5(substr(text, CAST(p AS INT) - 15, 16)) AS h
+             |  FROM (SELECT doc_id, text, unnest(range(16, L + 1)) AS p
+             |        FROM d WHERE L >= 16)
+             |),
+             |cut AS (
+             |  SELECT doc_id, p FROM pos
+             |  WHERE ${graft.operators.Dedup.hexToLongSql("h", 1, "strpos")}
+             |        % 32 = 0
+             |  UNION
+             |  SELECT doc_id, L AS p FROM d WHERE L > 0
+             |),
+             |seg AS (
+             |  SELECT doc_id,
+             |         COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+             |                  0) AS s,
+             |         p AS e
+             |  FROM cut
+             |),
+             |ch AS (
+             |  SELECT d.source,
+             |         md5(substr(d.text, CAST(g.s AS INT) + 1,
+             |             CAST(g.e - g.s AS INT))) AS hex,
+             |         CAST(g.e - g.s AS BIGINT) AS n_chars
+             |  FROM seg g JOIN d ON d.doc_id = g.doc_id
+             |),
+             |g AS (
+             |  SELECT source, hex, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |         MIN(n_chars) AS n_chars
+             |  FROM ch GROUP BY source, hex
+             |),
+             |gt AS (
+             |  SELECT hex, CAST(SUM(cnt) AS BIGINT) AS gcnt
+             |  FROM g GROUP BY hex
+             |)
+             |SELECT source,
+             |       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+             |       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+             |       CAST(SUM(cnt * n_chars) AS BIGINT) AS chunk_chars,
+             |       CAST(SUM(CASE WHEN gcnt >= 2 THEN cnt * n_chars
+             |                ELSE 0 END) AS BIGINT) AS dup_chars,
+             |       CAST(SUM(CASE WHEN gcnt >= 2 THEN cnt * n_chars
+             |                ELSE 0 END) * 1000000
+             |            // SUM(cnt * n_chars) AS BIGINT) AS dup_ppm
+             |FROM g JOIN gt USING (hex)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

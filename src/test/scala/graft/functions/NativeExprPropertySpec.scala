@@ -158,6 +158,56 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(ef.getMessage.contains("foldable int"), ef.getMessage)
   }
 
+  test("cdc_cuts == filter/sequence SQL spelling for (w, div) sweeps " +
+      "over generated UTF-8") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val texts = sample(textGen, 120)
+    assert(texts.count(_.length >= 16) > 40) // real multi-window cases
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // small div values force plenty of hash cuts at property sizes;
+    // the composed spelling re-derives the cut rule from two
+    // already-pinned primitives (hex_prefix_long over md5 of a
+    // substring window) plus the always-cut document end.
+    for ((w, dv) <- Seq((16, 32), (4, 4), (1, 2), (8, 16), (5, 3))) {
+      val r = d.select(col("id"), col("text"),
+          expr(s"cdc_cuts(text, $w, $dv)").as("native"),
+          expr(
+            s"if(length(text) = 0, array(), array_union(" +
+              s"if(length(text) >= $w, filter(sequence($w, length(text)), " +
+              s"p -> hex_prefix_long(md5(cast(substring(text, p - $w + 1, " +
+              s"$w) as binary)), 1) % $dv = 0), array()), " +
+              "array(length(text))))").as("sql"))
+        .collect()
+      r.foreach { x =>
+        assert(x.getSeq[Int](2) == x.getSeq[Int](3),
+          s"w=$w div=$dv text " +
+            s"${x.getString(1).getBytes("UTF-8").mkString("[", ",", "]")}:" +
+            s" native ${x.getSeq[Int](2)} != sql ${x.getSeq[Int](3)}")
+      }
+    }
+  }
+
+  test("cdc_cuts: non-positive structural parameters fail at " +
+      "ANALYSIS time") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val d = Seq((1L, "some text")).toDF("id", "text")
+    for ((w, dv) <- Seq((0, 32), (16, 0), (-1, -1))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        d.select(expr(s"cdc_cuts(text, $w, $dv)"))
+      }
+      assert(e.getMessage.contains("positive int literals"), e.getMessage)
+    }
+    val ef = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(expr("cdc_cuts(text, CAST(id AS INT), 32)"))
+    }
+    assert(ef.getMessage.contains("foldable int"), ef.getMessage)
+  }
+
   test("winnow_prints == hex_prefix_long/array-HOF SQL spelling for " +
       "w in 1..8 over generated token arrays") {
     val s = spark

@@ -1261,6 +1261,44 @@ class DataPipelineSpec extends SparkSpec {
       ("B", 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("cdcChunkCensus: banner-shifted re-crawl dedups chunk-for-chunk " +
+      "where fixed offsets share nothing") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ") // ~380 chars
+    val banner = "breaking banner here: " // 22 chars, not a multiple of 32
+    val d = Seq((1L, base, "orig"), (2L, banner + base, "re"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.cdcChunkCensus(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    val orig = r("orig"); val re = r("re")
+    // conservation: every char lands in exactly one chunk
+    assert(orig._3 == base.length.toLong)
+    assert(re._3 == (banner + base).length.toLong)
+    // resynchronization: the shared tail dedups across sources — most
+    // of each side's char mass sits in corpus-duplicated chunks
+    // despite the 22-char shift (a strided chunker at any window
+    // would share ZERO offsets, pinned below)
+    assert(orig._5 > 500000L && re._5 > 500000L,
+      s"cdc resync failed: orig ppm ${orig._5}, re ppm ${re._5}")
+    // the offset-addressed contrast: fixed 32-char windows of the two
+    // texts share no content at any aligned offset
+    val w1 = base.grouped(32).toSet
+    val w2 = (banner + base).grouped(32).toSet
+    assert((w1 & w2).isEmpty)
+    // degenerate exactness: texts shorter than the window are one
+    // chunk [L]; two identical ones in different sources are fully
+    // corpus-duplicated on both sides
+    val tiny = Seq((1L, "same text", "a"), (2L, "same text", "b"))
+      .toDF("doc_id", "text", "source")
+    val t = TextAnalysis.cdcChunkCensus(tiny).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(t == Seq(("a", 1L, 1L, 9L, 9L, 1000000L),
+      ("b", 1L, 1L, 9L, 9L, 1000000L)))
+  }
+
   test("stickiness: exact avg-DAU/WAU ppm per epoch week") {
     val s = spark
     import s.implicits._
