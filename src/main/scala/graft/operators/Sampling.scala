@@ -217,4 +217,112 @@ object Sampling {
         max(col("t")).as("max_tokens"))
       .orderBy("source")
   }
+
+  /** Epoch-capped water-filling token allocator — the mixture SOLVER
+    * the share reports ([[sourceMixture]] q130, per-lang q89) stop
+    * short of: given a training budget `B` tokens, √-tempered source
+    * weights `w_s = ⌊√tokens_s⌋`, and an upsampling ceiling
+    * `capPpm` (how many epochs of a source a run tolerates before
+    * repetition hurts — cap_s = tokens_s·capPpm/10⁶), find the
+    * allocation `need_s = min(cap_s, λ·w_s)` with the water level λ
+    * chosen so Σ need = B. Small sources hit their epoch cap; the
+    * budget they can't absorb spills pro-rata onto the rest — the
+    * fixed point every "we can't just √-sample, CC would need 9
+    * epochs" planning discussion is groping for.
+    *
+    * EXACT λ-search, no iteration: sources sorted by saturation ratio
+    * r_s = cap_s/w_s ascending saturate in PREFIX order (saturating a
+    * source with r < λ raises λ — (B−c)/(W−w) ≥ B/W iff r ≤ B/W — so
+    * the level only rises along the sort, and past the first
+    * non-saturating source r > λ holds forever). One |sources|-row
+    * sort + prefix sums decides everything: row k saturates iff
+    * every row j ≤ k passes (B − prefixCap_j)·w_j ≥ cap_j·(W −
+    * prefixW_j) — a running-AND window over the prefix test.
+    *
+    * Cross-engine arithmetic discipline: the saturation products and
+    * the two huge-divisor ppm ratios reach beyond 64 bits at 100 TB
+    * scale, so they run in exact decimal here (sized under Spark's
+    * p1+p2+1 ≤ 38 exactness cap) and HUGEINT in the oracle; every
+    * product with a SMALL divisor uses the split identity
+    * `a = q·d + r ⇒ (a·m) DIV d = q·m + (r·m) DIV d` to stay inside
+    * BIGINT at any corpus size. The sort key is the ppm-quantized
+    * ratio with a source tiebreak — both engines order identically,
+    * which is what the gate hash needs; quantization can only swap
+    * sources whose true ratios differ below micro resolution.
+    *
+    * Scale shape: one corpus scan → |sources|-keyed agg; everything
+    * after runs on the metadata-sized per-source frame (the unordered
+    * single-partition window is |sources| rows, same as the totals
+    * broadcasts elsewhere). Flooring leaves < |unsaturated| tokens of
+    * budget unassigned — deterministic slack, never overspend.
+    */
+  def waterfillPlan(docs: DataFrame, budgetTokens: Long = 15000L,
+      capPpm: Long = 900000L): DataFrame = {
+    require(budgetTokens >= 1 && capPpm >= 1,
+      s"need positive budget and cap, got B=$budgetTokens cap=$capPpm")
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy(col("source"))
+      .agg(sum(graft.functions.WordRunCount(col("text"))).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+          .as("weight"),
+        // cap = tokens·capPpm DIV 1e6 via the split identity
+        expr(s"(n_tokens DIV 1000000) * $capPpm + " +
+          s"((n_tokens % 1000000) * $capPpm) DIV 1000000")
+          .as("cap_tokens"))
+      // ratio key: (cap·1e6) DIV max(w,1), split so cap·1e6 never
+      // materializes; w=0 only when tokens=0 (cap=0, rk=0 — saturates
+      // trivially at need 0 and perturbs no prefix sum)
+      .withColumn("rk",
+        expr("(cap_tokens DIV greatest(weight, 1)) * 1000000 + " +
+          "((cap_tokens % greatest(weight, 1)) * 1000000) " +
+          "DIV greatest(weight, 1)"))
+    val ord = Window.orderBy(col("rk"), col("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("weight")).as("w_tot"))
+    val flagged = per.crossJoin(broadcast(tot))
+      .withColumn("pre_cap",
+        coalesce(sum(col("cap_tokens")).over(pre), lit(0L)))
+      .withColumn("pre_w", coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("pass",
+        // DECIMAL(19,0)·DECIMAL(18,0) → DECIMAL(38,0): under Spark's
+        // p1+p2+1 cap, so the product is EXACT (precision loss would
+        // silently round); weights fit 18 digits by construction
+        // (⌊√long⌋ < 2³²)
+        when(expr(s"CAST($budgetTokens - pre_cap AS DECIMAL(19, 0)) * " +
+          "CAST(weight AS DECIMAL(18, 0)) >= " +
+          "CAST(cap_tokens AS DECIMAL(19, 0)) * " +
+          "CAST(w_tot - pre_w AS DECIMAL(18, 0))"), 1L).otherwise(0L))
+      .withColumn("saturated", min(col("pass")).over(run) === 1L)
+    val sat = flagged.agg(
+      coalesce(sum(when(col("saturated"), col("cap_tokens"))), lit(0L))
+        .as("sat_cap"),
+      coalesce(sum(when(!col("saturated"), col("weight"))), lit(0L))
+        .as("w_last"))
+    flagged.crossJoin(broadcast(sat))
+      .withColumn("need_tokens",
+        when(col("saturated"), col("cap_tokens")).otherwise(
+          // (B_last·w) DIV W_last via the split identity, W guarded
+          // (the guard only fires when every source saturated and no
+          // row takes this arm)
+          expr(s"(($budgetTokens - sat_cap) DIV greatest(w_last, 1)) " +
+            s"* weight + ((($budgetTokens - sat_cap) % " +
+            "greatest(w_last, 1)) * weight) DIV greatest(w_last, 1)")))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("cap_tokens"), col("saturated"), col("need_tokens"),
+        // these two divide by a potentially HUGE divisor, where the
+        // split identity can't bound the remainder product — so they
+        // run in exact decimal (DECIMAL(19,0)·10⁶ → DECIMAL(27,0),
+        // IntegralDivide on decimals is exact; HUGEINT // in the
+        // oracle)
+        expr("CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(" +
+          "(CAST(need_tokens AS DECIMAL(19, 0)) * CAST(1000000 AS " +
+          "DECIMAL(7, 0))) DIV n_tokens AS BIGINT) END").as("epochs_ppm"),
+        expr("CAST((CAST(need_tokens AS DECIMAL(19, 0)) * " +
+          s"CAST(1000000 AS DECIMAL(7, 0))) DIV $budgetTokens AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("source")
+  }
 }

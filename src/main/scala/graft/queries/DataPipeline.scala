@@ -4169,6 +4169,101 @@ object DataPipeline {
              |                ELSE 0 END) * 1000000
              |            // SUM(cnt * n_chars) AS BIGINT) AS dup_ppm
              |FROM g JOIN gt USING (hex)
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- Epoch-capped water-filling token allocator: the mixture
+    //     SOLVER (q130/q89 report shares; this finds the allocation
+    //     min(cap_s, λ·w_s) whose sum meets the budget, with the
+    //     budget small sources can't absorb spilling pro-rata onto the
+    //     rest). The gate unions a deliberately tiny 'minisrc' so both
+    //     classes are non-empty at every SF (16 saturated / 5 free at
+    //     sf0.01, Σ need = 14998 ≤ 15000). Exact λ-search: prefix sums
+    //     over the saturation-ratio sort, 128-bit test products.
+    QueryDef(
+      "q147_waterfill_plan",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("source", "text")
+        val mini = Tables(s, dir, "documents")
+          .where(col("doc_id") % 101 === 0)
+          .select(lit("minisrc").as("source"), col("text"))
+        Sampling.waterfillPlan(docs.unionByName(mini),
+          budgetTokens = 15000L, capPpm = 550000L)
+      },
+      Some("""WITH un AS (
+             |  SELECT source, text FROM documents
+             |  UNION ALL
+             |  SELECT 'minisrc', text FROM documents WHERE doc_id % 101 = 0
+             |),
+             |per AS (
+             |  SELECT source,
+             |         CAST(SUM(len(list_filter(string_split(lower(text),
+             |              ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+             |  FROM un GROUP BY source
+             |),
+             |base AS (
+             |  SELECT source, n_tokens,
+             |         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)))
+             |           AS BIGINT) AS weight,
+             |         (n_tokens // 1000000) * 550000 +
+             |         ((n_tokens % 1000000) * 550000) // 1000000
+             |           AS cap_tokens
+             |  FROM per
+             |),
+             |keyed AS (
+             |  SELECT *, (cap_tokens // greatest(weight, 1)) * 1000000 +
+             |         ((cap_tokens % greatest(weight, 1)) * 1000000)
+             |         // greatest(weight, 1) AS rk
+             |  FROM base
+             |),
+             |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_tot FROM keyed),
+             |flg AS (
+             |  SELECT k.*, t.w_tot,
+             |         COALESCE(SUM(cap_tokens) OVER (ORDER BY rk, source
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS pre_cap,
+             |         COALESCE(SUM(weight) OVER (ORDER BY rk, source
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS pre_w
+             |  FROM keyed k, tot t
+             |),
+             |tested AS (
+             |  SELECT *, CASE WHEN CAST(15000 - pre_cap AS HUGEINT) *
+             |                     CAST(weight AS HUGEINT)
+             |                   >= CAST(cap_tokens AS HUGEINT) *
+             |                      CAST(w_tot - pre_w AS HUGEINT)
+             |            THEN 1 ELSE 0 END AS pass
+             |  FROM flg
+             |),
+             |satf AS (
+             |  SELECT *, MIN(pass) OVER (ORDER BY rk, source
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             |    AS saturated
+             |  FROM tested
+             |),
+             |sagg AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN saturated
+             |           THEN cap_tokens END), 0) AS BIGINT) AS sat_cap,
+             |         CAST(COALESCE(SUM(CASE WHEN NOT saturated
+             |           THEN weight END), 0) AS BIGINT) AS w_last
+             |  FROM satf
+             |),
+             |need AS (
+             |  SELECT source, n_tokens, weight, cap_tokens, saturated,
+             |         CASE WHEN saturated THEN cap_tokens
+             |              ELSE ((15000 - sat_cap) // greatest(w_last, 1))
+             |                   * weight +
+             |                   (((15000 - sat_cap) % greatest(w_last, 1))
+             |                   * weight) // greatest(w_last, 1)
+             |         END AS need_tokens
+             |  FROM satf, sagg
+             |)
+             |SELECT source, n_tokens, weight, cap_tokens, saturated,
+             |       need_tokens,
+             |       CASE WHEN n_tokens = 0 THEN NULL
+             |            ELSE CAST(CAST(need_tokens AS HUGEINT) * 1000000
+             |                 // n_tokens AS BIGINT) END AS epochs_ppm,
+             |       CAST(CAST(need_tokens AS HUGEINT) * 1000000
+             |            // 15000 AS BIGINT) AS share_ppm
+             |FROM need ORDER BY source""".stripMargin))
   )
 }

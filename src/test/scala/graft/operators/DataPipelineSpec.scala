@@ -1261,6 +1261,41 @@ class DataPipelineSpec extends SparkSpec {
       ("B", 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("waterfillPlan: exact hand-computed allocation, caps honored, " +
+      "budget conserved, zero-token NULL epochs") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // tokens A=100 B=10000 C=2500 D=0 -> weights 10/100/50/0,
+    // caps=tokens at 1 epoch; ratio order A(10) < C(50) < B(100).
+    // A saturates ((5000-0)*10 >= 100*160); C fails ((4900)*50 <
+    // 2500*150) freezing the level; B_last=4900, W_last=150 ->
+    // need C = floor(4900*50/150) = 1633, B = 3266; sum = 4999.
+    val d = Seq((1L, words(100), "A"), (2L, words(10000), "B"),
+      (3L, words(2500), "C"), (4L, "", "D"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling
+      .waterfillPlan(d, budgetTokens = 5000L, capPpm = 1000000L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4), x.getLong(5),
+        if (x.isNullAt(6)) -1L else x.getLong(6), x.getLong(7))).toSeq
+    assert(r == Seq(
+      ("A", 100L, 10L, 100L, true, 100L, 1000000L, 20000L),
+      ("B", 10000L, 100L, 10000L, false, 3266L, 326600L, 653200L),
+      ("C", 2500L, 50L, 2500L, false, 1633L, 653200L, 326600L),
+      ("D", 0L, 0L, 0L, true, 0L, -1L, 0L)), r.toString)
+    // flooring slack strictly below the unsaturated count
+    assert(5000L - r.map(_._6).sum < r.count(x => !x._5))
+    // abundant budget: every source saturates at its cap
+    val all = graft.operators.Sampling
+      .waterfillPlan(d, budgetTokens = 1000000000L, capPpm = 1000000L)
+      .collect()
+      .map(x => (x.getString(0), x.getBoolean(4), x.getLong(5),
+        x.getLong(3))).toSeq
+    assert(all.forall(x => x._2 && x._3 == x._4), all.toString)
+  }
+
   test("cdcChunkCensus: banner-shifted re-crawl dedups chunk-for-chunk " +
       "where fixed offsets share nothing") {
     val s = spark
