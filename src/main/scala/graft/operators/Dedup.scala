@@ -290,6 +290,53 @@ object Dedup {
         (col("ca.n") + col("cb.n") - col("i")).as("u"))
   }
 
+  /** Dedup METHOD-AGREEMENT census: on the LSH candidate pairs, do the
+    * lexical verdict (exact shingle Jaccard ≥ `jacPpm`/10⁶) and the
+    * semantic verdict (embedding cosine ≥ `cosMilli`/10³) agree? The
+    * 2×2 confusion table — pair counts plus exact jaccard-ppm and
+    * cosine ranges per cell — is the calibration a pipeline runs
+    * before trusting EITHER method alone: text-only cells are
+    * paraphrase-blind lexical dups (template chrome), embed-only cells
+    * are near-paraphrases the shingles miss, and their relative mass
+    * decides whether SemDeDup earns its embedding cost on this corpus.
+    * Population note (in-band by construction): the census covers LSH
+    * CANDIDATES, i.e. pairs at least one banding surfaced — the
+    * population a combined dedup pass would actually adjudicate.
+    *
+    * Determinism: the lexical side is exact integers (`i·10⁶ ≥
+    * jacPpm·u`); the semantic side is [[Similarity.cosine]]'s
+    * pico-quantized dot/norms (exact long sums, three final double
+    * ops) — both predicates and the min/max range columns are
+    * bit-identical on any engine at any parallelism; no float ever
+    * enters an order-sensitive sum.
+    *
+    * Scale shape: candidates are bucket-bounded ([[verifiedPairStats]],
+    * never all-pairs); the embedding attach is two id-keyed equi-joins
+    * of the |candidates|-sized pair list against the vector table
+    * (shuffle on the id — the pair list, not the corpus, is the
+    * driver); the census output is ≤ 4 rows.
+    */
+  def methodAgreement(docs: DataFrame, embs: DataFrame,
+      jacPpm: Long = 500000L, cosMilli: Int = 900,
+      bands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
+    val e = embs.select(col("vec_id"), col("embedding"))
+    verifiedPairStats(docs, bands)
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("i"), col("u"),
+        Similarity.cosine(col("ea"), col("eb")).as("cos"))
+      .groupBy(
+        (col("i") * 1000000L >= lit(jacPpm) * col("u")).as("text_dup"),
+        (col("cos") * 1000 >= lit(cosMilli.toDouble)).as("embed_dup"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(expr("i * 1000000 DIV u")).as("min_jac_ppm"),
+        max(expr("i * 1000000 DIV u")).as("max_jac_ppm"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("text_dup", "embed_dup")
+  }
+
   /** Train/val/test LEAKAGE census — the release check a split ships
     * with: verified near-dup pairs ([[nearDupPairs]] semantics at
     * `threshold`) rolled up by the UNORDERED pair of splits their

@@ -241,6 +241,135 @@ object EventFunnel {
       .orderBy("wk")
   }
 
+  /** Top-K within-session event-type paths (trigrams): the most common
+    * three-step behavioral sequences users take inside one session —
+    * the path-mining census behind "what do users do right before
+    * purchase" questions and next-action training labels. Sessions are
+    * the classic gap-threshold cut (> `gapSec` since the previous
+    * event starts a new session, the q22/q75 convention); a trigram
+    * counts only when all three events share a session.
+    *
+    * Scale shape: ONE shuffle — session assignment (lag + running
+    * sum) and the two trigram leads are window functions over the SAME
+    * (user_id)-partitioned (sec, event_id) ordering, so Catalyst
+    * plans one Exchange + one sort feeding two stacked Window
+    * operators (the second consumes the first's session_id but needs
+    * no re-sort; zero Exchange on the bucketed events layout). The
+    * within-session constraint is `lead(session_id, 1|2) ==
+    * session_id` on that same window — NOT a second window
+    * partitioned by (user, session), which would re-shuffle. The
+    * trigram rollup's key space is |event_types|³, a constant; top-K
+    * is a total order (n DESC, then the three steps ASC), so the cut
+    * is deterministic on any engine at any parallelism.
+    */
+  def sessionPaths(events: DataFrame, gapSec: Long = 1800L,
+      topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochSec(events).as("sec"), col("event_type"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s2", lead(col("session_id"), 1).over(w))
+      .withColumn("s3", lead(col("session_id"), 2).over(w))
+      .where(col("s2") === col("session_id") &&
+        col("s3") === col("session_id"))
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
+  /** Per-origin transition concentration: for each from-type, how
+    * predictable the next event is — outgoing volume, distinct next
+    * types, the modal next type with its exact-ppm share, and the
+    * Simpson concentration index Σnᵢ²/n² (the collision probability
+    * of two random next-events; 10⁶ ppm = fully deterministic flows,
+    * 10⁶/|types| = uniform). Simpson is used INSTEAD of Shannon
+    * entropy deliberately: entropy needs a multi-term float sum whose
+    * result depends on addition order (not reproducible bit-for-bit
+    * across engines or partitionings), while Σnᵢ² is EXACT integer
+    * arithmetic all the way down to one final double division — the
+    * same determinism-first choice as the ppm ledgers elsewhere.
+    *
+    * Scale shape: the q67 single-window transition count (one user_id
+    * shuffle, |event_types|²-row result), then a rollup of that tiny
+    * matrix. The modal next type is `min(struct(-n, to_type))` —
+    * argmax-with-smallest-tiebreak in one aggregate, no join-back.
+    * Overflow: Σnᵢ² stays in int64 while each cell count nᵢ < 3·10⁹;
+    * corpora past that per-(from,to)-cell volume would lift the two
+    * quadratic columns to DECIMAL(38,0) (nothing else changes).
+    */
+  def transitionConcentration(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochSec(events).as("sec"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"),
+        count(lit(1)).as("n_next_types"),
+        min(struct((-col("n")).as("neg"), col("to_type").as("t"))).as("top"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("from_type"), col("n_out"), col("n_next_types"),
+        col("top.t").as("top_to_type"),
+        expr("(-top.neg) * 1000000 DIV n_out").as("top_share_ppm"),
+        (col("sum_sq").cast("double") /
+          (col("n_out").cast("double") * col("n_out").cast("double")))
+          .as("simpson"))
+      .orderBy("from_type")
+  }
+
+  /** First-touch acquisition attribution: users grouped by the type of
+    * their FIRST event ever (ts, event_id tiebreak — the acquisition
+    * channel proxy), with conversion to `convEvent` reported per
+    * group: user count, converted-user count, total conversions, and
+    * exact-ppm conversion / conversions-per-user rates. The
+    * attribution report growth teams join against marketing spend, and
+    * a labeling step for propensity training data.
+    *
+    * Scale shape: NO window — the first event is `min(struct(sec,
+    * event_id, event_type))` inside the same single user_id-keyed hash
+    * aggregate that counts the user's conversions (map-side partial
+    * mins/sums; one corpus-sized shuffle, zero on the bucketed
+    * layout), then a |event_types|-row rollup. Rates are integer ppm
+    * DIVs of exact longs.
+    */
+  def acquisitionAttribution(events: DataFrame,
+      convEvent: String = "purchase"): DataFrame =
+    events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("sec"), col("event_id"), col("event_type"))).as("fst"),
+        sum(when(col("event_type") === convEvent, 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy(col("fst.event_type").as("first_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("conv") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("conv")).as("n_conversions"))
+      .select(col("first_type"), col("n_users"), col("n_converted"),
+        col("n_conversions"),
+        expr("n_converted * 1000000 DIV n_users").as("conversion_ppm"),
+        expr("n_conversions * 1000000 DIV n_users")
+          .as("conversions_per_user_ppm"))
+      .orderBy("first_type")
+
   /** Per-event-type inter-arrival profile: EXACT percentiles (lower
     * median and ceil-p90) of the gaps in seconds between a user's
     * consecutive events of the same type — the cadence signal that

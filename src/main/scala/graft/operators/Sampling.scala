@@ -218,6 +218,63 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Robust per-source length-outlier census: median / MAD (median
+    * absolute deviation) of `n_chars` per source and the count of docs
+    * whose deviation exceeds `tenthsMad`/10 × MAD — the heavy-tail
+    * screen that survives the exact outliers it is hunting (a mean/
+    * stddev z-score is dragged by the very anomalies — concatenation
+    * bugs, binary-in-text blobs, truncated crawls — it should flag;
+    * the breakdown point of the median is 50%). Lower-median rank
+    * convention ((n+1) DIV 2 over the cumulative count table — the
+    * q110/q135 technique), so every statistic is EXACT integer
+    * arithmetic end to end: median and MAD are observed char counts,
+    * the outlier predicate is `dev·10 > tenthsMad·MAD` in longs.
+    *
+    * Scale shape: docs collapse ONCE into a (source, n_chars) count
+    * table (map-side partials; distinct-length domain ≪ doc count) —
+    * the only corpus-sized operation. The median window, the deviation
+    * re-key (|table| rows, NOT |docs|), the MAD window, and the final
+    * census all run over that persisted table, every shuffle keyed on
+    * source. MAD = 0 (over half the source at one length) degrades as
+    * documented: every off-median doc counts as an outlier.
+    */
+  def robustLengthOutliers(docs: DataFrame, tenthsMad: Int = 35): DataFrame = {
+    import graft.operators.CacheRegistry.TrackedPersist
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v"))
+    // lower median of a (source, v, n) count table, via the shared
+    // rank-on-cumulative trick; also returns per-source row counts
+    def lowerMedian(c: DataFrame, as: String): DataFrame = {
+      val tot = c.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+      c.withColumn("cum", sum(col("n")).over(wv))
+        .join(tot, "source")
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") >= expr("(n_docs + 1) DIV 2"), col("v")))
+          .as(as), min(col("n_docs")).as("n_docs"))
+    }
+    val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .trackedPersist() // feeds the median pass AND the deviation re-key
+    val med = lowerMedian(cnt, "med_chars")
+    val dev = cnt.join(med.select(col("source"), col("med_chars")), "source")
+      .groupBy(col("source"), abs(col("v") - col("med_chars")).as("v"))
+      .agg(sum(col("n")).as("n"))
+      .trackedPersist() // feeds the MAD pass AND the outlier census
+    val mad = lowerMedian(dev, "mad_chars")
+      .select(col("source"), col("mad_chars"))
+    dev.join(mad, "source")
+      .join(med.select(col("source"), col("med_chars"), col("n_docs")),
+        "source")
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"),
+        min(col("med_chars")).as("med_chars"),
+        min(col("mad_chars")).as("mad_chars"),
+        sum(when(col("v") * 10 > lit(tenthsMad.toLong) * col("mad_chars"),
+          col("n")).otherwise(0L)).as("n_outliers"),
+        max(col("v")).as("max_dev"))
+      .orderBy("source")
+  }
+
   /** Epoch-capped water-filling token allocator — the mixture SOLVER
     * the share reports ([[sourceMixture]] q130, per-lang q89) stop
     * short of: given a training budget `B` tokens, √-tempered source

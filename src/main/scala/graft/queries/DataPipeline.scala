@@ -4264,6 +4264,238 @@ object DataPipeline {
              |                 // n_tokens AS BIGINT) END AS epochs_ppm,
              |       CAST(CAST(need_tokens AS HUGEINT) * 1000000
              |            // 15000 AS BIGINT) AS share_ppm
-             |FROM need ORDER BY source""".stripMargin))
+             |FROM need ORDER BY source""".stripMargin)),
+
+    // --- Top-20 within-session event-type trigrams: path mining over
+    //     the gap-threshold sessions (q22/q75 convention). One
+    //     user_id shuffle feeds session assignment AND both trigram
+    //     leads (stacked windows, shared sort); deterministic top-K
+    //     via the (n DESC, steps ASC) total order.
+    QueryDef(
+      "q148_session_paths",
+      (s, dir) => EventFunnel.sessionPaths(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events
+             |),
+             |st AS (
+             |  SELECT user_id, event_id, sec, event_type,
+             |         CASE WHEN LAG(sec) OVER w IS NULL
+             |                OR sec - LAG(sec) OVER w > 1800
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+             |),
+             |sid AS (
+             |  SELECT user_id, event_id, sec, event_type,
+             |         SUM(new_s) OVER (PARTITION BY user_id
+             |             ORDER BY sec, event_id
+             |             ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM st
+             |),
+             |tri AS (
+             |  SELECT event_type AS step1,
+             |         LEAD(event_type, 1) OVER w AS step2,
+             |         LEAD(event_type, 2) OVER w AS step3,
+             |         session_id,
+             |         LEAD(session_id, 1) OVER w AS s2,
+             |         LEAD(session_id, 2) OVER w AS s3
+             |  FROM sid WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+             |)
+             |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM tri WHERE s2 = session_id AND s3 = session_id
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin)),
+
+    // --- Transition concentration per origin type: modal next event
+    //     with exact-ppm share and the Simpson index Σn²/n² (exact
+    //     integers → one double division; Shannon entropy would need
+    //     an order-sensitive float sum — see the operator's scaladoc).
+    QueryDef(
+      "q149_transition_concentration",
+      (s, dir) =>
+        EventFunnel.transitionConcentration(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events
+             |),
+             |seq AS (
+             |  SELECT event_type AS from_type,
+             |         LEAD(event_type) OVER (PARTITION BY user_id
+             |              ORDER BY sec, event_id) AS to_type
+             |  FROM e
+             |),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |),
+             |r AS (
+             |  SELECT from_type, to_type, n,
+             |         ROW_NUMBER() OVER (PARTITION BY from_type
+             |              ORDER BY n DESC, to_type) AS rnk
+             |  FROM c
+             |),
+             |a AS (
+             |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out,
+             |         CAST(COUNT(*) AS BIGINT) AS n_next_types,
+             |         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+             |  FROM c GROUP BY from_type
+             |)
+             |SELECT a.from_type, a.n_out, a.n_next_types,
+             |       r.to_type AS top_to_type,
+             |       CAST(r.n * 1000000 // a.n_out AS BIGINT) AS top_share_ppm,
+             |       CAST(a.sum_sq AS DOUBLE) /
+             |            (CAST(a.n_out AS DOUBLE) * CAST(a.n_out AS DOUBLE))
+             |            AS simpson
+             |FROM a JOIN r ON r.from_type = a.from_type AND r.rnk = 1
+             |ORDER BY a.from_type""".stripMargin)),
+
+    // --- First-touch acquisition attribution: users bucketed by their
+    //     first-ever event type, conversion to 'purchase' per bucket.
+    //     No window — first event is min(struct) inside the same
+    //     user_id hash agg that counts conversions.
+    QueryDef(
+      "q150_acquisition_attribution",
+      (s, dir) =>
+        EventFunnel.acquisitionAttribution(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events
+             |),
+             |r AS (
+             |  SELECT user_id, event_type,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id
+             |              ORDER BY sec, event_id) AS rn
+             |  FROM e
+             |),
+             |p AS (
+             |  SELECT user_id,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase'
+             |              THEN 1 ELSE 0 END) AS BIGINT) AS conv
+             |  FROM e GROUP BY user_id
+             |),
+             |f AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1)
+             |SELECT first_type,
+             |       CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(SUM(CASE WHEN conv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_converted,
+             |       CAST(SUM(conv) AS BIGINT) AS n_conversions,
+             |       CAST(SUM(CASE WHEN conv > 0 THEN 1 ELSE 0 END) * 1000000
+             |            // COUNT(*) AS BIGINT) AS conversion_ppm,
+             |       CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT)
+             |            AS conversions_per_user_ppm
+             |FROM f JOIN p USING (user_id)
+             |GROUP BY first_type ORDER BY first_type""".stripMargin)),
+
+    // --- Robust length-outlier census: per-source median/MAD of
+    //     n_chars (lower-median rank convention over count tables —
+    //     exact integers end to end) and the 3.5×MAD outlier count.
+    QueryDef(
+      "q151_robust_outliers",
+      (s, dir) =>
+        Sampling.robustLengthOutliers(Tables(s, dir, "documents")),
+      Some("""WITH c AS (
+             |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2
+             |),
+             |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs
+             |      FROM c GROUP BY source),
+             |mc AS (
+             |  SELECT source, v, n,
+             |         SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum
+             |  FROM c
+             |),
+             |med AS (
+             |  SELECT mc.source,
+             |         CAST(MIN(CASE WHEN cum >= (n_docs + 1) // 2 THEN v END)
+             |              AS BIGINT) AS med_chars,
+             |         CAST(MIN(n_docs) AS BIGINT) AS n_docs
+             |  FROM mc JOIN t USING (source) GROUP BY mc.source
+             |),
+             |d AS (
+             |  SELECT c.source, abs(c.v - med.med_chars) AS v,
+             |         CAST(SUM(c.n) AS BIGINT) AS n
+             |  FROM c JOIN med USING (source) GROUP BY 1, 2
+             |),
+             |dc AS (
+             |  SELECT source, v, n,
+             |         SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum
+             |  FROM d
+             |),
+             |mad AS (
+             |  SELECT dc.source,
+             |         CAST(MIN(CASE WHEN cum >= (n_docs + 1) // 2 THEN v END)
+             |              AS BIGINT) AS mad_chars
+             |  FROM dc JOIN t USING (source) GROUP BY dc.source
+             |)
+             |SELECT d.source, CAST(MIN(med.n_docs) AS BIGINT) AS n_docs,
+             |       CAST(MIN(med.med_chars) AS BIGINT) AS med_chars,
+             |       CAST(MIN(mad.mad_chars) AS BIGINT) AS mad_chars,
+             |       CAST(COALESCE(SUM(CASE WHEN d.v * 10 > 35 * mad.mad_chars
+             |            THEN d.n END), 0) AS BIGINT) AS n_outliers,
+             |       CAST(MAX(d.v) AS BIGINT) AS max_dev
+             |FROM d JOIN mad USING (source) JOIN med USING (source)
+             |GROUP BY d.source ORDER BY source""".stripMargin)),
+
+    // --- Dedup method agreement: lexical (exact shingle Jaccard) vs
+    //     semantic (pico-quantized cosine) verdicts on the LSH
+    //     candidate pairs, as a 2×2 confusion census. Both predicates
+    //     exact/deterministic — no order-sensitive float ever summed.
+    QueryDef(
+      "q152_dedup_agreement",
+      (s, dir) => Dedup.methodAgreement(
+        Tables(s, dir, "documents"), Tables(s, dir, "embeddings")),
+      Some(s"""WITH $MinhashCte,
+             |cand AS (
+             |  SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+             |  FROM mh m1 JOIN mh m2 ON m1.band = m2.band
+             |   AND m1.minhash = m2.minhash AND m1.doc_id < m2.doc_id
+             |),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.a, c.b, COUNT(*) AS i
+             |  FROM cand c
+             |  JOIN sh s1 ON s1.doc_id = c.a
+             |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+             |  GROUP BY c.a, c.b
+             |),
+             |pu AS (
+             |  SELECT i.a, i.b, i.i, ca.n + cb.n - i.i AS u
+             |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+             |               JOIN cnt cb ON cb.doc_id = i.b
+             |),
+             |dims AS (
+             |  SELECT vec_id, di, CAST(embedding[di] AS DOUBLE) AS v
+             |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS di)
+             |),
+             |nrm AS (
+             |  SELECT vec_id,
+             |         CAST(SUM(CAST(FLOOR(v * v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS n2
+             |  FROM dims GROUP BY vec_id
+             |),
+             |dot AS (
+             |  SELECT p.a, p.b,
+             |         CAST(SUM(CAST(FLOOR(qa.v * qb.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+             |  FROM pu p JOIN dims qa ON qa.vec_id = p.a
+             |            JOIN dims qb ON qb.vec_id = p.b AND qb.di = qa.di
+             |  GROUP BY p.a, p.b
+             |),
+             |sc AS (
+             |  SELECT p.i, p.u, dot.d / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |  FROM pu p JOIN dot ON dot.a = p.a AND dot.b = p.b
+             |            JOIN nrm na ON na.vec_id = p.a
+             |            JOIN nrm nb ON nb.vec_id = p.b
+             |)
+             |SELECT i * 1000000 >= 500000 * u AS text_dup,
+             |       cos * 1000 >= 900 AS embed_dup,
+             |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(MIN(i * 1000000 // u) AS BIGINT) AS min_jac_ppm,
+             |       CAST(MAX(i * 1000000 // u) AS BIGINT) AS max_jac_ppm,
+             |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

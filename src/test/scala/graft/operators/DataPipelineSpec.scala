@@ -2418,4 +2418,111 @@ class DataPipelineSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(2L, 3L))
     assert(r.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
+
+  test("sessionPaths: trigrams never cross a session boundary") {
+    val s2 = spark
+    import s2.implicits._
+    // user 1: (view click view click) | >30min gap | (view click);
+    // the session-spanning windows around the gap must NOT count.
+    // user 2: (view click view) — one more (view,click,view).
+    val ev = Seq(
+      (1L, 0L, 1L, "view"), (2L, 10L * 1000000000L, 1L, "click"),
+      (3L, 20L * 1000000000L, 1L, "view"), (4L, 30L * 1000000000L, 1L, "click"),
+      (5L, 10000L * 1000000000L, 1L, "view"),
+      (6L, 10010L * 1000000000L, 1L, "click"),
+      (7L, 0L, 2L, "view"), (8L, 5L * 1000000000L, 2L, "click"),
+      (9L, 10L * 1000000000L, 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.sessionPaths(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("view", "click", "view", 2L), ("click", "view", "click", 1L)))
+  }
+
+  test("transitionConcentration: modal share + Simpson, min-type tiebreak") {
+    val s2 = spark
+    import s2.implicits._
+    // user 1: view→click→view→click; user 3: a→b→a→c (a's next ties)
+    val ev = Seq(
+      (1L, 0L, 1L, "view"), (2L, 1000000000L, 1L, "click"),
+      (3L, 2000000000L, 1L, "view"), (4L, 3000000000L, 1L, "click"),
+      (10L, 0L, 3L, "a"), (11L, 1000000000L, 3L, "b"),
+      (12L, 2000000000L, 3L, "a"), (13L, 3000000000L, 3L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.transitionConcentration(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("view") == ((2L, 1L, "click", 1000000L, 1.0)))
+    assert(out("click") == ((1L, 1L, "view", 1000000L, 1.0)))
+    // a→{b:1, c:1}: tie resolves to the smaller type; Simpson = 2/4
+    assert(out("a") == ((2L, 2L, "b", 500000L, 0.5)))
+    assert(out("b") == ((1L, 1L, "a", 1000000L, 1.0)))
+  }
+
+  test("acquisitionAttribution: first-touch buckets with exact ppm rates") {
+    val s2 = spark
+    import s2.implicits._
+    val ev = Seq(
+      (1L, 0L, 1L, "view"), (2L, 1000000000L, 1L, "purchase"),
+      (3L, 2000000000L, 1L, "purchase"),
+      (4L, 5000000000L, 2L, "view"),
+      (5L, 0L, 3L, "signup"), (6L, 1000000000L, 3L, "purchase"),
+      // user 4: two events in the SAME truncated second — the
+      // smaller event_id (8 → click) is the first touch
+      (9L, 900000000L, 4L, "error"), (8L, 100000000L, 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.acquisitionAttribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("view") == ((2L, 1L, 2L, 500000L, 1000000L)))
+    assert(out("signup") == ((1L, 1L, 1L, 1000000L, 1000000L)))
+    assert(out("click") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(!out.contains("error"))
+  }
+
+  test("robustLengthOutliers: lower-median MAD census, MAD=0 degradation") {
+    val s2 = spark
+    import s2.implicits._
+    val d = Seq(
+      (1L, 10L, "s1"), (2L, 12L, "s1"), (3L, 11L, "s1"),
+      (4L, 13L, "s1"), (5L, 100L, "s1"),
+      // s2: over half at one length → MAD 0 → every off-median doc flags
+      (6L, 5L, "s2"), (7L, 5L, "s2"), (8L, 5L, "s2"), (9L, 7L, "s2"))
+      .toDF("doc_id", "n_chars", "source")
+    val out = Sampling.robustLengthOutliers(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // s1: med 12, devs {2,1,0,1,88} → MAD 1; 88·10 > 35 → one outlier
+    assert(out("s1") == ((5L, 12L, 1L, 1L, 88L)))
+    // s2: med 5, MAD 0; dev 2 flags (2·10 > 0)
+    assert(out("s2") == ((4L, 5L, 0L, 1L, 2L)))
+  }
+
+  test("methodAgreement: lexical × semantic confusion cells") {
+    val s2 = spark
+    import s2.implicits._
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa one",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa two",
+      3L -> "completely different words entirely unrelated content here now")
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), // identical → cos 1
+      (4L, Array(1f, 0f)), (5L, Array(0f, 1f)), // orthogonal → cos 0
+      (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.methodAgreement(d, embs).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))))
+    // candidates are exactly (1,2) and (4,5), both J = 0.8 → text dups;
+    // the embedding verdict splits them into two cells
+    assert(out.toSeq == Seq(
+      ((true, false), (1L, 800000L, 800000L, 0.0, 0.0)),
+      ((true, true), (1L, 800000L, 800000L, 1.0, 1.0))))
+  }
 }
