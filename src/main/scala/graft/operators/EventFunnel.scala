@@ -370,6 +370,119 @@ object EventFunnel {
           .as("conversions_per_user_ppm"))
       .orderBy("first_type")
 
+  /** Time-to-convert census: EXACT delay percentiles (lower median and
+    * ceil-p90 — the q110 rank convention) from a user's FIRST
+    * `fromEvent` to their first `toEvent` strictly after it, grouped
+    * by the user's acquisition cohort (epoch week of the first
+    * `fromEvent`). The conversion-latency ledger behind "is activation
+    * getting faster for newer cohorts", and the label generator for
+    * time-to-event models.
+    *
+    * Scale shape: two user_id-keyed filtered MIN aggregates and one
+    * user_id equi-join (all co-partitioned — one shuffle key
+    * throughout, zero Exchange on the bucketed layout), then the
+    * count-table percentile read: delays collapse to (cohort, delay)
+    * counts (map-side partials; the distinct-delay domain is bounded
+    * by the corpus time span in seconds, not by users), the window
+    * runs per cohort over that tiny table, and the ranks are integer
+    * arithmetic — bit-identical on any engine at any parallelism.
+    */
+  def timeToConvert(events: DataFrame, fromEvent: String = "view",
+      toEvent: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      graft.Tables.epochSec(events).as("sec"))
+    val first = e.where(col("event_type") === fromEvent)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t0"))
+    val conv = e.where(col("event_type") === toEvent)
+      .join(first, "user_id")
+      .where(col("sec") > col("t0"))
+      .groupBy(col("user_id"))
+      .agg(min(col("sec") - col("t0")).as("delay"),
+        min(expr("t0 DIV 604800")).as("cohort_week"))
+    val c = conv.groupBy(col("cohort_week"), col("delay"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("delay"))
+    val tot = c.groupBy(col("cohort_week")).agg(sum(col("n")).as("n_conv"))
+    c.withColumn("cum", sum(col("n")).over(w))
+      .join(tot, "cohort_week")
+      .groupBy(col("cohort_week"))
+      .agg(min(col("n_conv")).as("n_converted"),
+        min(col("delay")).as("min_delay"),
+        min(when(col("cum") >= expr("(n_conv + 1) DIV 2"), col("delay")))
+          .as("p50_delay"),
+        min(when(col("cum") >= expr("(9 * n_conv + 9) DIV 10"), col("delay")))
+          .as("p90_delay"),
+        max(col("delay")).as("max_delay"))
+      .orderBy("cohort_week")
+  }
+
+  /** RFM segmentation census: purchasing users cut into value-based
+    * terciles on Recency (days since last purchase, anchored at the
+    * corpus's last purchase day), Frequency (purchase count), and
+    * Monetary (exact cents sum; segmented at whole-dollar resolution),
+    * with per-(r,f,m)-cell user counts, purchase counts, and revenue.
+    * Segment 1 = the lowest third of the metric's VALUE distribution
+    * (for recency that is the most-recent cohort), assigned by
+    * comparing against the tercile cut VALUES — a value cut, not an
+    * ntile rank cut, so ties land in one segment deterministically and
+    * no global row-ranking is ever needed.
+    *
+    * Scale shape: one user_id-keyed purchase rollup (map-side
+    * partials), a 1-row anchor broadcast, then three tercile cuts read
+    * off per-metric DISTINCT-VALUE count tables (domains bounded by
+    * the corpus day span, the max per-user purchase count, and the
+    * dollar-quantized spend range — NOT by user count; the dollar
+    * quantization of the monetary CUT — sums stay exact cents — is
+    * what bounds that third domain). The three 1-row cut frames
+    * broadcast back onto the user rollup; the census is a ≤27-row
+    * aggregate. The ordered windows over the count tables are
+    * single-partition but |distinct values|-sized; a corpus whose
+    * value domains genuinely explode would swap in the two-phase
+    * distributed prefix sum [[Sampling.budgetSelect]] already uses.
+    * Money is exact cents-longs end to end; the reported revenue is
+    * one final double division.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import graft.queries.Q
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"),
+        col("value"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"),
+        Q.cents(col("value")).cast("long").as("cents"))
+    val per = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val anchor = per.agg(max(col("last_day")).as("max_day"))
+    val u = per.crossJoin(broadcast(anchor))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("recency"),
+        col("freq"), col("cents"), expr("cents DIV 100").as("dollars"))
+    // value-based tercile cuts of one metric: first value whose
+    // cumulative count reaches ceil(n/3) / ceil(2n/3)
+    def cuts(metric: String): DataFrame = {
+      val cnt = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      cnt.withColumn("cum", sum(col("n")).over(w))
+        .crossJoin(broadcast(cnt.agg(sum(col("n")).as("nu"))))
+        .agg(min(when(col("cum") >= expr("(nu + 2) DIV 3"), col("v")))
+          .as(s"${metric}_t1"),
+          min(when(col("cum") >= expr("(2 * nu + 2) DIV 3"), col("v")))
+            .as(s"${metric}_t2"))
+    }
+    def seg(metric: String): org.apache.spark.sql.Column =
+      lit(1L) + when(col(metric) > col(s"${metric}_t1"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"${metric}_t2"), 1L).otherwise(0L)
+    u.crossJoin(broadcast(
+        cuts("recency").crossJoin(cuts("freq")).crossJoin(cuts("dollars"))))
+      .select(seg("recency").as("r_seg"), seg("freq").as("f_seg"),
+        seg("dollars").as("m_seg"), col("freq"), col("cents"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("n_purchases"),
+        (sum(col("cents")).cast("double") / 100).as("monetary_sum"))
+      .orderBy("r_seg", "f_seg", "m_seg")
+  }
+
   /** Per-event-type inter-arrival profile: EXACT percentiles (lower
     * median and ceil-p90) of the gaps in seconds between a user's
     * consecutive events of the same type — the cadence signal that

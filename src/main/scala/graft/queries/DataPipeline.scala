@@ -4496,6 +4496,117 @@ object DataPipeline {
              |       CAST(MIN(i * 1000000 // u) AS BIGINT) AS min_jac_ppm,
              |       CAST(MAX(i * 1000000 // u) AS BIGINT) AS max_jac_ppm,
              |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
-             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- Time-to-convert census: exact delay percentiles (q110 rank
+    //     convention over a (cohort, delay) count table) from first
+    //     view to first purchase strictly after it, per acquisition
+    //     cohort week.
+    QueryDef(
+      "q153_time_to_convert",
+      (s, dir) => EventFunnel.timeToConvert(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+             |  FROM events
+             |),
+             |f AS (
+             |  SELECT user_id, MIN(sec) AS t0
+             |  FROM e WHERE event_type = 'view' GROUP BY user_id
+             |),
+             |cv AS (
+             |  SELECT e.user_id, MIN(e.sec) - MIN(f.t0) AS delay,
+             |         MIN(f.t0) // 604800 AS cohort_week
+             |  FROM e JOIN f USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.sec > f.t0
+             |  GROUP BY e.user_id
+             |),
+             |c AS (
+             |  SELECT cohort_week, delay, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM cv GROUP BY 1, 2
+             |),
+             |t AS (SELECT cohort_week, CAST(SUM(n) AS BIGINT) AS n_conv
+             |      FROM c GROUP BY 1),
+             |cm AS (
+             |  SELECT cohort_week, delay, n,
+             |         SUM(n) OVER (PARTITION BY cohort_week ORDER BY delay)
+             |              AS cum
+             |  FROM c
+             |)
+             |SELECT cm.cohort_week,
+             |       CAST(MIN(t.n_conv) AS BIGINT) AS n_converted,
+             |       CAST(MIN(cm.delay) AS BIGINT) AS min_delay,
+             |       CAST(MIN(CASE WHEN cm.cum >= (t.n_conv + 1) // 2
+             |            THEN cm.delay END) AS BIGINT) AS p50_delay,
+             |       CAST(MIN(CASE WHEN cm.cum >= (9 * t.n_conv + 9) // 10
+             |            THEN cm.delay END) AS BIGINT) AS p90_delay,
+             |       CAST(MAX(cm.delay) AS BIGINT) AS max_delay
+             |FROM cm JOIN t USING (cohort_week)
+             |GROUP BY cm.cohort_week ORDER BY cohort_week""".stripMargin)),
+
+    // --- RFM segmentation census: value-based terciles on recency /
+    //     frequency / monetary (exact cents; dollar-quantized cut
+    //     domain), ≤27-cell rollup. Value cuts, never ntile ranks —
+    //     deterministic under ties, no global row-ranking.
+    QueryDef(
+      "q154_rfm_segments",
+      (s, dir) => EventFunnel.rfmSegments(graft.Tables.events(s, dir)),
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'
+             |),
+             |per AS (
+             |  SELECT user_id, MAX(day) AS last_day,
+             |         CAST(COUNT(*) AS BIGINT) AS freq,
+             |         CAST(SUM(cents) AS BIGINT) AS cents
+             |  FROM p GROUP BY user_id
+             |),
+             |a AS (SELECT MAX(last_day) AS max_day FROM per),
+             |u AS (
+             |  SELECT user_id, a.max_day - last_day AS recency, freq, cents,
+             |         cents // 100 AS dollars
+             |  FROM per, a
+             |),
+             |rc AS (SELECT recency AS v, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM u GROUP BY 1),
+             |rcut AS (
+             |  SELECT MIN(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS r_t1,
+             |         MIN(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS r_t2
+             |  FROM (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM rc),
+             |       (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM rc)
+             |),
+             |fc AS (SELECT freq AS v, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM u GROUP BY 1),
+             |fcut AS (
+             |  SELECT MIN(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS f_t1,
+             |         MIN(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS f_t2
+             |  FROM (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM fc),
+             |       (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM fc)
+             |),
+             |mc AS (SELECT dollars AS v, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM u GROUP BY 1),
+             |mcut AS (
+             |  SELECT MIN(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS m_t1,
+             |         MIN(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS m_t2
+             |  FROM (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM mc),
+             |       (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM mc)
+             |),
+             |seg AS (
+             |  SELECT CAST(1 + CAST(recency > r_t1 AS INT)
+             |              + CAST(recency > r_t2 AS INT) AS BIGINT) AS r_seg,
+             |         CAST(1 + CAST(freq > f_t1 AS INT)
+             |              + CAST(freq > f_t2 AS INT) AS BIGINT) AS f_seg,
+             |         CAST(1 + CAST(dollars > m_t1 AS INT)
+             |              + CAST(dollars > m_t2 AS INT) AS BIGINT) AS m_seg,
+             |         freq, cents
+             |  FROM u, rcut, fcut, mcut
+             |)
+             |SELECT r_seg, f_seg, m_seg,
+             |       CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(SUM(freq) AS BIGINT) AS n_purchases,
+             |       CAST(SUM(cents) AS DOUBLE) / 100 AS monetary_sum
+             |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

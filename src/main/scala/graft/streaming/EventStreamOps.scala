@@ -69,6 +69,58 @@ object EventStreamOps {
     * deployment adds an event-time timeout keyed to the watermark to
     * finalize abandoned sessions — the state-machine body is unchanged.
     */
+  final case class TEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
+
+  final case class AttribState(firstSec: Long, firstId: Long,
+      firstType: String, nConversions: Long)
+
+  final case class UserAttribution(user_id: Long, first_type: String,
+      n_conversions: Long)
+
+  /** Streaming first-touch attribution — the incremental counterpart of
+    * [[graft.operators.EventFunnel.acquisitionAttribution]]: per-user
+    * state holds the (sec, event_id)-minimal event's type (the
+    * acquisition channel proxy) and a running conversion count; each
+    * batch emits the updated attribution row for every touched user
+    * (Update-mode semantics; the per-channel census is a downstream
+    * |event_types|-row rollup).
+    *
+    * Cross-batch out-of-order data is handled exactly, not
+    * best-effort: an event older than the stored first touch REPLACES
+    * it (lexicographic (sec, event_id) — same total order as the batch
+    * operator), so batch arrival order never changes the fixed point.
+    * State is O(1) per user — three longs and a type string, nothing
+    * growing with event count. At-least-once redelivery is handled by
+    * COMPOSITION, not duplicated machinery: stack
+    * [[dedupWithinWatermark]] (bounded-state exact id dedup) upstream,
+    * the same layering a production topology uses; attribution itself
+    * then counts each conversion exactly once.
+    */
+  def attribution(events: Dataset[TEv], convEvent: String = "purchase")
+      : Dataset[UserAttribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[AttribState, UserAttribution](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[AttribState]) =>
+          var cur = state.getOption.getOrElse(
+            AttribState(Long.MaxValue, Long.MaxValue, "", 0L))
+          evs.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            if (sec < cur.firstSec ||
+              (sec == cur.firstSec && e.event_id < cur.firstId))
+              cur = cur.copy(firstSec = sec, firstId = e.event_id,
+                firstType = e.event_type)
+            if (e.event_type == convEvent)
+              cur = cur.copy(nConversions = cur.nConversions + 1)
+          }
+          state.update(cur)
+          UserAttribution(userId, cur.firstType, cur.nConversions)
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapSec: Long = 1800)
       : Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -2525,4 +2525,54 @@ class DataPipelineSpec extends SparkSpec {
       ((true, false), (1L, 800000L, 800000L, 0.0, 0.0)),
       ((true, true), (1L, 800000L, 800000L, 1.0, 1.0))))
   }
+
+  test("timeToConvert: strictly-after first view, exact cohort percentiles") {
+    val s2 = spark
+    import s2.implicits._
+    val G = 1000000000L
+    val ev = Seq(
+      // u1: view@10s, purchase@30s → delay 20 (an earlier purchase@5s
+      // must NOT count — not strictly after the first view)
+      (1L, 5L * G, 1L, "purchase"), (2L, 10L * G, 1L, "view"),
+      (3L, 30L * G, 1L, "purchase"),
+      // u2: view@0, purchase@100 → delay 100
+      (4L, 0L, 2L, "view"), (5L, 100L * G, 2L, "purchase"),
+      // u3: view only — never converts
+      (6L, 0L, 3L, "view"),
+      // u4: purchase only — no view, excluded
+      (7L, 50L * G, 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.timeToConvert(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // cohort week 0: delays {20, 100} → n 2, p50 20 (lower), p90 100
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((0L, 2L, 20L, 20L, 100L, 100L)))
+  }
+
+  test("rfmSegments: value-based tercile cuts over exact cents") {
+    val s2 = spark
+    import s2.implicits._
+    val G = 1000000000L
+    val D = 86400L * G
+    // three purchasers: u1 recent/frequent/big, u2 middle, u3 stale/
+    // one-shot/small; anchor day = u1's last purchase day (day 10)
+    val ev = Seq(
+      (1L, 10L * D, 1L, "purchase", 50.0), (2L, 10L * D + G, 1L, "purchase", 50.0),
+      (3L, 10L * D + 2 * G, 1L, "purchase", 50.0),
+      (4L, 8L * D, 2L, "purchase", 20.0), (5L, 9L * D, 2L, "purchase", 20.0),
+      (6L, 1L * D, 3L, "purchase", 5.0),
+      (7L, 10L * D, 3L, "view", 1.0)) // non-purchase: ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventFunnel.rfmSegments(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5))))
+    // recency: u1 0, u2 1, u3 9 → cuts t1=0, t2=1 → segs 1/2/3
+    // freq:    u1 3, u2 2, u3 1 → cuts t1=1, t2=2 → segs 3/2/1
+    // dollars: u1 150, u2 40, u3 5 → cuts t1=5, t2=40 → segs 3/2/1
+    assert(out.toSeq == Seq(
+      ((1L, 3L, 3L), (1L, 3L, 150.0)),
+      ((2L, 2L, 2L), (1L, 2L, 40.0)),
+      ((3L, 1L, 1L), (1L, 1L, 5.0))))
+  }
 }

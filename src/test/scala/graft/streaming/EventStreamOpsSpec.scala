@@ -70,6 +70,36 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: cross-batch out-of-order first touch " +
+    "replaces, conversions accumulate") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.TEv]
+    val q = EventStreamOps.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        EventStreamOps.TEv(10, ts(10), 1L, "view"),
+        EventStreamOps.TEv(11, ts(11), 1L, "purchase"))
+      q.processAllAvailable()
+      val b1 = spark.table("attr_out").collect()
+      assert(b1.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq == Seq((1L, "view", 1L)))
+      // batch 2: an OLDER event (signup at t=5) arrives late — the
+      // first touch must flip; a second conversion accumulates
+      mem.addData(
+        EventStreamOps.TEv(5, ts(5), 1L, "signup"),
+        EventStreamOps.TEv(12, ts(12), 1L, "purchase"))
+      q.processAllAvailable()
+      val last = spark.table("attr_out").collect().last
+      assert((last.getLong(0), last.getString(1), last.getLong(2)) ==
+        ((1L, "signup", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
