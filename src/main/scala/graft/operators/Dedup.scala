@@ -321,7 +321,7 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.install(docs.sparkSession)
     val e = embs.select(col("vec_id"), col("embedding"))
-    verifiedPairStats(docs, bands)
+    methodAgreementPairs(docs, bands)
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("i"), col("u"),
@@ -335,6 +335,59 @@ object Dedup {
         min(col("cos")).as("min_cos"),
         max(col("cos")).as("max_cos"))
       .orderBy("text_dup", "embed_dup")
+  }
+
+  /** [[methodAgreement]]'s candidate pairs with exact intersection/
+    * union counts, computed with the q141 EXACT-DUP-COLLAPSE: LSH,
+    * shingle verification, and Jaccard arithmetic run over ONE
+    * representative per distinct text; the member pairs re-enter by
+    * arithmetic expansion afterwards. Value-identical to
+    * `verifiedPairStats(docs)` in the columns the census reads (i, u,
+    * and the pair SET — orientation aside, which min/max/count never
+    * see), because minhash, shingles, and therefore candidacy and
+    * (i, u) are functions of the TEXT alone: same-text docs share all
+    * bands (every within-group pair with ≥1 shingle is a candidate,
+    * with i = u = the text's shingle count), and a cross-group member
+    * pair is a candidate exactly when its reps share a bucket, with
+    * the reps' (i, u). Unlike q141's count-only expansion, every
+    * expanded pair IS materialized — each needs its own embedding
+    * cosine downstream (embeddings are not text-determined) — so the
+    * collapse removes the quadratic SHINGLE-JOIN work per member pair
+    * (the measured 50×-replica pathology: 200–400 s uncollapsed) while
+    * keeping the output-sized work that is irreducible. Within-group
+    * expansion is bounded by the duplicate-group size histogram —
+    * exactly the pairs the census exists to adjudicate.
+    */
+  private def methodAgreementPairs(docs: DataFrame, bands: Int): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("gid"), col("text"))
+    val members = g.select(col("gid"), col("doc_id"))
+    val reps = g.groupBy(col("gid"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"),
+        count(lit(1)).as("gn"))
+      .select(col("gid"), col("r.doc_id").as("doc_id"),
+        col("r.text").as("text"), col("gn"))
+    import graft.operators.CacheRegistry.TrackedPersist
+    val mp = members.trackedPersist() // feeds both expansion joins
+    val rp = reps.trackedPersist()    // feeds LSH, shingle counts, id→gid
+    val ridToGid = rp.select(col("doc_id").as("rid"), col("gid"))
+    val cross = verifiedPairStats(rp.select(col("doc_id"), col("text")), bands)
+      .join(ridToGid.select(col("rid").as("a"), col("gid").as("ga")), "a")
+      .join(ridToGid.select(col("rid").as("b"), col("gid").as("gb")), "b")
+      .join(mp.select(col("gid").as("ga"), col("doc_id").as("ma")), "ga")
+      .join(mp.select(col("gid").as("gb"), col("doc_id").as("mb")), "gb")
+      .select(col("ma").as("a"), col("mb").as("b"), col("i"), col("u"))
+    val shCnt = shingles(rp.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val within = rp.where(col("gn") >= 2)
+      .join(shCnt, "doc_id") // drops shingle-less texts, like the LSH does
+      .select(col("gid"), col("n_sh"))
+      .join(mp.as("x"), "gid")
+      .join(mp.as("y").withColumnRenamed("doc_id", "doc_id_y"), "gid")
+      .where(col("doc_id") < col("doc_id_y"))
+      .select(col("doc_id").as("a"), col("doc_id_y").as("b"),
+        col("n_sh").as("i"), col("n_sh").as("u"))
+    cross.unionByName(within)
   }
 
   /** Train/val/test LEAKAGE census — the release check a split ships

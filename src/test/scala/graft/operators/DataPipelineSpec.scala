@@ -1049,7 +1049,12 @@ class DataPipelineSpec extends SparkSpec {
           org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
         ("funnel", EventFunnel.funnel(_)),
         ("sessionFeatures", EventFunnel.sessionFeatures(_)),
-        ("interArrival", EventFunnel.interArrival(_)))) {
+        ("interArrival", EventFunnel.interArrival(_)),
+        ("sessionPaths", EventFunnel.sessionPaths(_)),
+        ("transitionConcentration", EventFunnel.transitionConcentration(_)),
+        ("acquisitionAttribution", EventFunnel.acquisitionAttribution(_)),
+        ("timeToConvert", EventFunnel.timeToConvert(_)),
+        ("rfmSegments", EventFunnel.rfmSegments(_)))) {
         val plain = op(ev)
         val bucketed = op(b)
         assert(canon(bucketed) == canon(plain), s"$name values diverge")
@@ -2524,6 +2529,45 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ((true, false), (1L, 800000L, 800000L, 0.0, 0.0)),
       ((true, true), (1L, 800000L, 800000L, 1.0, 1.0))))
+  }
+
+  test("methodAgreement: exact-dup collapse equals the uncollapsed " +
+    "spelling on a duplicated corpus") {
+    val s2 = spark
+    import s2.implicits._
+    // near-dup texts A/B plus EXACT copies of each (the replica
+    // structure that blew up the uncollapsed path), one unrelated
+    val tA = "the quick brown fox jumps over the lazy dog again today"
+    val tB = "the quick brown fox jumps over the lazy dog again tomorrow"
+    val d = docs(1L -> tA, 11L -> tA, 2L -> tB, 21L -> tB,
+      3L -> "completely different words entirely unrelated content here now")
+    // copies get DIFFERENT embeddings so per-member-pair cosines differ
+    // (the reason expansion must materialize pairs, not just counts)
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (11L, Array(0f, 1f)),
+      (2L, Array(1f, 0f)), (21L, Array(0.8f, 0.6f)),
+      (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val collapsed = Dedup.methodAgreement(d, embs).collect()
+    // the uncollapsed spelling: verifiedPairStats over the FULL corpus
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val uncollapsed = Dedup.verifiedPairStats(d)
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("i"), col("u"),
+        Similarity.cosine(col("ea"), col("eb")).as("cos"))
+      .groupBy((col("i") * 1000000L >= lit(500000L) * col("u")).as("text_dup"),
+        (col("cos") * 1000 >= lit(900.0)).as("embed_dup"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(expr("i * 1000000 DIV u")).as("min_jac_ppm"),
+        max(expr("i * 1000000 DIV u")).as("max_jac_ppm"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy("text_dup", "embed_dup").collect()
+    assert(collapsed.toSeq == uncollapsed.toSeq)
+    // and the duplicated corpus genuinely exercises both cells with
+    // multi-pair counts: 2 within-group J=1 pairs + 4 cross near-dup
+    // pairs split by the embedding verdict
+    assert(collapsed.map(_.getLong(2)).sum == 6L)
   }
 
   test("timeToConvert: strictly-after first view, exact cohort percentiles") {
