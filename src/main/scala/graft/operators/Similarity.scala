@@ -217,6 +217,151 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Product-quantization (PQ) census: train per-subspace codebooks
+    * (the vector-compression sketch behind every large-scale ANN
+    * index — IVF-PQ stores an m-byte code instead of a d×4-byte
+    * vector), assign every corpus vector's m subvectors to their
+    * nearest codes, and report the code-usage and quantization-error
+    * table per (subspace, code) — the calibration a deployment reads
+    * before committing to a codebook size (dead codes → wasted bits;
+    * one code absorbing everything → m·log₂(k) bits of noise).
+    *
+    * Deterministic end to end, same discipline as the trained-IVF
+    * chain (the oracle replays it statement-for-statement):
+    * md5-ordered sample, first-k init per subspace, fixed Lloyd
+    * iterations with ties → smaller code and empty-cluster carryover;
+    * distances are pico-quantized EXACT integer sums
+    * (Σ⌊(v−c)²·10¹²+0.5⌋ as longs — argmin over exact integers never
+    * flips on float noise), means use the floor-quantized integer-sum
+    * arithmetic, and the reported MSE is two final double divisions.
+    *
+    * 100 TB notes: training touches only the fixed sample; corpus
+    * assignment is one broadcast join (m·k·(d/m) codebook rows —
+    * broadcastable at any corpus size) + a map-side-partial hash agg,
+    * linear in N·d·k; the census is m·k rows. err_q stays in int64
+    * while N·(d/m)·4·10¹² < 2⁶³ per cell (~10⁵ vectors per cell at
+    * these defaults); past that the sum column lifts to DECIMAL(38,0)
+    * — the census shape is unchanged.
+    */
+  def pqCensus(emb: DataFrame, m: Int = 8, dim: Int = 64, codes: Int = 4,
+      sampleN: Int = 64, iters: Int = 2,
+      salt: String = "|pqseed"): DataFrame = {
+    val (sd, cent) = pqTrain(emb, m, dim, codes, sampleN, iters, salt)
+    pqAssign(sd, cent)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("err_q"),
+        (sum(col("d2")).cast("double") / Q / count(lit(1))).as("mse"))
+      .orderBy("sub", "code")
+  }
+
+  /** PQ asymmetric-distance top-k (ADC — the SEARCH path the
+    * [[pqCensus]] codebooks exist for): database vectors are
+    * represented only by their m codes; each bounded query precomputes
+    * a (sub, code) → partial-distance lookup table against the
+    * codebooks from its FULL vector, and a candidate's distance is the
+    * m-term table sum — the memory-bound trick that scans an m-byte
+    * code instead of a d-float vector per candidate.
+    *
+    * Determinism: the LUT entries are the same pico-quantized exact
+    * integer sums as training, a candidate's ADC distance is an
+    * m-term LONG sum of them, and ranking is (distance ASC, tid) — a
+    * total order over exact integers; the reported distance is one
+    * final double division.
+    *
+    * 100 TB notes: the LUT is |Q|·m·k rows (bounded-query scaffold —
+    * broadcastable always); scoring is ONE broadcast join + hash agg
+    * over the code table (N·m rows — the compressed index, 8 bytes of
+    * code per vector here vs 256 bytes of floats), never touching the
+    * raw vectors; top-k is the per-query window over |Q|·N rows with
+    * map-side partial aggregation. The accuracy loss vs exact search
+    * is the quantization error q155 censuses — the two gates together
+    * are the size-vs-recall trade study.
+    */
+  def pqAdcTopK(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
+      m: Int = 8, dim: Int = 64, codes: Int = 4, sampleN: Int = 64,
+      iters: Int = 2, salt: String = "|pqseed"): DataFrame = {
+    val (sd, cent) = pqTrain(emb, m, dim, codes, sampleN, iters, salt)
+    val codeTable = pqAssign(sd, cent)
+      .select(col("vec_id").as("tid"), col("sub"), col("code"))
+    val lut = sd.where(col("vec_id") < maxQid)
+      .join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
+      .agg(sum(floor((col("v") - col("c")) * (col("v") - col("c")) * Q
+        + 0.5).cast("long")).as("d2"))
+    val rnk = Window.partitionBy(col("qid"))
+      .orderBy(col("adcq"), col("tid"))
+    codeTable
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("tid") =!= col("qid"))
+      .groupBy(col("qid"), col("tid"))
+      .agg(sum(col("d2")).as("adcq"))
+      .withColumn("rnk", row_number().over(rnk).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("tid"),
+        (col("adcq").cast("double") / Q).as("adc_dist2"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Shared PQ training prelude: subvector expansion + per-subspace
+    * deterministic Lloyd ([[pqCensus]]'s scaladoc spells the
+    * contract). Returns the subvector frame and the trained codebook
+    * (sub, code, j, c). Kept in one place so the q155/q156 oracles'
+    * replayed arithmetic can never desynchronize between the census
+    * and the search path.
+    */
+  private def pqTrain(emb: DataFrame, m: Int, dim: Int, codes: Int,
+      sampleN: Int, iters: Int, salt: String): (DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val sd = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"),
+        expr(s"CAST(pos DIV $subDim AS BIGINT)").as("sub"),
+        expr(s"CAST(pos % $subDim AS BIGINT)").as("j"),
+        col("vf").cast("double").as("v"))
+    val ranked = emb
+      .select(col("vec_id"),
+        md5(concat(col("vec_id"), lit(salt)).cast("binary")).as("h"))
+      .orderBy("h").limit(sampleN)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy("h")).as("r"))
+    val sampleSd = sd.join(ranked, "vec_id").trackedPersist()
+    var cent = sampleSd.where(col("r") <= codes)
+      .select(col("sub"), (col("r") - 1).cast("long").as("code"),
+        col("j"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val a = pqAssign(sampleSd, cent)
+        .select(col("vec_id"), col("sub"), col("code"))
+      val means = sampleSd.join(a, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("j"))
+        .agg((sum(floor(col("v") * Q + 0.5)).cast("double") / Q
+          / count(lit(1))).as("cnew"))
+      cent = cent.select(col("sub"), col("code"), col("j"),
+          col("c").as("cold"))
+        .join(means, Seq("sub", "code", "j"), "left")
+        .select(col("sub"), col("code"), col("j"),
+          coalesce(col("cnew"), col("cold")).as("c"))
+    }
+    (sd, cent)
+  }
+
+  /** Nearest-code assignment of subvectors `pts` against codebook
+    * `cb`: exact pico-quantized L2 per (vec, sub, code), argmin with
+    * ties → smaller code. Broadcast join + map-side-partial agg,
+    * linear in N·d·k.
+    */
+  private def pqAssign(pts: DataFrame, cb: DataFrame): DataFrame = {
+    val best = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    pts.join(broadcast(cb), Seq("sub", "j"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(floor((col("v") - col("c")) * (col("v") - col("c")) * Q
+        + 0.5).cast("long")).as("d2"))
+      .withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+  }
+
   /** Trained coarse quantizer: deterministic Lloyd k-means over an
     * md5-ordered sample, fully replayable by any engine.
     *

@@ -4607,6 +4607,125 @@ object DataPipeline {
              |       CAST(COUNT(*) AS BIGINT) AS n_users,
              |       CAST(SUM(freq) AS BIGINT) AS n_purchases,
              |       CAST(SUM(cents) AS DOUBLE) / 100 AS monetary_sum
-             |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- Product-quantization census: per-subspace Lloyd codebooks
+    //     (md5-ordered sample, exact pico-quantized L2, ties → smaller
+    //     code, empty-cluster carryover) + corpus-wide code assignment,
+    //     reported as the (subspace, code) usage/error table. The
+    //     oracle replays the full training chain statement-for-
+    //     statement, q52-style.
+    QueryDef(
+      "q155_pq_census",
+      (s, dir) => Similarity.pqCensus(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $PqChain
+             |SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |       CAST(SUM(d2) AS BIGINT) AS err_q,
+             |       CAST(SUM(d2) AS DOUBLE) / 1000000000000 / COUNT(*) AS mse
+             |FROM fa GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- PQ asymmetric-distance top-k: the search path over the q155
+    //     codebooks — per-query (sub, code) LUT from the full query
+    //     vector, candidate distance = m-term exact LONG sum over the
+    //     code table, (distance, tid) total-order ranking.
+    QueryDef(
+      "q156_pq_adc_topk",
+      (s, dir) => Similarity.pqAdcTopK(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $PqChain,
+             |qlut AS (
+             |  SELECT sd.vec_id AS qid, sd.sub, c.code,
+             |         CAST(SUM(CAST(FLOOR((sd.v - c.c) * (sd.v - c.c)
+             |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             |              AS d2
+             |  FROM sd JOIN pc2 c ON c.sub = sd.sub AND c.j = sd.j
+             |  WHERE sd.vec_id < 10
+             |  GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT l.qid, f.vec_id AS tid, CAST(SUM(l.d2) AS BIGINT)
+             |              AS adcq
+             |  FROM fa f JOIN qlut l ON l.sub = f.sub AND l.code = f.code
+             |  WHERE f.vec_id <> l.qid
+             |  GROUP BY 1, 2),
+             |rkd AS (
+             |  SELECT qid, tid, adcq,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY adcq, tid) AS BIGINT) AS rnk
+             |  FROM sc)
+             |SELECT qid, tid,
+             |       CAST(adcq AS DOUBLE) / 1000000000000 AS adc_dist2, rnk
+             |FROM rkd WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
   )
+
+  /** DuckDB replay of the PQ training + corpus code assignment
+    * (mirrors `Similarity.pqTrain`/`pqAssign` statement-for-statement;
+    * defaults m=8, dim=64, k=4, sample 64, 2 Lloyd iterations). Ends
+    * in `fa(vec_id, sub, code, d2)` — the code table with per-subvector
+    * quantization error; `sd` (subvectors) and `pc2` (final codebook)
+    * stay in scope for consumers. Shared by the q155 census and the
+    * q156 ADC search oracles.
+    */
+  private lazy val PqChain: String = {
+    def iter(n: Int): String = {
+      val prev = s"pc${n - 1}"
+      s"""pd$n AS (
+         |  SELECT ssd.vec_id, ssd.sub, c.code,
+         |         CAST(SUM(CAST(FLOOR((ssd.v - c.c) * (ssd.v - c.c)
+         |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |              AS d2
+         |  FROM ssd JOIN $prev c ON c.sub = ssd.sub AND c.j = ssd.j
+         |  GROUP BY 1, 2, 3),
+         |pa$n AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                ORDER BY d2, code) AS rn
+         |    FROM pd$n) x WHERE rn = 1),
+         |pm$n AS (
+         |  SELECT a.sub, a.code, ssd.j,
+         |         CAST(SUM(CAST(FLOOR(ssd.v * 1000000000000 + 0.5)
+         |              AS BIGINT)) AS DOUBLE) / 1000000000000 / COUNT(*)
+         |              AS cnew
+         |  FROM ssd JOIN pa$n a
+         |    ON a.vec_id = ssd.vec_id AND a.sub = ssd.sub
+         |  GROUP BY 1, 2, 3),
+         |pc$n AS (
+         |  SELECT c.sub, c.code, c.j, COALESCE(m.cnew, c.c) AS c
+         |  FROM $prev c LEFT JOIN pm$n m
+         |    ON m.sub = c.sub AND m.code = c.code AND m.j = c.j)"""
+    }
+    s"""dims AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |),
+       |sd AS (
+       |  SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS j, v
+       |  FROM dims
+       |),
+       |rk AS (
+       |  SELECT vec_id,
+       |         ROW_NUMBER() OVER (ORDER BY md5(vec_id || '|pqseed'))
+       |              AS r
+       |  FROM embeddings),
+       |ssd AS (
+       |  SELECT sd.vec_id, sd.sub, sd.j, sd.v, rk.r
+       |  FROM sd JOIN rk USING (vec_id) WHERE rk.r <= 64),
+       |pc0 AS (
+       |  SELECT sub, CAST(r - 1 AS BIGINT) AS code, j, v AS c
+       |  FROM ssd WHERE r <= 4),
+       |${iter(1)},
+       |${iter(2)},
+       |fd AS (
+       |  SELECT sd.vec_id, sd.sub, c.code,
+       |         CAST(SUM(CAST(FLOOR((sd.v - c.c) * (sd.v - c.c)
+       |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+       |              AS d2
+       |  FROM sd JOIN pc2 c ON c.sub = sd.sub AND c.j = sd.j
+       |  GROUP BY 1, 2, 3),
+       |fa AS (
+       |  SELECT vec_id, sub, code, d2 FROM (
+       |    SELECT vec_id, sub, code, d2,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                ORDER BY d2, code) AS rn
+       |    FROM fd) x WHERE rn = 1)""".stripMargin
+  }
 }

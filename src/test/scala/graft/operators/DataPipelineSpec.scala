@@ -2531,6 +2531,64 @@ class DataPipelineSpec extends SparkSpec {
       ((true, true), (1L, 800000L, 800000L, 1.0, 1.0))))
   }
 
+  test("pqCensus: identical vectors collapse to code 0 with zero error") {
+    val s2 = spark
+    import s2.implicits._
+    // 4 identical vectors: every init centroid is the same point, so
+    // ties route every subvector to code 0 and the quantization error
+    // is exactly zero in both subspaces
+    val embs = Seq.tabulate(4)(i =>
+      (i.toLong, Array(1f, 0f, 0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCensus(embs, m = 2, dim = 4, codes = 2,
+      sampleN = 4, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L, 4L, 0L), (1L, 0L, 4L, 0L)))
+  }
+
+  test("pqCensus: counts conserve per subspace; error is iteration-" +
+    "monotone non-increasing on the training sample") {
+    val s2 = spark
+    import s2.implicits._
+    // deterministic spread of 12 vectors in 2 subspaces of 2 dims
+    val embs = Seq.tabulate(12) { i =>
+      (i.toLong, Array(
+        (i % 3).toFloat, ((i * 7) % 5).toFloat / 4f,
+        ((i * 3) % 4).toFloat / 3f, (i % 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(iters: Int) = Similarity.pqCensus(embs, m = 2, dim = 4,
+      codes = 2, sampleN = 12, iters = iters).collect()
+    val two = run(2)
+    // every subspace's code counts sum to N
+    assert(two.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getLong(2)).sum == 12L))
+    // Lloyd never increases total quantization error when the sample
+    // IS the corpus (assignment and update steps both non-increasing)
+    val err = (1 to 3).map(it => run(it).map(_.getLong(3)).sum)
+    assert(err.sliding(2).forall { case Seq(a, b) => b <= a })
+    // deterministic: same plan → identical rows on re-run
+    assert(run(2).map(_.toSeq).toSeq == two.map(_.toSeq).toSeq)
+  }
+
+  test("pqAdcTopK: separated blobs rank own-cluster candidates first " +
+    "with exact table-sum distances") {
+    val s2 = spark
+    import s2.implicits._
+    // two exactly-repeated blobs: X=[1,0] (ids 0-2), Y=[0,1] (ids 3-5).
+    // Lloyd separates them within 2 iterations from ANY md5 init (both
+    // seeds in one blob: iter1 centers {mean, X}, iter2 splits), so the
+    // ADC distances are exactly 0 (own code) and 2 (other code)
+    val embs = (Seq.tabulate(3)(i => (i.toLong, Array(1f, 0f))) ++
+      Seq.tabulate(3)(i => (i + 3L, Array(0f, 1f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(embs, maxQid = 1, topK = 5, m = 1,
+      dim = 2, codes = 2, sampleN = 6, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0.0, 1L), (0L, 2L, 0.0, 2L),
+      (0L, 3L, 2.0, 3L), (0L, 4L, 2.0, 4L), (0L, 5L, 2.0, 5L)))
+  }
+
   test("methodAgreement: exact-dup collapse equals the uncollapsed " +
     "spelling on a duplicated corpus") {
     val s2 = spark
