@@ -302,6 +302,53 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Recall@k of the PQ-ADC search against EXACT L2 brute force — the
+    * number that closes the q155/q156 trade study: q155 prices the
+    * codebook (bits + quantization error), q156 prices the search,
+    * this reports what the compression costs in answer quality.
+    * Per query: |ADC top-k ∩ exact top-k| and the exact-ppm recall.
+    *
+    * Determinism: both rankings are total orders over exact quantized
+    * integer distances (ties → tid), so the intersection is
+    * bit-stable; recall is one integer ppm DIV.
+    *
+    * 100 TB notes: the exact side is the bounded-query brute-force
+    * scaffold (broadcast |Q| queries, stream the corpus — ground
+    * truth is O(|Q|·N) by definition and |Q| is bounded); the ADC
+    * side reuses the code table; the join is |Q|·k rows against
+    * |Q|·k rows.
+    */
+  def pqRecall(emb: DataFrame, maxQid: Long = 10, topK: Int = 5,
+      m: Int = 8, dim: Int = 64, codes: Int = 4, sampleN: Int = 64,
+      iters: Int = 2, salt: String = "|pqseed"): DataFrame = {
+    val adc = pqAdcTopK(emb, maxQid, topK, m, dim, codes, sampleN,
+      iters, salt).select(col("qid"), col("tid"))
+    def l2q(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          floor((x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double")) * Q + 0.5)
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val q = emb.where(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("tid"))
+    val exact = broadcast(q)
+      .join(emb.select(col("vec_id").as("tid"), col("embedding").as("tv")),
+        col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"), l2q(col("qv"), col("tv")).as("d2"))
+      .select(col("qid"), col("tid"), row_number().over(w).as("rn"))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("tid"))
+    val hits = adc.join(exact, Seq("qid", "tid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $topK").as("recall_ppm"))
+      .orderBy("qid")
+  }
+
   /** Shared PQ training prelude: subvector expansion + per-subspace
     * deterministic Lloyd ([[pqCensus]]'s scaladoc spells the
     * contract). Returns the subvector frame and the trained codebook

