@@ -483,6 +483,49 @@ object EventFunnel {
       .orderBy("r_seg", "f_seg", "m_seg")
   }
 
+  /** Per-type volume-trend census: the least-squares slope of daily
+    * event counts over absolute epoch days — the "is this source
+    * growing or decaying" number an ingest dashboard tracks next to
+    * q71's spike alarms. The slope is computed from the CLOSED FORM
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where x = epoch day and
+    * y = the day's count — every Σ is an EXACT integer sum, so the
+    * only float is the one final division (guarded NULL when the
+    * denominator is 0, i.e. a single active day); no iterative fit,
+    * no order-sensitive float accumulation, bit-identical on any
+    * engine at any parallelism.
+    *
+    * Scale shape: one (type, day)-keyed hash agg over the stream
+    * (map-side partials — the only corpus-sized op), then a
+    * |event_types|-row rollup of integer moments. Overflow: Σx² and
+    * the cross terms stay in int64 while n_days·day² < 2⁶³
+    * (epoch-day ≈ 2·10⁴, so ~10¹³ tracked days — never the binding
+    * constraint); Σxy binds first at ~10¹⁴ events/day-scale corpora,
+    * where the moment columns lift to DECIMAL(38,0).
+    */
+  def volumeTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        sum(col("day") * col("n")).as("sxy"), sum(col("day")).as("sx"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("first_day"), col("last_day"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0L,
+          lit(null))
+          .otherwise(
+            (col("n_days") * col("sxy") - col("sx") * col("total"))
+              .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+          .as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
   /** Per-event-type inter-arrival profile: EXACT percentiles (lower
     * median and ceil-p90) of the gaps in seconds between a user's
     * consecutive events of the same type — the cadence signal that

@@ -4675,7 +4675,36 @@ object DataPipeline {
              |       CAST(COALESCE(h.n, 0) * 1000000 // 5 AS BIGINT)
              |            AS recall_ppm
              |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
-             |LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin))
+             |LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin)),
+
+    // --- Per-type volume trend: exact-integer least-squares slope of
+    //     daily counts (closed form over integer moments, one guarded
+    //     double division — never an iterative/float-accumulating fit).
+    QueryDef(
+      "q158_volume_trend",
+      (s, dir) => EventFunnel.volumeTrend(graft.Tables.events(s, dir)),
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2
+             |),
+             |a AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |         CAST(SUM(n) AS BIGINT) AS total,
+             |         CAST(MIN(day) AS BIGINT) AS first_day,
+             |         CAST(MAX(day) AS BIGINT) AS last_day,
+             |         CAST(SUM(day * n) AS BIGINT) AS sxy,
+             |         CAST(SUM(day) AS BIGINT) AS sx,
+             |         CAST(SUM(day * day) AS BIGINT) AS sxx
+             |  FROM d GROUP BY 1
+             |)
+             |SELECT event_type, n_days, total, first_day, last_day,
+             |       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+             |            ELSE CAST(n_days * sxy - sx * total AS DOUBLE) /
+             |                 CAST(n_days * sxx - sx * sx AS DOUBLE)
+             |       END AS slope_per_day
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

@@ -2603,6 +2603,26 @@ class DataPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 5L, 1000000L)))
   }
 
+  test("volumeTrend: exact closed-form slope; single-day type is NULL") {
+    val s2 = spark
+    import s2.implicits._
+    val D = 86400L * 1000000000L
+    // type a: counts 1,2,3 on days 0,1,2 → slope exactly 1.0
+    // type b: one active day → denominator 0 → NULL slope
+    val ev = (Seq((1L, 0L * D, 1L, "a"),
+      (2L, 1L * D, 1L, "a"), (3L, 1L * D + 5, 2L, "a"),
+      (4L, 2L * D, 1L, "a"), (5L, 2L * D + 5, 2L, "a"),
+      (6L, 2L * D + 9, 3L, "a"),
+      (7L, 0L, 9L, "b")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.volumeTrend(ev).collect()
+    val a = out.find(_.getString(0) == "a").get
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getDouble(5)) == ((3L, 6L, 0L, 2L, 1.0)))
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.isNullAt(5) && b.getLong(1) == 1L)
+  }
+
   test("methodAgreement: exact-dup collapse equals the uncollapsed " +
     "spelling on a duplicated corpus") {
     val s2 = spark
