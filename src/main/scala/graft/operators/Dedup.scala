@@ -1122,4 +1122,41 @@ object Dedup {
         col("n_fully_novel_docs"))
       .orderBy("source")
   }
+
+  /** Duplicate-spread census: exact-dup clusters classified by HOW the
+    * copies spread across sources — the "is duplication re-crawl
+    * (cross-source) or re-post (intra-source)" table that decides
+    * whether dedup should run before or after source mixing. For each
+    * (cluster size, distinct sources) cell: cluster count, document
+    * count, the documents OUTSIDE each cluster's dominant source
+    * (`size − max per-source count` summed), and that spill as exact
+    * ppm of the cell's documents.
+    *
+    * Scale shape: one (text-hash, source) hash aggregate over the
+    * corpus — the md5 collapses each document to a 32-byte key
+    * map-side, so the shuffle carries distinct (hash, source) cells,
+    * not texts — then a hash-keyed rollup to clusters (partial aggs;
+    * the second grouping is a prefix of the first, so AQE coalesces
+    * rather than re-exchanges) and a census-sized final agg.
+    * Singleton clusters are excluded (size ≥ 2): the census reads
+    * duplication structure, not corpus size. All integer arithmetic.
+    */
+  def dupSpreadCensus(docs: DataFrame): DataFrame = {
+    val ps = docs
+      .select(md5(col("text")).as("h"), col("source"))
+      .groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val cl = ps.groupBy(col("h"))
+      .agg(sum(col("c")).as("size"), count(lit(1)).as("n_sources"),
+        max(col("c")).as("max_c"))
+      .where(col("size") >= 2)
+    cl.groupBy(col("size"), col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("size")).as("n_docs"),
+        sum(col("size") - col("max_c")).as("cross_source_docs"))
+      .select(col("size"), col("n_sources"), col("n_clusters"),
+        col("n_docs"), col("cross_source_docs"),
+        expr("cross_source_docs * 1000000 DIV n_docs").as("spill_ppm"))
+      .orderBy("size", "n_sources")
+  }
 }

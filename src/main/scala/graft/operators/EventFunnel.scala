@@ -496,11 +496,16 @@ object EventFunnel {
     *
     * Scale shape: one (type, day)-keyed hash agg over the stream
     * (map-side partials — the only corpus-sized op), then a
-    * |event_types|-row rollup of integer moments. Overflow: Σx² and
-    * the cross terms stay in int64 while n_days·day² < 2⁶³
-    * (epoch-day ≈ 2·10⁴, so ~10¹³ tracked days — never the binding
-    * constraint); Σxy binds first at ~10¹⁴ events/day-scale corpora,
-    * where the moment columns lift to DECIMAL(38,0).
+    * |event_types|-row rollup of integer moments. Overflow: the int64
+    * MOMENT sums bind at Σxy ≈ epoch-day·total ≈ 2⁶³, i.e. ~4.6·10¹⁴
+    * lifetime events per type (≫ a 100 TB event stream); the
+    * final-select PRODUCTS (n_days·Σxy, Σx·total, Σx², n_days·Σxx)
+    * would wrap int64 four orders of magnitude earlier (~4.6·10¹⁰
+    * events per type on a ~2·10⁴-day span), so they are computed in
+    * DECIMAL(38,0) — exact to 10³⁸, headroom ~10¹⁴ beyond the moment
+    * bound — and the oracle spelling uses HUGEINT for the same terms,
+    * keeping the two engines divergence-free (Spark non-ANSI would
+    * wrap silently where DuckDB errors).
     */
   def volumeTrend(events: DataFrame): DataFrame = {
     val daily = events
@@ -508,21 +513,34 @@ object EventFunnel {
       .select(col("event_type"), expr("sec DIV 86400").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    daily.groupBy(col("event_type"))
+    volumeTrendFromMoments(daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"),
         min(col("day")).as("first_day"), max(col("day")).as("last_day"),
         sum(col("day") * col("n")).as("sxy"), sum(col("day")).as("sx"),
-        sum(col("day") * col("day")).as("sxx"))
-      .select(col("event_type"), col("n_days"), col("total"),
-        col("first_day"), col("last_day"),
-        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0L,
-          lit(null))
-          .otherwise(
-            (col("n_days") * col("sxy") - col("sx") * col("total"))
-              .cast("double") /
-              (col("n_days") * col("sxx") - col("sx") * col("sx"))
-                .cast("double"))
-          .as("slope_per_day"))
+        sum(col("day") * col("day")).as("sxx")))
+  }
+
+  /** Slope arithmetic over the per-type integer moments — split out so
+    * the DECIMAL product path is testable at magnitudes no test corpus
+    * can materialize (the int64-product wrap sits at ~4.6·10¹⁰ events
+    * per type; see [[volumeTrend]]'s overflow note).
+    */
+  private[graft] def volumeTrendFromMoments(m: DataFrame): DataFrame = {
+    // decimal(20,0) inputs → decimal(38,0) products/differences: exact
+    // (values ≤ ~10²⁴ ≪ 10³⁸), and both engines round the SAME exact
+    // integer to double, so the one float division stays bit-identical.
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(20,0)")
+    m.select(col("event_type"), col("n_days"), col("total"),
+        col("first_day"), col("last_day"), {
+          val num = dec(col("n_days")) * dec(col("sxy")) -
+            dec(col("sx")) * dec(col("total"))
+          val den = dec(col("n_days")) * dec(col("sxx")) -
+            dec(col("sx")) * dec(col("sx"))
+          when(den === lit(0).cast("decimal(38,0)"), lit(null))
+            .otherwise(num.cast("double") / den.cast("double"))
+            .as("slope_per_day")
+        })
       .orderBy("event_type")
   }
 
@@ -573,5 +591,159 @@ object EventFunnel {
           .as("p90_gap"),
         max(col("gap")).as("max_gap"))
       .orderBy("event_type")
+  }
+
+  /** Session-level type-affinity (market-basket) census: for every
+    * unordered pair of DISTINCT event types co-occurring inside one
+    * session (same gap rule as q22), the co-occurrence count, each
+    * type's session count, and exact-ppm support and lift — the
+    * "which behaviors travel together" table that seeds feature
+    * crosses and next-action candidate sets.
+    *
+    * Scale shape: ONE corpus-sized user_id shuffle (zero on the
+    * bucketed events layout) feeds the sessionizing window; the
+    * per-session distinct-type sets come from a (user_id, session_id)
+    * hash aggregate that introduces NO new exchange (the child is
+    * already hash-partitioned on user_id ⊆ the grouping keys); pairs
+    * are generated map-side from each session's SORTED type set
+    * (|types| is a small fixed vocabulary, so ≤ C(|types|,2) pairs per
+    * session — bounded, never quadratic in events) and hash-agg'd into
+    * a |types|²-row result. Lift's cross products (n_ab·n_sessions,
+    * n_a·n_b) are computed in DECIMAL(38,0) — int64 would wrap at
+    * ~3·10⁹ sessions — and floored to exact ppm with integral DIV,
+    * matching the oracle's HUGEINT `//` on the same non-negative
+    * operands.
+    */
+  def typeAffinity(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sess = events
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochSec(events).as("sec"), col("event_type"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .trackedPersist() // shared by the totals, per-type and pair aggs
+    val sessN = sess.agg(count(lit(1)).as("n_sessions"))
+    val typeN = sess.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = sess
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(20,0)")
+    pairs
+      .join(broadcast(typeN.select(col("t").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(typeN.select(col("t").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(sessN))
+      .withColumn("lift_num",
+        dec(col("n_ab")) * dec(col("n_sessions")) *
+          lit(1000000L).cast("decimal(20,0)"))
+      .withColumn("lift_den", dec(col("n_a")) * dec(col("n_b")))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        expr("n_ab * 1000000 DIV n_sessions").as("support_ppm"),
+        expr("lift_num DIV lift_den").as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Day-of-week seasonality census: per event type, the ISO weekday
+    * histogram collapsed to its decision numbers — active weekdays,
+    * the peak weekday (ISO index, 0 = Monday) with its exact-ppm
+    * share, and the Simpson concentration Σnᵢ²/n² in ppm (10⁶/7 ≈
+    * uniform week, 10⁶ = single-day traffic). Same log-free
+    * determinism stance as [[transitionConcentration]]: Simpson over
+    * Shannon because Σnᵢ² is exact integer arithmetic.
+    *
+    * Scale shape: one (type, dow)-keyed hash agg over the stream
+    * (map-side partials; ≤ 7·|types| rows out), then a |types|-row
+    * rollup. The weekday index is pure integer arithmetic on epoch
+    * days — `(day + 3) % 7` maps 1970-01-01 (a Thursday) to ISO
+    * Monday=0 — identical in both engines, no timezone/locale
+    * dependence. Quadratic terms are DECIMAL(38,0) (int64 wraps at
+    * ~3·10⁹ events per (type, weekday) cell).
+    */
+  def weeklySeasonality(events: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(20,0)")
+    events
+      .select(col("event_type"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("event_type"), expr("((sec DIV 86400) + 3) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_dows"),
+        min(struct((-col("n")).as("neg"), col("dow").as("d"))).as("top"),
+        sum(dec(col("n")) * dec(col("n"))).as("sum_sq"))
+      .withColumn("hhi_num", col("sum_sq") * lit(1000000L).cast("decimal(20,0)"))
+      .withColumn("hhi_den", dec(col("n_events")) * dec(col("n_events")))
+      .select(col("event_type"), col("n_events"), col("n_active_dows"),
+        col("top.d").as("peak_dow"),
+        expr("(-top.neg) * 1000000 DIV n_events").as("peak_share_ppm"),
+        // DIV (IntegralDivide) floors like the oracle's HUGEINT `//`;
+        // a decimal `/` would HALF_UP-round at scale 6 and can land one
+        // past the floor near integer boundaries.
+        expr("hhi_num DIV hhi_den").as("hhi_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Power-user concentration: the exact share of all events produced
+    * by the top 1% / 10% / 50% most-active users — the skew number
+    * that sizes per-user state budgets and flags bot-heavy sources.
+    *
+    * Exact at scale WITHOUT sorting users: per-user counts collapse
+    * into a |distinct count-value| table (heavily collapsed — activity
+    * levels repeat), a cumulative window over that tiny table ordered
+    * count-DESC assigns rank ranges to whole value-runs, and each
+    * percentile's covered-event total takes full runs plus an exact
+    * arithmetic slice of the straddling run: `c · min(users,
+    * max(0, k_users − users_before))`. The only window is over the
+    * distinct-value table (the q154 caveat: |values|-sized by
+    * construction, single partition is fine); the corpus-sized work is
+    * one user_id hash agg (zero exchanges on the bucketed layout).
+    * Covered·10⁶ lifts to DECIMAL(38,0) (int64 wraps at ~9·10¹²
+    * events).
+    */
+  def powerUserShare(events: DataFrame,
+      pcts: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(20,0)")
+    val uc = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val v = uc.groupBy(col("c")).agg(count(lit(1)).as("users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+    val ranked = v.withColumn("cum_users", sum(col("users")).over(w))
+      .withColumn("users_before", col("cum_users") - col("users"))
+    val tot = v.agg(sum(col("users")).as("n_users"),
+      sum(col("c") * col("users")).as("n_events"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("*"), explode(lit(pcts.sorted.toArray)).as("pct"))
+      .withColumn("k_users", expr("(n_users * pct + 99) DIV 100"))
+      .withColumn("covered",
+        col("c") * least(col("users"),
+          greatest(lit(0L), col("k_users") - col("users_before"))))
+      .groupBy(col("pct"))
+      .agg(min(col("k_users")).as("n_top_users"),
+        min(col("n_events")).as("n_events"),
+        sum(col("covered")).as("events_covered"))
+      .withColumn("share_num",
+        dec(col("events_covered")) * lit(1000000L).cast("decimal(20,0)"))
+      .select(col("pct").cast("long").as("pct"), col("n_top_users"),
+        col("n_events"), col("events_covered"),
+        // floor semantics to match the oracle's `//` (see weeklySeasonality)
+        expr("share_num DIV n_events").as("share_ppm"))
+      .orderBy("pct")
   }
 }

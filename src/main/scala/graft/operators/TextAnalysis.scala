@@ -1877,4 +1877,105 @@ object TextAnalysis {
         expr("n_chars * 1000000 DIV n_bpe_tokens"))
       .orderBy("lang")
   }
+
+  /** Per-source Gini coefficient of document token counts — the
+    * length-inequality number a mixture designer reads next to q130's
+    * source shares: a source whose token mass sits in a few huge docs
+    * (G → 1) packs/dedups very differently from one of uniform pages
+    * (G → 0), even at identical totals.
+    *
+    * Exact WITHOUT sorting documents: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over ascending-sorted xᵢ needs only the SUM of ranks of
+    * each distinct length value — so per-doc lengths collapse into a
+    * (source, length)-count table (one corpus-sized hash agg with
+    * map-side partials), a cumulative window over that collapsed
+    * table hands each value-run its rank range, and the run's rank·x
+    * contribution is closed-form: v·(c·before + c(c+1)/2). The only
+    * window is |distinct lengths|-per-source-sized. Rank products are
+    * DECIMAL(38,0) (v·c·n wraps int64 past ~10⁹ docs/source); the
+    * run-triangle c(c+1) DIV 2 stays int64 while any single (source,
+    * length) cell holds < 3·10⁹ docs. Ties are no issue: equal values
+    * contribute the same total whichever way ranks fall inside a run.
+    * One final double division; the NULL guard is the empty/degenerate
+    * source (zero total tokens).
+    */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(20,0)")
+    val cnt = docs
+      .select(col("source"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    cnt
+      .withColumn("before", sum(col("c")).over(w) - col("c"))
+      .withColumn("rv",
+        dec(col("v")) * (dec(col("c")) * dec(col("before")) +
+          dec(expr("c * (c + 1) DIV 2"))))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * col("v")).as("total_tokens"),
+        sum(col("rv")).as("r"))
+      .withColumn("gini_num",
+        lit(2).cast("decimal(20,0)") * col("r") -
+          dec(col("n_docs") + 1) * dec(col("total_tokens")))
+      .withColumn("gini_den", dec(col("n_docs")) * dec(col("total_tokens")))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        when(col("gini_den") === lit(0).cast("decimal(38,0)"), lit(null))
+          .otherwise(col("gini_num").cast("double") /
+            col("gini_den").cast("double"))
+          .as("gini"))
+      .orderBy("source")
+  }
+
+  /** Per-source unigram drift vs the whole corpus: exact total-
+    * variation distance ½·Σ|p_source(t) − p_corpus(t)| in ppm — the
+    * log-free "how far is this source's vocabulary usage from the
+    * mixture" number (TV, not KL/JS, deliberately: divergences need
+    * ln, which is not correctly-rounded-guaranteed and is banned from
+    * gated values; TV is a pure integer computation).
+    *
+    * Exactness: Σ|c_st·T − c_t·S| over the source's own terms plus the
+    * absent-term mass (T − Σ_{t∈s} c_t)·S, all in DECIMAL(38,0)
+    * (c·T products wrap int64 past ~3·10⁹·√ tokens), floored to ppm
+    * against 2·S·T with integral DIV — bit-identical to the oracle's
+    * HUGEINT spelling. Scale shape: one explode + (source, term) hash
+    * agg (map-side partials absorb the token stream), a term-keyed
+    * agg for corpus counts, one term-keyed join between the two
+    * count tables (both already collapsed to distinct terms — never
+    * token-stream-sized), and a |sources|-row finish; the per-source
+    * totals and the grand total ride broadcast joins.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(20,0)")
+    val cst = docs
+      .select(col("source"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .trackedPersist() // feeds the corpus rollup AND the per-source join
+    val ct = cst.groupBy(col("t")).agg(sum(col("c")).as("g"))
+    val ss = cst.groupBy(col("source"))
+      .agg(sum(col("c")).as("s_tok"), count(lit(1)).as("s_terms"))
+    val tot = ss.agg(sum(col("s_tok")).as("tot"))
+    cst.join(ct, "t")
+      .join(broadcast(ss), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(min(col("s_tok")).as("n_tokens"),
+        min(col("s_terms")).as("n_terms"),
+        min(col("tot")).as("tot"),
+        sum(abs(dec(col("c")) * dec(col("tot")) -
+          dec(col("g")) * dec(col("s_tok")))).as("present"),
+        sum(col("g")).as("cov"))
+      .withColumn("tv_num",
+        (col("present") +
+          dec(col("tot") - col("cov")) * dec(col("n_tokens"))) *
+          lit(1000000L).cast("decimal(20,0)"))
+      .withColumn("tv_den",
+        lit(2).cast("decimal(20,0)") * dec(col("n_tokens")) * dec(col("tot")))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr("tv_num DIV tv_den").as("tv_ppm"))
+      .orderBy("source")
+  }
 }

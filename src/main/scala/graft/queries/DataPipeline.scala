@@ -4700,11 +4700,240 @@ object DataPipeline {
              |  FROM d GROUP BY 1
              |)
              |SELECT event_type, n_days, total, first_day, last_day,
-             |       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
-             |            ELSE CAST(n_days * sxy - sx * total AS DOUBLE) /
-             |                 CAST(n_days * sxx - sx * sx AS DOUBLE)
+             |       CASE WHEN CAST(n_days AS HUGEINT) * sxx
+             |                 - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+             |            ELSE CAST(CAST(n_days AS HUGEINT) * sxy
+             |                      - CAST(sx AS HUGEINT) * total AS DOUBLE) /
+             |                 CAST(CAST(n_days AS HUGEINT) * sxx
+             |                      - CAST(sx AS HUGEINT) * sx AS DOUBLE)
              |       END AS slope_per_day
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // --- Per-source token-count Gini: length inequality from the
+    //     collapsed (source, length)-count table — exact closed-form
+    //     rank sums (DECIMAL products), never a per-document sort.
+    QueryDef(
+      "q159_token_gini",
+      (s, dir) => TextAnalysis.tokenGini(Tables(s, dir, "documents")),
+      Some("""WITH v AS (
+             |  SELECT source,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |              t -> t <> '')) AS BIGINT) AS v
+             |  FROM documents
+             |),
+             |c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM v GROUP BY 1, 2),
+             |rk AS (SELECT source, v, c,
+             |              CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+             |                   - c AS BIGINT) AS bef
+             |       FROM c),
+             |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |             CAST(SUM(c * v) AS BIGINT) AS total_tokens,
+             |             SUM(CAST(v AS HUGEINT) *
+             |                 (CAST(c AS HUGEINT) * bef + c * (c + 1) // 2))
+             |                 AS rsum
+             |      FROM rk GROUP BY 1)
+             |SELECT source, n_docs, total_tokens,
+             |       CASE WHEN CAST(n_docs AS HUGEINT) * total_tokens = 0
+             |            THEN NULL
+             |            ELSE CAST(2 * rsum - CAST(n_docs + 1 AS HUGEINT)
+             |                      * total_tokens AS DOUBLE)
+             |                 / CAST(CAST(n_docs AS HUGEINT) * total_tokens
+             |                        AS DOUBLE)
+             |       END AS gini
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // --- Session market-basket: unordered event-type pairs sharing a
+    //     session, with exact-ppm support and lift (HUGEINT/DECIMAL
+    //     cross products, floored `//`/DIV on both sides).
+    QueryDef(
+      "q160_type_affinity",
+      (s, dir) => EventFunnel.typeAffinity(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events
+             |),
+             |sq AS (
+             |  SELECT user_id, event_type,
+             |         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING
+             |                 AND CURRENT ROW) AS session_id
+             |  FROM (SELECT *, LAG(sec) OVER (PARTITION BY user_id
+             |               ORDER BY sec, event_id) AS prev FROM e)
+             |),
+             |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sq),
+             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+             |       FROM (SELECT DISTINCT user_id, session_id FROM st)),
+             |tn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM st GROUP BY 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |             CAST(COUNT(*) AS BIGINT) AS n_ab
+             |      FROM st a JOIN st b
+             |        ON a.user_id = b.user_id AND a.session_id = b.session_id
+             |       AND a.event_type < b.event_type
+             |      GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_ab, ta.n AS n_a, tb.n AS n_b,
+             |       ns.n_sessions,
+             |       n_ab * 1000000 // ns.n_sessions AS support_ppm,
+             |       CAST(CAST(n_ab AS HUGEINT) * ns.n_sessions * 1000000
+             |            // (CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT)
+             |            AS lift_ppm
+             |FROM p
+             |JOIN tn ta ON ta.event_type = p.type_a
+             |JOIN tn tb ON tb.event_type = p.type_b
+             |CROSS JOIN ns
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // --- ISO-weekday seasonality census: integer (epoch-day + 3) % 7,
+    //     ROW_NUMBER argmax for the peak day, Simpson concentration in
+    //     exact ppm (HUGEINT/DECIMAL quadratic terms).
+    QueryDef(
+      "q161_weekly_seasonality",
+      (s, dir) =>
+        EventFunnel.weeklySeasonality(graft.Tables.events(s, dir)),
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |         ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) + 3) % 7
+             |           AS dow
+             |  FROM events
+             |),
+             |c AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM d GROUP BY 1, 2),
+             |r AS (SELECT event_type, dow, n,
+             |             ROW_NUMBER() OVER (PARTITION BY event_type
+             |                  ORDER BY n DESC, dow) AS rnk
+             |      FROM c),
+             |a AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+             |             CAST(COUNT(*) AS BIGINT) AS n_active_dows,
+             |             SUM(CAST(n AS HUGEINT) * n) AS sum_sq
+             |      FROM c GROUP BY 1)
+             |SELECT a.event_type, a.n_events, a.n_active_dows,
+             |       r.dow AS peak_dow,
+             |       r.n * 1000000 // a.n_events AS peak_share_ppm,
+             |       CAST(sum_sq * 1000000 // (CAST(a.n_events AS HUGEINT)
+             |            * a.n_events) AS BIGINT) AS hhi_ppm
+             |FROM a JOIN r ON r.event_type = a.event_type AND r.rnk = 1
+             |ORDER BY a.event_type""".stripMargin)),
+
+    // --- Duplicate-spread census over a corpus with KNOWN duplication
+    //     structure: the gate channel unions a deterministic cross-
+    //     source re-crawl (every 7th doc under source 'recrawl') and an
+    //     intra-source re-post (every 3rd doc, same source) — identical
+    //     construction both sides, the q98/q114 technique — so the
+    //     census exercises both spread shapes at sf0.01 instead of
+    //     matching on empty.
+    QueryDef(
+      "q162_dup_spread_census",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val re7 = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
+            lit("recrawl").as("source"))
+        val re3 = docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text"),
+            col("source"))
+        Dedup.dupSpreadCensus(docs.unionByName(re7).unionByName(re3))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 7000000, text, 'recrawl' FROM documents
+             |  WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 9000000, text, source FROM documents
+             |  WHERE doc_id % 3 = 0
+             |),
+             |ps AS (SELECT md5(text) AS h, source,
+             |              CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM u GROUP BY 1, 2),
+             |cl AS (SELECT h, CAST(SUM(c) AS BIGINT) AS size,
+             |              CAST(COUNT(*) AS BIGINT) AS n_sources,
+             |              CAST(MAX(c) AS BIGINT) AS max_c
+             |       FROM ps GROUP BY 1 HAVING SUM(c) >= 2)
+             |SELECT size, n_sources,
+             |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             |       CAST(SUM(size) AS BIGINT) AS n_docs,
+             |       CAST(SUM(size - max_c) AS BIGINT) AS cross_source_docs,
+             |       CAST(SUM(size - max_c) AS BIGINT) * 1000000
+             |         // CAST(SUM(size) AS BIGINT) AS spill_ppm
+             |FROM cl GROUP BY 1, 2 ORDER BY size, n_sources""".stripMargin)),
+
+    // --- Per-source unigram drift vs the corpus mixture: exact
+    //     total-variation distance in ppm (log-free by design — TV is
+    //     pure integer arithmetic where KL/JS would need ln).
+    QueryDef(
+      "q165_source_drift",
+      (s, dir) => TextAnalysis.sourceDrift(Tables(s, dir, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |),
+             |cst AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM tok GROUP BY 1, 2),
+             |ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS g
+             |       FROM cst GROUP BY 1),
+             |ss AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s_tok,
+             |              CAST(COUNT(*) AS BIGINT) AS s_terms
+             |       FROM cst GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(s_tok) AS BIGINT) AS tot FROM ss),
+             |a AS (
+             |  SELECT cst.source, MIN(ss.s_tok) AS n_tokens,
+             |         MIN(ss.s_terms) AS n_terms, MIN(tt.tot) AS tot,
+             |         SUM(ABS(CAST(cst.c AS HUGEINT) * tt.tot
+             |                 - CAST(ct.g AS HUGEINT) * ss.s_tok))
+             |             AS present,
+             |         CAST(SUM(ct.g) AS BIGINT) AS cov
+             |  FROM cst JOIN ct USING (t) JOIN ss USING (source)
+             |  CROSS JOIN tt
+             |  GROUP BY 1)
+             |SELECT source, n_tokens, n_terms,
+             |       CAST((present + CAST(tot - cov AS HUGEINT) * n_tokens)
+             |            * 1000000
+             |            // (2 * CAST(n_tokens AS HUGEINT) * tot) AS BIGINT)
+             |            AS tv_ppm
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // --- Power-user concentration: exact top-1/10/50% event shares
+    //     from the collapsed per-user-count value table (no user sort;
+    //     the straddling run is sliced arithmetically).
+    QueryDef(
+      "q166_power_users",
+      (s, dir) => EventFunnel.powerUserShare(graft.Tables.events(s, dir)),
+      Some("""WITH uc AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1
+             |),
+             |v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS users
+             |      FROM uc GROUP BY 1),
+             |r AS (SELECT c, users,
+             |             CAST(SUM(users) OVER (ORDER BY c DESC)
+             |                  AS BIGINT) AS cum_users
+             |      FROM v),
+             |tot AS (SELECT CAST(SUM(users) AS BIGINT) AS n_users,
+             |               CAST(SUM(c * users) AS BIGINT) AS n_events
+             |        FROM v),
+             |k AS (SELECT UNNEST([1, 10, 50]) AS pct)
+             |SELECT CAST(k.pct AS BIGINT) AS pct,
+             |       MIN((tot.n_users * k.pct + 99) // 100) AS n_top_users,
+             |       MIN(tot.n_events) AS n_events,
+             |       CAST(SUM(r.c * LEAST(r.users,
+             |            GREATEST(0, (tot.n_users * k.pct + 99) // 100
+             |                        - (r.cum_users - r.users))))
+             |            AS BIGINT) AS events_covered,
+             |       CAST(CAST(SUM(r.c * LEAST(r.users,
+             |            GREATEST(0, (tot.n_users * k.pct + 99) // 100
+             |                        - (r.cum_users - r.users))))
+             |            AS HUGEINT) * 1000000 // tot.n_events AS BIGINT)
+             |            AS share_ppm
+             |FROM r CROSS JOIN tot CROSS JOIN k
+             |GROUP BY k.pct, tot.n_events
+             |ORDER BY pct""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

@@ -738,6 +738,114 @@ object Relational {
              |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
              |FROM flags GROUP BY user_id
              |ORDER BY user_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // --- Market-share within region (TPC-H Q8 flavor on the available
+    //     schema): per (region, order-year, customer nation) exact-cents
+    //     revenue and its floored-ppm share of the (region, year) total.
+    //     Scale shape: the q07 dim chain (region→nation broadcast into
+    //     customer), one fact-side shuffle with the per-row cents-long
+    //     projected BEFORE it, then a |nations·years|-row aggregate; the
+    //     share denominators come from a window over that tiny result,
+    //     never a second corpus pass. Share products are DECIMAL(38,0)
+    //     (cents·10⁶ wraps int64 past ~$9·10¹² of revenue per cell),
+    //     floored with DIV = the oracle's HUGEINT `//`.
+    QueryDef(
+      "q163_market_share",
+      (s, dir) => {
+        val nr = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        val cust = t(s, dir, "customer")
+          .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"), col("r_name"))
+        val oc = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_year"), col("n_name"),
+            col("r_name"))
+        val agg = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("r_name"), col("o_year"), col("n_name"))
+          .agg(exactSum(col("rev")).as("cents"))
+        val w = Window.partitionBy(col("r_name"), col("o_year"))
+        agg
+          .withColumn("tot", sum(col("cents")).over(w))
+          .withColumn("share_num",
+            col("cents") * lit(1000000L).cast("decimal(20,0)"))
+          .select(col("r_name"), col("o_year"), col("n_name"),
+            (col("cents").cast("double") / 10000).as("revenue"),
+            expr("share_num DIV tot").as("share_ppm"))
+          .orderBy("r_name", "o_year", "n_name")
+      },
+      Some("""WITH a AS (
+             |  SELECT r_name, EXTRACT(year FROM o_orderdate) AS o_year,
+             |         n_name,
+             |         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |             * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                            AS BIGINT))) AS cents
+             |  FROM lineitem, orders, customer, nation, region
+             |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT r_name, CAST(o_year AS BIGINT) AS o_year, n_name,
+             |       CAST(cents AS DOUBLE) / 10000 AS revenue,
+             |       CAST(CAST(cents AS HUGEINT) * 1000000
+             |            // SUM(cents) OVER (PARTITION BY r_name, o_year)
+             |            AS BIGINT) AS share_ppm
+             |FROM a ORDER BY r_name, o_year, n_name""".stripMargin)),
+
+    // --- Top supplier by quarter revenue (TPC-H Q15 shape): exact-cents
+    //     supplier revenue for 1996Q1 shipments, max-revenue suppliers
+    //     (ties included) joined back to supplier. Scale shape: the fact
+    //     scan's pushed date filter bounds the read; one l_suppkey hash
+    //     agg; the 1-row max broadcasts into the |suppliers|-row revenue
+    //     table; the surviving winners (≈1 row) broadcast into the
+    //     supplier dim join. Never a sort, never a second fact pass.
+    QueryDef(
+      "q164_top_supplier",
+      (s, dir) => {
+        import graft.operators.CacheRegistry.TrackedPersist
+        val rev = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_suppkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .groupBy(col("l_suppkey"))
+          .agg(exactSum(col("rev")).as("cents"))
+          // |suppliers|-row table feeds BOTH the 1-row max and the
+          // winners filter: persist it or the fact is scanned twice
+          .trackedPersist()
+        val mx = rev.agg(max(col("cents")).as("m"))
+        val winners = rev.crossJoin(broadcast(mx))
+          .where(col("cents") === col("m"))
+        t(s, dir, "supplier")
+          .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("cents").cast("double") / 10000).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_suppkey,
+             |         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |             * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                            AS BIGINT))) AS cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY 1
+             |),
+             |m AS (SELECT MAX(cents) AS m FROM r)
+             |SELECT s_suppkey, s_name, CAST(cents AS DOUBLE)/10000
+             |         AS total_revenue
+             |FROM supplier JOIN r ON s_suppkey = l_suppkey CROSS JOIN m
+             |WHERE cents = m ORDER BY s_suppkey""".stripMargin))
   )
 }

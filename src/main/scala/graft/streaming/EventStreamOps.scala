@@ -108,7 +108,10 @@ object EventStreamOps {
           var cur = state.getOption.getOrElse(
             AttribState(Long.MaxValue, Long.MaxValue, "", 0L))
           evs.foreach { e =>
-            val sec = e.ts.getTime / 1000L
+            // floorDiv, not truncation: matches batch epochSec's
+            // timestamp→long floor semantics for pre-1970 instants
+            // with sub-second parts (same total order in every case).
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
             if (sec < cur.firstSec ||
               (sec == cur.firstSec && e.event_id < cur.firstId))
               cur = cur.copy(firstSec = sec, firstId = e.event_id,
@@ -129,7 +132,8 @@ object EventStreamOps {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.map(e => e.ts.getTime / 1000L).toSeq.sorted
+          val sorted =
+            evs.map(e => Math.floorDiv(e.ts.getTime, 1000L)).toSeq.sorted
           var out = List.empty[Session]
           var cur = state.getOption
           sorted.foreach { sec =>

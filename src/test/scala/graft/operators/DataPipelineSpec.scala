@@ -2623,6 +2623,42 @@ class DataPipelineSpec extends SparkSpec {
     assert(b.isNullAt(5) && b.getLong(1) == 1L)
   }
 
+  test("volumeTrend: final-select products survive int64-wrapping " +
+    "moment magnitudes (DECIMAL path)") {
+    val s2 = spark
+    import s2.implicits._
+    // a corpus the moment columns can carry in int64 but whose
+    // final-select products (n_days·Σxy, Σx·total) wrap int64: a
+    // ~20k-day span at ~10 M events/day. Feed the moments directly —
+    // 2·10¹¹ rows cannot be materialized in a test. Exact linear
+    // y = 10_000_000·1 per day over days d0..d0+n-1 → slope must come
+    // out exactly 0.0 (constant counts) with NO sign flip / garbage
+    // from a wrapped product.
+    val d0 = 20000L
+    val n = 20000L
+    val perDay = 10000000L
+    val days = (d0 until d0 + n)
+    val moments = Seq(("big", n, perDay * n, d0, d0 + n - 1,
+      days.map(d => d * perDay).sum, // Σxy ≈ 6·10¹⁵ — fits int64
+      days.sum, days.map(d => d * d).sum))
+      .toDF("event_type", "n_days", "total", "first_day", "last_day",
+        "sxy", "sx", "sxx")
+    // int64 products would wrap: n_days·Σxy ≈ 1.2·10²⁰ > 2⁶³
+    assert(BigInt(n) * days.map(d => d * perDay).sum > BigInt(Long.MaxValue))
+    val out = EventFunnel.volumeTrendFromMoments(moments).collect()
+    assert(out.length == 1 && out.head.getDouble(5) == 0.0)
+
+    // and a sloped variant: counts perDay + d − d0 → slope exactly 1.0
+    val m2 = Seq(("big2", n, days.map(d => perDay + d - d0).sum,
+      d0, d0 + n - 1,
+      days.map(d => d * (perDay + d - d0)).sum,
+      days.sum, days.map(d => d * d).sum))
+      .toDF("event_type", "n_days", "total", "first_day", "last_day",
+        "sxy", "sx", "sxx")
+    val out2 = EventFunnel.volumeTrendFromMoments(m2).collect()
+    assert(out2.length == 1 && out2.head.getDouble(5) == 1.0)
+  }
+
   test("methodAgreement: exact-dup collapse equals the uncollapsed " +
     "spelling on a duplicated corpus") {
     val s2 = spark
@@ -2710,5 +2746,107 @@ class DataPipelineSpec extends SparkSpec {
       ((1L, 3L, 3L), (1L, 3L, 150.0)),
       ((2L, 2L, 2L), (1L, 2L, 40.0)),
       ((3L, 1L, 1L), (1L, 1L, 5.0))))
+  }
+
+  test("tokenGini: closed-form rank sums match the textbook Gini; " +
+    "degenerate source is NULL") {
+    // source x token counts [1,1,2,4]: sorted ranks 1..4 →
+    // R = 1+2+6+16 = 25, G = (2·25 − 5·8)/(4·8) = 10/32 = 0.3125.
+    // source y: one doc → G = (2·1 − 2·1)/(1·1) = 0.
+    // source z: empty texts only → total 0 → NULL.
+    val d = Seq(
+      (1L, "a", "x"), (2L, "b", "x"), (3L, "a b", "x"),
+      (4L, "a b c d", "x"),
+      (5L, "hello", "y"),
+      (6L, "", "z"), (7L, "", "z"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenGini(d).collect()
+    val x = out.find(_.getString(0) == "x").get
+    assert((x.getLong(1), x.getLong(2), x.getDouble(3)) == ((4L, 8L, 0.3125)))
+    assert(out.find(_.getString(0) == "y").get.getDouble(3) == 0.0)
+    assert(out.find(_.getString(0) == "z").get.isNullAt(3))
+  }
+
+  test("typeAffinity: pair counts, support and lift over sessions") {
+    val D = 86400L * 1000000000L
+    // user 1: session {a, b} then (gap > 1800s) session {b, c};
+    // user 2: session {b}. n_sessions = 3, n_a = 1, n_b = 3, n_c = 1.
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (2L, 100L * 1000000000L, 1L, "b"),
+      (3L, D, 1L, "b"), (4L, D + 500L * 1000000000L, 1L, "c"),
+      (5L, 0L, 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.typeAffinity(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+    // (a,b): n_ab=1, support 1e6//3, lift = 1·3·1e6 // (1·3) = 1e6
+    // (b,c): n_ab=1, lift = 1·3·1e6 // (3·1) = 1e6
+    assert(out.toSeq == Seq(
+      (("a", "b"), (1L, 1L, 3L, 3L, 333333L, 1000000L)),
+      (("b", "c"), (1L, 3L, 1L, 3L, 333333L, 1000000L))))
+  }
+
+  test("weeklySeasonality: ISO weekday anchor, peak and exact Simpson") {
+    val D = 86400L * 1000000000L
+    // epoch day 0 = Thursday → ISO dow 3; day 1 = Friday → 4.
+    // type a: 2 events Thursday + 1 Friday → peak (3, 666666 ppm),
+    // hhi = (4+1)·10⁶ // 9 = 555555.
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (2L, 5L, 2L, "a"), (3L, D, 1L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.weeklySeasonality(ev).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq(("a", 3L, 2L, 3L, 666666L, 555555L)))
+  }
+
+  test("dupSpreadCensus: cross-source vs intra-source spread; " +
+    "singletons excluded") {
+    // text A ×3 over two sources (2 in s1, 1 in s2) → cell (3, 2):
+    // spill 1 → 333333 ppm. text B ×2 in one source → cell (2, 1):
+    // spill 0. text C singleton → excluded.
+    val d = Seq(
+      (1L, "aaa", "s1"), (2L, "aaa", "s1"), (3L, "aaa", "s2"),
+      (4L, "bbb", "s1"), (5L, "bbb", "s1"),
+      (6L, "ccc", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupSpreadCensus(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(out.toSeq == Seq(
+      ((2L, 1L), (1L, 2L, 0L, 0L)),
+      ((3L, 2L), (1L, 3L, 1L, 333333L))))
+  }
+
+  test("sourceDrift: exact total-variation ppm incl. absent-term mass") {
+    // s1 = "a a b" (a:2, b:1, S=3); s2 = "b" (S=1). Corpus: a:2, b:2,
+    // T=4. TV(s1) = ½(|2/3−1/2| + |1/3−1/2|) = 1/6 → 166666 ppm.
+    // TV(s2) = ½(|0−1/2| + |1−1/2|) = 1/2 → 500000 ppm (the a-term is
+    // ABSENT from s2 — covers the (T−cov)·S term).
+    val d = Seq((1L, "a a b", "s1"), (2L, "b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDrift(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s1", 3L, 2L, 166666L), ("s2", 1L, 1L, 500000L)))
+  }
+
+  test("powerUserShare: straddling value-run sliced exactly") {
+    val G = 1000000000L
+    // users with counts u1:10, u2:10, u3:1 — the 50% cut (k=2) lands
+    // INSIDE the c=10 run: covered = 10·min(2, 2−0) = 20 of 21.
+    val ev = (Seq.tabulate(10)(i => (i.toLong, i * G, 1L, "e")) ++
+      Seq.tabulate(10)(i => (100L + i, i * G, 2L, "e")) ++
+      Seq((200L, 0L, 3L, "e")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.powerUserShare(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // pct 1: k=(3·1+99)//100=1 → 10/21; pct 10: k=1 → 10/21;
+    // pct 50: k=(150+99)//100=2 → 20/21.
+    assert(out.toSeq == Seq(
+      (1L, 1L, 21L, 10L, 476190L),
+      (10L, 1L, 21L, 10L, 476190L),
+      (50L, 2L, 21L, 20L, 952380L)))
   }
 }

@@ -100,6 +100,29 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: pre-1970 sub-second timestamps use floor " +
+    "semantics (same total order as batch epochSec)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.TEv]
+    val q = EventStreamOps.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_pre_epoch")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // signup at −500 ms floors to sec −1, BEFORE the click at sec 0.
+      // Truncation-toward-zero would put both at sec 0 and the id
+      // tie-break (1 < 2) would flip the first touch to "click".
+      mem.addData(
+        EventStreamOps.TEv(2, new Timestamp(-500L), 1L, "signup"),
+        EventStreamOps.TEv(1, new Timestamp(0L), 1L, "click"))
+      q.processAllAvailable()
+      val last = spark.table("attr_pre_epoch").collect().last
+      assert((last.getLong(0), last.getString(1)) == ((1L, "signup")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
