@@ -717,6 +717,48 @@ object EventFunnel {
     * Covered·10⁶ lifts to DECIMAL(38,0) (int64 wraps at ~9·10¹²
     * events).
     */
+  /** Rolling trailing-window active users: per day, the distinct users
+    * active in the `windowDays`-day window ENDING that day, next to the
+    * day's own DAU and their exact-ppm ratio — the daily-grain
+    * stickiness curve (q139's DAU/WAU is its tumbling-week cousin).
+    *
+    * Exact rolling distincts WITHOUT a per-day self-join or a sliding
+    * re-count: the corpus first collapses to distinct (user, day) — the
+    * only corpus-sized shuffle — then each collapsed row fans out to
+    * the ≤`windowDays` window-end days it makes its user active in
+    * (a BOUNDED ×7 explode of the already-collapsed table, nothing
+    * event-sized), a second distinct absorbs multi-active-day overlap,
+    * and one hash agg counts per window-end day. Day arithmetic is
+    * integer epoch-days via [[graft.Tables.epochSec]]; window-end days
+    * past the observed span are trimmed against the broadcast 1-row
+    * span frame.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"))
+      .distinct()
+      .trackedPersist() // feeds the DAU table AND the window fan-out
+    val span = ud.agg(max(col("day")).as("d1"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val rolling = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + lit(windowDays - 1).cast("long"))).as("d"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .where(col("d") <= col("d1"))
+      .groupBy(col("d")).agg(count(lit(1)).as("rolling_active"))
+    rolling.join(dau, rolling("d") === dau("day"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("rolling_active"),
+        (coalesce(col("dau"), lit(0L)) * 1000000L)
+          .cast("long").as("dau_e6"))
+      .select(col("day"), col("dau"), col("rolling_active"),
+        expr("dau_e6 DIV rolling_active").as("dau_share_ppm"))
+      .orderBy("day")
+  }
+
   def powerUserShare(events: DataFrame,
       pcts: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -124,6 +124,56 @@ object Similarity {
     rankTopK(q, t, col("tid") =!= col("qid"), k)
   }
 
+  /** k-NN label-classification evaluation: hold out every `mod`-th
+    * vector as the eval set, predict each eval vector's label by
+    * majority vote over its k nearest train vectors (exact quantized
+    * cosine), and report per-true-label accuracy in exact ppm — the
+    * "do these embeddings separate my labels" health check run before
+    * committing a corpus to similarity-based curation.
+    *
+    * Determinism end to end: neighbours rank on the quantized cosine
+    * with tid tie-break (the q34 discipline), majority votes break ties
+    * to the SMALLER label (min(struct(-votes, label))), and the final
+    * accuracy is an integer ppm DIV. Scale shape: the deterministic
+    * eval sample broadcasts and the train corpus STREAMS through the
+    * scoring join (the [[cosineTopK]] build-side discipline — the eval
+    * fraction is a knob; a deployment keeps |eval| bounded and
+    * escalates the scoring join to [[ivfTopK]]/[[pqAdcTopK]] blocking
+    * when |eval|·N stops fitting the night); per-query ranking is one
+    * qid-keyed window over the scored pairs, everything after is
+    * |eval|- then |labels|-sized.
+    */
+  def knnLabelEval(emb: DataFrame, mod: Long = 17, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val q = emb.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").cast("long").as("qlabel"))
+    val t = emb.where(col("vec_id") % mod =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"),
+        col("label").cast("long").as("tlabel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("tid"))
+    val nn = broadcast(q).join(t, col("tid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("tid"), col("tlabel"),
+        cosine(col("qv"), col("tv")).as("cos"))
+      .select(col("qid"), col("qlabel"), col("tlabel"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+    val pred = nn.groupBy(col("qid"), col("qlabel"), col("tlabel"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(min(struct((-col("v")).as("neg"), col("tlabel").as("l")))
+        .as("top"))
+      .select(col("qid"), col("qlabel"), col("top.l").as("pred"))
+    pred.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_correct"),
+        expr("n_correct * 1000000 DIV n_eval").as("acc_ppm"))
+      .orderBy("label")
+  }
+
   /** Embedding quality-control report: per label, vector count,
     * dimension min/max (catches ragged arrays), and the min / max /
     * mean squared norm — the drift signals that catch a broken encoder

@@ -4933,7 +4933,87 @@ object DataPipeline {
              |            AS share_ppm
              |FROM r CROSS JOIN tot CROSS JOIN k
              |GROUP BY k.pct, tot.n_events
-             |ORDER BY pct""".stripMargin))
+             |ORDER BY pct""".stripMargin)),
+
+    // --- Rolling 7-day active users per day: collapse to distinct
+    //     (user, day) FIRST, then a bounded ×7 fan-out of the collapsed
+    //     table — never a per-day re-count or event-sized explode.
+    QueryDef(
+      "q167_rolling_active",
+      (s, dir) => EventFunnel.rollingActive(graft.Tables.events(s, dir)),
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events
+             |),
+             |span AS (SELECT MAX(day) AS d1 FROM ud),
+             |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+             |        FROM ud GROUP BY 1),
+             |contrib AS (
+             |  SELECT DISTINCT user_id, day + i AS d
+             |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i)
+             |),
+             |roll AS (
+             |  SELECT d, CAST(COUNT(*) AS BIGINT) AS rolling_active
+             |  FROM contrib CROSS JOIN span WHERE d <= d1 GROUP BY 1
+             |)
+             |SELECT r.d AS day, CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+             |       r.rolling_active,
+             |       CAST(COALESCE(dau.dau, 0) * 1000000 // r.rolling_active
+             |            AS BIGINT) AS dau_share_ppm
+             |FROM roll r LEFT JOIN dau ON dau.day = r.d
+             |ORDER BY day""".stripMargin)),
+
+    // --- k-NN label-classification eval: every 17th vector held out,
+    //     5-NN majority vote from the rest (exact quantized cosine, q34
+    //     ranking discipline, ties → smaller label), per-label accuracy
+    //     in exact ppm.
+    QueryDef(
+      "q168_knn_label_eval",
+      (s, dir) => Similarity.knnLabelEval(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $DimsCte,
+             |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l
+             |        FROM embeddings),
+             |dot AS (
+             |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+             |         CAST(SUM(CAST(FLOOR(q.v * t.v * 1000000000000 + 0.5)
+             |              AS BIGINT)) AS DOUBLE) / 1000000000000 AS d
+             |  FROM dims q JOIN dims t ON q.i = t.i
+             |   AND q.vec_id % 17 = 0 AND t.vec_id % 17 <> 0
+             |  GROUP BY 1, 2
+             |),
+             |scored AS (
+             |  SELECT qid, tid, d / (sqrt(nq.n2) * sqrt(nt.n2)) AS cos
+             |  FROM dot JOIN norm nq ON nq.vec_id = qid
+             |           JOIN norm nt ON nt.vec_id = tid
+             |),
+             |ranked AS (
+             |  SELECT qid, tid,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cos DESC, tid) AS rnk
+             |  FROM scored
+             |),
+             |votes AS (
+             |  SELECT r.qid, lt.l AS tlabel, CAST(COUNT(*) AS BIGINT) AS v
+             |  FROM ranked r JOIN lab lt ON lt.vec_id = r.tid
+             |  WHERE r.rnk <= 5 GROUP BY 1, 2
+             |),
+             |best AS (
+             |  SELECT qid, tlabel AS pred,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY v DESC, tlabel) AS vr
+             |  FROM votes
+             |),
+             |p AS (
+             |  SELECT b.qid, lq.l AS qlabel, b.pred
+             |  FROM best b JOIN lab lq ON lq.vec_id = b.qid WHERE b.vr = 1
+             |)
+             |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_correct,
+             |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT) * 1000000 // COUNT(*) AS acc_ppm
+             |FROM p GROUP BY 1 ORDER BY label""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

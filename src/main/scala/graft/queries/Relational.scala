@@ -846,6 +846,41 @@ object Relational {
              |SELECT s_suppkey, s_name, CAST(cents AS DOUBLE)/10000
              |         AS total_revenue
              |FROM supplier JOIN r ON s_suppkey = l_suppkey CROSS JOIN m
-             |WHERE cents = m ORDER BY s_suppkey""".stripMargin))
+             |WHERE cents = m ORDER BY s_suppkey""".stripMargin)),
+
+    // --- Customer order-count distribution (TPC-H Q13 shape): how many
+    //     customers placed 0, 1, 2, … orders — zero-order customers
+    //     included via the left join. Scale shape: orders pre-aggregates
+    //     to |custkeys| rows BEFORE the join (map-side partials absorb
+    //     the fact stream), the left join is co-keyed on custkey, and
+    //     the histogram + 1-row total are |distinct counts|-sized.
+    QueryDef(
+      "q169_order_count_histogram",
+      (s, dir) => {
+        val oc = t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        val per = t(s, dir, "customer").select(col("c_custkey"))
+          .join(oc, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        val hist = per.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("n_custs"))
+        hist
+          .crossJoin(broadcast(hist.agg(sum(col("n_custs")).as("n_total"))))
+          .select(col("c_count"), col("n_custs"),
+            expr("n_custs * 1000000 DIV n_total").as("share_ppm"))
+          .orderBy(desc("n_custs"), desc("c_count"))
+      },
+      Some("""WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+             |            FROM orders GROUP BY 1),
+             |per AS (SELECT CAST(COALESCE(oc.n, 0) AS BIGINT) AS c_count
+             |        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+             |hist AS (SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_custs
+             |         FROM per GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_custs) AS BIGINT) AS n_total
+             |        FROM hist)
+             |SELECT c_count, n_custs,
+             |       n_custs * 1000000 // n_total AS share_ppm
+             |FROM hist CROSS JOIN tot
+             |ORDER BY n_custs DESC, c_count DESC""".stripMargin))
   )
 }

@@ -2849,4 +2849,39 @@ class DataPipelineSpec extends SparkSpec {
       (10L, 1L, 21L, 10L, 476190L),
       (50L, 2L, 21L, 20L, 952380L)))
   }
+
+  test("rollingActive: trailing-window distinct actives with span trim") {
+    val D = 86400L * 1000000000L
+    // u1 active on days 0 and 8, u2 on day 1 → windows [d, d+6];
+    // day 8's window is trimmed at the observed max day.
+    val ev = Seq(
+      (1L, 0L, 1L, "e"), (2L, 10L, 1L, "e"), // same (user, day): collapses
+      (3L, 1L * D, 2L, "e"), (4L, 8L * D, 1L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.rollingActive(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 1000000L), (1L, 1L, 2L, 500000L),
+      (2L, 0L, 2L, 0L), (3L, 0L, 2L, 0L), (4L, 0L, 2L, 0L),
+      (5L, 0L, 2L, 0L), (6L, 0L, 2L, 0L), (7L, 0L, 1L, 0L),
+      (8L, 1L, 1L, 1000000L)))
+  }
+
+  test("knnLabelEval: majority vote over exact-cosine neighbours, " +
+    "per-label accuracy") {
+    val s2 = spark
+    import s2.implicits._
+    // eval: 0 (label 1, ≈x-axis), 17 (label 2, ≈y-axis); train: 1,2,3
+    // label 1 near x, 4,5 label 2 near y. k=5 takes ALL train → votes
+    // 3:2 label 1 every time → eval 0 correct, eval 17 wrong.
+    val embs = Seq(
+      (0L, Array(1f, 0f), 1), (17L, Array(0f, 1f), 2),
+      (1L, Array(1f, 0.01f), 1), (2L, Array(1f, 0.02f), 1),
+      (3L, Array(1f, 0.03f), 1),
+      (4L, Array(0.01f, 1f), 2), (5L, Array(0.02f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelEval(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1000000L), (2L, 1L, 0L, 0L)))
+  }
 }
