@@ -722,30 +722,38 @@ object EventFunnel {
     * day's own DAU and their exact-ppm ratio — the daily-grain
     * stickiness curve (q139's DAU/WAU is its tumbling-week cousin).
     *
-    * Exact rolling distincts WITHOUT a per-day self-join or a sliding
-    * re-count: the corpus first collapses to distinct (user, day) — the
-    * only corpus-sized shuffle — then each collapsed row fans out to
-    * the ≤`windowDays` window-end days it makes its user active in
-    * (a BOUNDED ×7 explode of the already-collapsed table, nothing
-    * event-sized), a second distinct absorbs multi-active-day overlap,
-    * and one hash agg counts per window-end day. Day arithmetic is
-    * integer epoch-days via [[graft.Tables.epochSec]]; window-end days
-    * past the observed span are trimmed against the broadcast 1-row
-    * span frame.
+    * Exact rolling distincts with ONE corpus-sized shuffle (zero on
+    * the bucketed events layout) and NO row-explosion through any
+    * exchange: the corpus collapses straight to per-user active-day
+    * SETS in a single user_id hash aggregate (map-side partial
+    * collect_sets absorb the event stream; per-user sets are bounded
+    * by the span, the q22 group-size argument), then BOTH day tables
+    * derive map-side from the cached sets — DAU by exploding the set,
+    * the rolling count by exploding `array_distinct` of the user's
+    * fanned window-end days (dedup happens INSIDE the array, so the
+    * ×`windowDays` fan-out never crosses an exchange; the first cut
+    * of this operator fanned the collapsed (user, day) table ×7
+    * through a global distinct — ~280 M exchanged rows at the 200×
+    * replica, measured ~10× the oracle — this form deletes that
+    * exchange outright). The per-day aggregates downstream are
+    * |span|-keyed with map-side partials. Day arithmetic is integer
+    * epoch-days via [[graft.Tables.epochSec]]; window-end days past
+    * the observed span are trimmed against the broadcast 1-row span.
     */
   def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val ud = events
+    val sets = events
       .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
       .select(col("user_id"), expr("sec DIV 86400").as("day"))
-      .distinct()
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
       .trackedPersist() // feeds the DAU table AND the window fan-out
-    val span = ud.agg(max(col("day")).as("d1"))
-    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val rolling = ud
-      .select(col("user_id"),
-        explode(sequence(col("day"),
-          col("day") + lit(windowDays - 1).cast("long"))).as("d"))
-      .distinct()
+    val dau = sets.select(explode(col("days")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val span = dau.agg(max(col("day")).as("d1"))
+    val rolling = sets
+      .select(explode(array_distinct(flatten(transform(col("days"),
+        d => sequence(d, d + lit(windowDays - 1).cast("long"))))))
+        .as("d"))
       .crossJoin(broadcast(span))
       .where(col("d") <= col("d1"))
       .groupBy(col("d")).agg(count(lit(1)).as("rolling_active"))
