@@ -767,6 +767,56 @@ object EventFunnel {
       .orderBy("day")
   }
 
+  /** Weekday-adjusted volume anomaly census: per event type, how many
+    * days ran hot (> 1.25× their own weekday's mean) or cold (< 0.75×),
+    * with the extreme day-vs-weekday-mean ratios in exact ppm — the
+    * seasonality-aware upgrade of q71's flat day-over-day alarm (a
+    * quiet Sunday is NOT an anomaly just because Monday is busy).
+    *
+    * Exactness without a float mean: a day with count n against its
+    * (type, weekday) cell's (total, cnt days) is hot iff
+    * n·cnt·100 > 125·total and cold iff n·cnt·100 < 75·total — pure
+    * integer cross-multiplication, no division until the reported
+    * extreme ratios (`n·cnt·10⁶ DIV total`, DECIMAL(38,0) products —
+    * int64 would wrap past ~10¹² events/day-cell). Scale shape: ONE
+    * (type, day) hash agg is the only corpus-sized op; the weekday
+    * stats are a ≤7·|types|-row rollup broadcast back onto the
+    * |types·span|-row daily table.
+    */
+  def seasonalAnomalies(events: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(20,0)")
+    val daily = events
+      .select(col("event_type"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val dw = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("cnt"))
+    daily.join(broadcast(dw), Seq("event_type", "dow"))
+      .withColumn("ratio_num",
+        dec(col("n")) * dec(col("cnt")) * lit(1000000L).cast("decimal(20,0)"))
+      .withColumn("ratio_ppm", expr("ratio_num DIV total"))
+      // the hot/cold tests cross-multiply in DECIMAL too: n·cnt·100
+      // wraps int64 past ~10¹² events/day-cell, and a test on the
+      // FLOORED ratio would misclassify days landing exactly between
+      // floor boundaries on large cells
+      .withColumn("lhs", dec(col("n")) * dec(col("cnt")) *
+        lit(100L).cast("decimal(20,0)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("lhs") > dec(col("total")) *
+          lit(125L).cast("decimal(20,0)"), 1L).otherwise(0L))
+          .as("n_high_days"),
+        sum(when(col("lhs") < dec(col("total")) *
+          lit(75L).cast("decimal(20,0)"), 1L).otherwise(0L))
+          .as("n_low_days"),
+        max(col("ratio_ppm")).as("max_ratio_ppm"),
+        min(col("ratio_ppm")).as("min_ratio_ppm"))
+      .orderBy("event_type")
+  }
+
   def powerUserShare(events: DataFrame,
       pcts: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -5013,7 +5013,46 @@ object DataPipeline {
              |            AS BIGINT) AS n_correct,
              |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
              |            AS BIGINT) * 1000000 // COUNT(*) AS acc_ppm
-             |FROM p GROUP BY 1 ORDER BY label""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // --- Weekday-adjusted volume anomaly census: hot/cold days judged
+    //     against their OWN weekday's mean by exact integer cross-
+    //     multiplication (HUGEINT/DECIMAL); extreme ratios in floored
+    //     ppm. The seasonality-aware upgrade of q71's flat alarm.
+    QueryDef(
+      "q171_seasonal_anomalies",
+      (s, dir) =>
+        EventFunnel.seasonalAnomalies(graft.Tables.events(s, dir)),
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2
+             |),
+             |dd AS (SELECT event_type, day, n, (day + 3) % 7 AS dow FROM d),
+             |dw AS (SELECT event_type, dow,
+             |              CAST(SUM(n) AS BIGINT) AS total,
+             |              CAST(COUNT(*) AS BIGINT) AS cnt
+             |       FROM dd GROUP BY 1, 2),
+             |j AS (
+             |  SELECT dd.event_type, dd.n, dw.total, dw.cnt,
+             |         CAST(CAST(dd.n AS HUGEINT) * dw.cnt * 1000000
+             |              // dw.total AS BIGINT) AS ratio_ppm
+             |  FROM dd JOIN dw ON dw.event_type = dd.event_type
+             |                 AND dw.dow = dd.dow
+             |)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |       CAST(SUM(CASE WHEN CAST(n AS HUGEINT) * cnt * 100
+             |                          > CAST(total AS HUGEINT) * 125
+             |                     THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_high_days,
+             |       CAST(SUM(CASE WHEN CAST(n AS HUGEINT) * cnt * 100
+             |                          < CAST(total AS HUGEINT) * 75
+             |                     THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_low_days,
+             |       MAX(ratio_ppm) AS max_ratio_ppm,
+             |       MIN(ratio_ppm) AS min_ratio_ppm
+             |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

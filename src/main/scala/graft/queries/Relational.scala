@@ -881,6 +881,58 @@ object Relational {
              |SELECT c_count, n_custs,
              |       n_custs * 1000000 // n_total AS share_ppm
              |FROM hist CROSS JOIN tot
-             |ORDER BY n_custs DESC, c_count DESC""".stripMargin))
+             |ORDER BY n_custs DESC, c_count DESC""".stripMargin)),
+
+    // --- Cross-nation trade flow (TPC-H Q7 shape, generalized to ALL
+    //     nation pairs): exact-cents revenue shipped from a supplier
+    //     nation to a DIFFERENT customer nation per ship-year. Scale
+    //     shape: supplier→nation and the 1-row-per-order customer
+    //     nation attach both ride broadcasts of fixed dims; the fact
+    //     carries (orderkey, rev-cents long, supp_nation, year) through
+    //     ONE SHJ chain; the result is ≤|nations|²·|years| rows.
+    QueryDef(
+      "q170_nation_flow",
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, dir, "customer")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val oc = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        val supp = t(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg((exactSum(col("rev")).cast("double") / 10000).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |       EXTRACT(year FROM l_shipdate) AS l_year,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |            * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                           AS BIGINT))) AS DOUBLE) / 10000
+             |         AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem, orders, customer, supplier,
+             |     nation sn, nation cn
+             |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND l_suppkey = s_suppkey
+             |  AND s_nationkey = sn.n_nationkey
+             |  AND c_nationkey = cn.n_nationkey
+             |  AND sn.n_name <> cn.n_name
+             |GROUP BY 1, 2, 3
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
   )
 }

@@ -158,4 +158,56 @@ object EventStreamOps {
           out.reverseIterator
       }
   }
+
+  final case class RollState(credited: Set[Long])
+
+  final case class DayDelta(day: Long, delta: Long)
+
+  /** Streaming rolling-active increments — the incremental counterpart
+    * of [[graft.operators.EventFunnel.rollingActive]]: per-user state
+    * holds the window-end days this user has already been credited to;
+    * each batch emits `(day, +1)` for every window-end day the user's
+    * new events NEWLY cover. A downstream Update-mode `groupBy(day)
+    * .sum(delta)` therefore equals the batch operator's
+    * `rolling_active` column at every stream prefix (the batch span
+    * trim is the CONSUMER's: the stream cannot know the final max day,
+    * so it emits untrimmed window-end days — same contract as every
+    * unbounded-tail streaming op here).
+    *
+    * Cross-batch out-of-order days are exact: a late day credits only
+    * the window-end days not already in state, so arrival order never
+    * changes the fixed point. State is the credited-day set, bounded
+    * by `maxDaysPerUser` (the dedupWithinWatermark trade: a user whose
+    * credited days exceed the cap evicts oldest-first, and a
+    * sufficiently late re-activation of an evicted day could
+    * double-count — bounded state for exactness on pathological
+    * immortal users; the default cap covers ~27 years of daily
+    * activity).
+    */
+  def rollingActiveDeltas(events: Dataset[Ev], windowDays: Int = 7,
+      maxDaysPerUser: Int = 10000): Dataset[DayDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, DayDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[RollState]) =>
+          var credited = state.getOption.map(_.credited).getOrElse(Set.empty)
+          val fresh = scala.collection.mutable.TreeSet.empty[Long]
+          evs.foreach { e =>
+            val day = Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L)
+            var d = day
+            while (d < day + windowDays) {
+              if (!credited.contains(d) && !fresh.contains(d)) fresh += d
+              d += 1
+            }
+          }
+          credited ++= fresh
+          if (credited.size > maxDaysPerUser)
+            credited = credited.toSeq.sorted
+              .takeRight(maxDaysPerUser).toSet
+          state.update(RollState(credited))
+          fresh.iterator.map(d => DayDelta(d, 1L))
+      }
+  }
 }

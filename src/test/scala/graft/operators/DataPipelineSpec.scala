@@ -2850,6 +2850,21 @@ class DataPipelineSpec extends SparkSpec {
       (50L, 2L, 21L, 20L, 952380L)))
   }
 
+  test("seasonalAnomalies: hot/cold judged against the day's own " +
+    "weekday mean by exact cross-multiplication") {
+    val D = 86400L * 1000000000L
+    // type a on three Thursdays (days 0, 7, 14) with counts 1, 1, 4:
+    // weekday mean 2 → the two 1-count days are cold (0.5×), the
+    // 4-count day hot (2.0×); ratios 500000 / 2000000 ppm exactly.
+    val ev = (Seq((1L, 0L, 1L, "a"), (2L, 7L * D, 1L, "a")) ++
+      Seq.tabulate(4)(i => (10L + i, 14L * D + i, 1L, "a")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventFunnel.seasonalAnomalies(ev).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq(("a", 3L, 1L, 2L, 2000000L, 500000L)))
+  }
+
   test("rollingActive: trailing-window distinct actives with span trim") {
     val D = 86400L * 1000000000L
     // u1 active on days 0 and 8, u2 on day 1 → windows [d, d+6];

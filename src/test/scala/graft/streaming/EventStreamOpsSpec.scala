@@ -123,6 +123,46 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling-active deltas: cross-batch dedup of credited " +
+    "days; aggregated deltas equal the batch operator") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val D = 86400L * 1000L // one epoch day in Timestamp millis
+    val mem = MemoryStream[EventStreamOps.Ev]
+    val q = EventStreamOps.rollingActiveDeltas(mem.toDS())
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 day 0 (two events — same day credits once), u2 day 1
+      mem.addData(
+        EventStreamOps.Ev(1, new Timestamp(0L), 1L),
+        EventStreamOps.Ev(2, new Timestamp(10L), 1L),
+        EventStreamOps.Ev(3, new Timestamp(D), 2L))
+      q.processAllAvailable()
+      // batch 2: u1 AGAIN on day 0 (no new credit) and on day 8
+      mem.addData(
+        EventStreamOps.Ev(4, new Timestamp(5L), 1L),
+        EventStreamOps.Ev(5, new Timestamp(8 * D), 1L))
+      q.processAllAvailable()
+      val rolled = spark.table("roll_out")
+        .groupBy("day")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("rolling_active"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // batch operator on the same events (span-trims at day 8)
+      val ev = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, D * 1000000L, 2L),
+        (4L, 0L, 1L), (5L, 8L * D * 1000000L, 1L))
+        .toDF("event_id", "ts", "user_id")
+      val batch = graft.operators.EventFunnel.rollingActive(ev)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      batch.foreach { case (day, n) => assert(rolled(day) == n,
+        s"day $day: stream ${rolled(day)} vs batch $n") }
+      // untrimmed tail: u1's day-8 window extends past the batch span
+      assert(rolled(14L) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
