@@ -159,6 +159,16 @@ object Similarity {
       .select(col("qid"), col("qlabel"), col("tlabel"),
         row_number().over(w).cast("long").as("rnk"))
       .where(col("rnk") <= k)
+    voteCensus(nn)
+  }
+
+  /** Shared tail of [[knnLabelEval]]/[[knnLabelEvalBlocked]]: majority
+    * vote per eval vector over its (qid, qlabel, tlabel) neighbour
+    * rows — vote ties break to the SMALLER label via
+    * min(struct(-votes, label)) — then the per-true-label accuracy
+    * census in exact ppm.
+    */
+  private def voteCensus(nn: DataFrame): DataFrame = {
     val pred = nn.groupBy(col("qid"), col("qlabel"), col("tlabel"))
       .agg(count(lit(1)).as("v"))
       .groupBy(col("qid"), col("qlabel"))
@@ -172,6 +182,53 @@ object Similarity {
       .select(col("label"), col("n_eval"), col("n_correct"),
         expr("n_correct * 1000000 DIV n_eval").as("acc_ppm"))
       .orderBy("label")
+  }
+
+  /** The SCALE path of [[knnLabelEval]]: candidates come from the
+    * trained-quantizer blocks (nprobe nearest clusters per eval
+    * vector — the q52 quantizer, identical training both engines)
+    * instead of the full train corpus, so the scoring volume is
+    * Σ|probed block| per query rather than |eval|·N. Same exact-cosine
+    * ranking, same majority vote, same census — recall vs the exact
+    * variant is the q87-style trade the quantizer's k/nprobe tune.
+    *
+    * Scale notes: the probes table is |eval|·nprobe rows — broadcast
+    * here (2 longs per row; fine to ~10⁷ eval vectors); past that the
+    * assignment table is written bucketed by cluster and the probe
+    * join salts the |clusters|-cardinality key exactly as [[knnGraph]]
+    * documents for its block self-join. An eval vector whose probed
+    * blocks hold only eval vectors drops from the census (no
+    * candidates) — inner-join semantics, identical in the oracle.
+    */
+  def knnLabelEvalBlocked(emb: DataFrame, mod: Long = 17, kNN: Int = 5,
+      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.install(emb.sparkSession)
+    val (scores, assignK) = trainedAssignments(emb, k, sampleN, iters)
+    val assign = assignK.select(col("vec_id").as("tid"), col("k"))
+      .where(col("tid") % mod =!= 0)
+    val probes = scores.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("qid"), col("k"),
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(desc("score"), col("k"))).as("crnk"))
+      .where(col("crnk") <= nprobe)
+      .select(col("qid"), col("k"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      col("label").cast("long").as("lbl"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("tid"))
+    val nn = broadcast(probes)
+      .join(assign, "k")
+      .select(col("qid"), col("tid"))
+      .join(vecs.as("vq"), col("vq.vec_id") === col("qid"))
+      .join(vecs.as("vt"), col("vt.vec_id") === col("tid"))
+      .select(col("qid"), col("vq.lbl").as("qlabel"), col("tid"),
+        col("vt.lbl").as("tlabel"),
+        cosine(col("vq.embedding"), col("vt.embedding")).as("cos"))
+      .select(col("qid"), col("qlabel"), col("tlabel"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= kNN)
+    voteCensus(nn)
   }
 
   /** Embedding quality-control report: per label, vector count,

@@ -5052,7 +5052,52 @@ object DataPipeline {
              |         AS n_low_days,
              |       MAX(ratio_ppm) AS max_ratio_ppm,
              |       MIN(ratio_ppm) AS min_ratio_ppm
-             |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // --- The q168 eval on the q52 trained-quantizer blocking (the
+    //     documented scale path, now gated): candidates from nprobe=2
+    //     nearest clusters instead of the full train corpus; identical
+    //     training chain both engines (spliced oracle prefix), same
+    //     exact-cosine rank + majority vote + ppm census.
+    QueryDef(
+      "q172_knn_eval_blocked",
+      (s, dir) =>
+        Similarity.knnLabelEvalBlocked(Tables(s, dir, "embeddings")),
+      Some(s"""WITH $DimsCte,
+             |${trainedAssignPrefix("", "|ivfseed")},
+             |probes AS (
+             |  SELECT vec_id AS qid, k FROM (
+             |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |           ORDER BY score DESC, k) AS crnk
+             |    FROM fsc WHERE vec_id % 17 = 0) x WHERE crnk <= 2),
+             |cand AS (
+             |  SELECT p.qid, a.tid
+             |  FROM probes p JOIN assign a ON a.k = p.k
+             |   AND a.tid % 17 <> 0),
+             |$IvfDotRankCte,
+             |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l
+             |        FROM embeddings),
+             |votes AS (
+             |  SELECT r.qid, lt.l AS tlabel, CAST(COUNT(*) AS BIGINT) AS v
+             |  FROM ranked r JOIN lab lt ON lt.vec_id = r.tid
+             |  WHERE r.rnk <= 5 GROUP BY 1, 2
+             |),
+             |best AS (
+             |  SELECT qid, tlabel AS pred,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY v DESC, tlabel) AS vr
+             |  FROM votes
+             |),
+             |p AS (
+             |  SELECT b.qid, lq.l AS qlabel, b.pred
+             |  FROM best b JOIN lab lq ON lq.vec_id = b.qid WHERE b.vr = 1
+             |)
+             |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_correct,
+             |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT) * 1000000 // COUNT(*) AS acc_ppm
+             |FROM p GROUP BY 1 ORDER BY label""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

@@ -2899,4 +2899,23 @@ class DataPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 1L, 1L, 1000000L), (2L, 1L, 0L, 0L)))
   }
+
+  test("knnLabelEvalBlocked: probing every cluster (nprobe = k) " +
+    "degenerates to the exact eval") {
+    val s2 = spark
+    import s2.implicits._
+    val embs = Seq(
+      (0L, Array(1f, 0f), 1), (17L, Array(0f, 1f), 2),
+      (1L, Array(1f, 0.01f), 1), (2L, Array(1f, 0.02f), 1),
+      (3L, Array(1f, 0.03f), 1),
+      (4L, Array(0.01f, 1f), 2), (5L, Array(0.02f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // candidates = union of ALL blocks = the full train set → the
+    // blocked path must reproduce the exact census bit for bit
+    assert(rows(Similarity.knnLabelEvalBlocked(embs, k = 2, nprobe = 2,
+      sampleN = 8, iters = 1)) == rows(Similarity.knnLabelEval(embs)))
+  }
 }
