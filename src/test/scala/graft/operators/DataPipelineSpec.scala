@@ -1054,7 +1054,10 @@ class DataPipelineSpec extends SparkSpec {
         ("transitionConcentration", EventFunnel.transitionConcentration(_)),
         ("acquisitionAttribution", EventFunnel.acquisitionAttribution(_)),
         ("timeToConvert", EventFunnel.timeToConvert(_)),
-        ("rfmSegments", EventFunnel.rfmSegments(_)))) {
+        ("rfmSegments", EventFunnel.rfmSegments(_)),
+        ("typeAffinity", EventFunnel.typeAffinity(_)),
+        ("rollingActive", EventFunnel.rollingActive(_)),
+        ("powerUserShare", EventFunnel.powerUserShare(_)))) {
         val plain = op(ev)
         val bucketed = op(b)
         assert(canon(bucketed) == canon(plain), s"$name values diverge")
