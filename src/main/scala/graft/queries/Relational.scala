@@ -886,25 +886,26 @@ object Relational {
     // --- Cross-nation trade flow (TPC-H Q7 shape, generalized to ALL
     //     nation pairs): exact-cents revenue shipped from a supplier
     //     nation to a DIFFERENT customer nation per ship-year. Scale
-    //     shape: supplier→nation and the 1-row-per-order customer
-    //     nation attach both ride broadcasts of fixed dims; the fact
-    //     carries (orderkey, rev-cents long, supp_nation, year) through
-    //     ONE SHJ chain; the result is ≤|nations|²·|years| rows.
+    //     shape: the fact sides carry the INT nation keys through the
+    //     one SHJ chain (shuffling a 25-byte name with every fact row
+    //     measured ~40% more exchange bytes for nothing — nation key ↔
+    //     name is 1:1, so grouping/filtering on keys is value-identical
+    //     and the names attach AFTER the ≤|nations|²·|years|-row
+    //     aggregate via two broadcast joins); supplier and nation ride
+    //     broadcasts throughout.
     QueryDef(
       "q170_nation_flow",
       (s, dir) => {
         val nat = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
-        val cust = t(s, dir, "customer")
-          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name").as("cust_nation"))
         val oc = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("cust_nation"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("cnat")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cnat"))
         val supp = t(s, dir, "supplier")
-          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+          .select(col("s_suppkey"), col("s_nationkey").as("snat"))
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"),
             year(col("l_shipdate")).cast("long").as("l_year"),
@@ -912,10 +913,16 @@ object Relational {
               * (lit(100) - pct(col("l_discount")))).as("rev"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .join(oc, col("l_orderkey") === col("o_orderkey"))
-          .where(col("supp_nation") =!= col("cust_nation"))
-          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .where(col("snat") =!= col("cnat"))
+          .groupBy(col("snat"), col("cnat"), col("l_year"))
           .agg((exactSum(col("rev")).cast("double") / 10000).as("revenue"),
             count(lit(1)).as("n_lines"))
+          .join(broadcast(nat.select(col("n_nationkey").as("snat"),
+            col("n_name").as("supp_nation"))), "snat")
+          .join(broadcast(nat.select(col("n_nationkey").as("cnat"),
+            col("n_name").as("cust_nation"))), "cnat")
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            col("revenue"), col("n_lines"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
       Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
