@@ -743,36 +743,39 @@ object Relational {
     // --- Market-share within region (TPC-H Q8 flavor on the available
     //     schema): per (region, order-year, customer nation) exact-cents
     //     revenue and its floored-ppm share of the (region, year) total.
-    //     Scale shape: the q07 dim chain (region→nation broadcast into
-    //     customer), one fact-side shuffle with the per-row cents-long
-    //     projected BEFORE it, then a |nations·years|-row aggregate; the
-    //     share denominators come from a window over that tiny result,
-    //     never a second corpus pass. Share products are DECIMAL(38,0)
-    //     (cents·10⁶ wraps int64 past ~$9·10¹² of revenue per cell),
-    //     floored with DIV = the oracle's HUGEINT `//`.
+    //     Scale shape: one fact-side shuffle with the per-row cents-long
+    //     projected BEFORE it and the INT nation key as the group key
+    //     (key ↔ name is 1:1 and region is nation-determined, so
+    //     grouping on the key is value-identical while shuffling none
+    //     of the name strings — the q170 rework, measured ~3× there);
+    //     names attach to the ≤|nations·years|-row aggregate via a
+    //     broadcast, and the share denominators come from a window over
+    //     that tiny result, never a second corpus pass. Share products
+    //     are DECIMAL(38,0) (cents·10⁶ wraps int64 past ~$9·10¹² of
+    //     revenue per cell), floored with DIV = the oracle's HUGEINT //.
     QueryDef(
       "q163_market_share",
       (s, dir) => {
-        val nr = t(s, dir, "nation")
-          .join(broadcast(t(s, dir, "region")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name"), col("r_name"))
-        val cust = t(s, dir, "customer")
-          .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name"), col("r_name"))
         val oc = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             year(col("o_orderdate")).cast("long").as("o_year"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("o_year"), col("n_name"),
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nat")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_year"), col("nat"))
+        val nr = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nat"), col("n_name"),
             col("r_name"))
         val agg = t(s, dir, "lineitem")
           .select(col("l_orderkey"),
             (cents(col("l_extendedprice"))
               * (lit(100) - pct(col("l_discount")))).as("rev"))
           .join(oc, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("r_name"), col("o_year"), col("n_name"))
+          .groupBy(col("nat"), col("o_year"))
           .agg(exactSum(col("rev")).as("cents"))
+          .join(broadcast(nr), "nat")
         val w = Window.partitionBy(col("r_name"), col("o_year"))
         agg
           .withColumn("tot", sum(col("cents")).over(w))
