@@ -1133,17 +1133,32 @@ object Dedup {
     * ppm of the cell's documents.
     *
     * Scale shape: one (text-hash, source) hash aggregate over the
-    * corpus — the md5 collapses each document to a 32-byte key
-    * map-side, so the shuffle carries distinct (hash, source) cells,
-    * not texts — then a hash-keyed rollup to clusters (partial aggs;
-    * the second grouping is a prefix of the first, so AQE coalesces
-    * rather than re-exchanges) and a census-sized final agg.
-    * Singleton clusters are excluded (size ≥ 2): the census reads
-    * duplication structure, not corpus size. All integer arithmetic.
+    * corpus — the md5 collapses each document to a 16-BYTE BINARY key
+    * map-side (`unhex(md5)`: the hash never appears in the output, so
+    * the key representation is free to be the narrow one — half the
+    * agg/shuffle key bytes of the 32-char hex spelling, value-identical
+    * because unhex is injective on hex digests), so the shuffle carries
+    * distinct (hash, source) cells, not texts — then a hash-keyed
+    * rollup to clusters (partial aggs; the second grouping is a prefix
+    * of the first, so AQE coalesces rather than re-exchanges) and a
+    * census-sized final agg. Singleton clusters are excluded (size ≥
+    * 2): the census reads duplication structure, not corpus size. All
+    * integer arithmetic.
     */
-  def dupSpreadCensus(docs: DataFrame): DataFrame = {
-    val ps = docs
-      .select(md5(col("text")).as("h"), col("source"))
+  def dupSpreadCensus(docs: DataFrame): DataFrame =
+    dupSpreadCensusHashed(
+      docs.select(unhex(md5(col("text"))).as("h"), col("source")))
+
+  /** [[dupSpreadCensus]] over a PRE-HASHED `(h, source)` frame — for
+    * callers that already hold a content hash (any injective per-text
+    * key: binary md5, hex md5, a fingerprint column) and must not pay
+    * a second text scan. Synthetic-duplication channels derive their
+    * union legs from ONE hashed projection map-side (identical text ⇒
+    * identical hash), instead of re-reading and re-digesting the
+    * corpus per leg.
+    */
+  def dupSpreadCensusHashed(hashed: DataFrame): DataFrame = {
+    val ps = hashed
       .groupBy(col("h"), col("source"))
       .agg(count(lit(1)).as("c"))
     val cl = ps.groupBy(col("h"))

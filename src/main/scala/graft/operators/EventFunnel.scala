@@ -672,8 +672,14 @@ object EventFunnel {
     * rollup. The weekday index is pure integer arithmetic on epoch
     * days — `(day + 3) % 7` maps 1970-01-01 (a Thursday) to ISO
     * Monday=0 — identical in both engines, no timezone/locale
-    * dependence. Quadratic terms are DECIMAL(38,0) (int64 wraps at
-    * ~3·10⁹ events per (type, weekday) cell).
+    * dependence. POST-1970 ASSUMPTION: `%` truncates identically in
+    * both engines, so pre-epoch events land in NEGATIVE dow buckets
+    * (-6..-1) rather than the documented Monday=0..6 range — no gate
+    * divergence, but the ISO labeling only holds for ts ≥ 1970-01-01
+    * (event streams are; a pre-epoch corpus would normalize with
+    * `((day + 3) % 7 + 7) % 7` on BOTH sides). Quadratic terms are
+    * DECIMAL(38,0) (int64 wraps at ~3·10⁹ events per (type, weekday)
+    * cell).
     */
   def weeklySeasonality(events: DataFrame): DataFrame = {
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -700,23 +706,6 @@ object EventFunnel {
       .orderBy("event_type")
   }
 
-  /** Power-user concentration: the exact share of all events produced
-    * by the top 1% / 10% / 50% most-active users — the skew number
-    * that sizes per-user state budgets and flags bot-heavy sources.
-    *
-    * Exact at scale WITHOUT sorting users: per-user counts collapse
-    * into a |distinct count-value| table (heavily collapsed — activity
-    * levels repeat), a cumulative window over that tiny table ordered
-    * count-DESC assigns rank ranges to whole value-runs, and each
-    * percentile's covered-event total takes full runs plus an exact
-    * arithmetic slice of the straddling run: `c · min(users,
-    * max(0, k_users − users_before))`. The only window is over the
-    * distinct-value table (the q154 caveat: |values|-sized by
-    * construction, single partition is fine); the corpus-sized work is
-    * one user_id hash agg (zero exchanges on the bucketed layout).
-    * Covered·10⁶ lifts to DECIMAL(38,0) (int64 wraps at ~9·10¹²
-    * events).
-    */
   /** Rolling trailing-window active users: per day, the distinct users
     * active in the `windowDays`-day window ENDING that day, next to the
     * day's own DAU and their exact-ppm ratio — the daily-grain
@@ -767,6 +756,88 @@ object EventFunnel {
       .orderBy("day")
   }
 
+  /** Bitmap spelling of [[rollingActive]] (value-identical output —
+    * the r13 A/B candidate): per-user active days live as 64-day
+    * BITMAP WORDS keyed `(w = day >> 6, bits)` instead of an
+    * `array<long>` day set, so
+    *
+    *  - the corpus-sized aggregate is a fully codegen'd
+    *    `bit_or(shiftleft(1L, day & 63))` HashAggregate (plain long
+    *    state — map-side partials are one OR per event) instead of
+    *    collect_set's per-group ObjectHashAggregate hash-set inserts;
+    *  - the ×`windowDays` window-end fan-out is a constant chain of
+    *    word shifts/ORs (`b | b<<1 | … | b<<W−1` plus the spill into
+    *    word w+1) instead of building and `array_distinct`-ing a
+    *    `|days|·W`-element array per user.
+    *
+    * Day→(w, bit) uses `shiftright`/`& 63` — floor decomposition, a
+    * bijection for any long day, so pre-epoch days round-trip. The
+    * spill never reaches past word w+1 because `windowDays ≤ 64`
+    * (required): max bit position 63 + (W−1) < 128. The per-user word
+    * list keeps both aggs user_id-clustered (exchange-free on the
+    * bucketed events layout, one exchange on plain parquet — identical
+    * to the set spelling); the merged word list has DISTINCT w per
+    * user (real words are grouped; a virtual spill word w+1 is emitted
+    * only when no real w+1 follows), so each (user, window-end day)
+    * explodes exactly once — the dedup the set spelling paid
+    * array_distinct for is free in the OR.
+    */
+  def rollingActiveBitmap(events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 64,
+      s"windowDays=$windowDays: single-word spill needs windowDays <= 64")
+    def smear(x: String): String =
+      (1 until windowDays).foldLeft(x)((a, s) => s"($a | shiftleft($x, $s))")
+    def spill(x: String): String =
+      if (windowDays == 1) "0L"
+      else (1 until windowDays)
+        .map(s => s"shiftrightunsigned($x, ${64 - s})")
+        .mkString("(", " | ", ")")
+    // carry-in from the PREVIOUS real word when it is adjacent
+    val carryIn = "IF(i > 0 AND element_at(ws, i).w = e.w - 1, " +
+      spill("element_at(ws, i).bits") + ", 0L)"
+    val mergedExpr =
+      s"""flatten(transform(ws, (e, i) ->
+         |  IF(i = size(ws) - 1 OR element_at(ws, i + 2).w > e.w + 1,
+         |     array(named_struct('w', e.w,
+         |             'bits', ${smear("e.bits")} | $carryIn),
+         |           named_struct('w', e.w + 1, 'bits', ${spill("e.bits")})),
+         |     array(named_struct('w', e.w,
+         |             'bits', ${smear("e.bits")} | $carryIn)))))""".stripMargin
+    def daysOf(arr: String): String =
+      s"""filter(
+         |  flatten(transform($arr, e ->
+         |    transform(sequence(0, 63), b ->
+         |      IF((shiftrightunsigned(e.bits, b) & 1) = 1,
+         |         shiftleft(e.w, 6) + CAST(b AS bigint),
+         |         CAST(null AS bigint))))),
+         |  d -> d IS NOT NULL)""".stripMargin
+    val sets = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"))
+      .groupBy(col("user_id"), expr("shiftright(day, 6)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST((day & 63) AS int)))").as("bits"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("bits")))).as("ws"))
+      .trackedPersist() // feeds the DAU table AND the window fan-out
+    val dau = sets.select(explode(expr(daysOf("ws"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val span = dau.agg(max(col("day")).as("d1"))
+    val rolling = sets
+      .select(explode(expr(daysOf(s"($mergedExpr)"))).as("d"))
+      .crossJoin(broadcast(span))
+      .where(col("d") <= col("d1"))
+      .groupBy(col("d")).agg(count(lit(1)).as("rolling_active"))
+    rolling.join(dau, rolling("d") === dau("day"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("rolling_active"),
+        (coalesce(col("dau"), lit(0L)) * 1000000L)
+          .cast("long").as("dau_e6"))
+      .select(col("day"), col("dau"), col("rolling_active"),
+        expr("dau_e6 DIV rolling_active").as("dau_share_ppm"))
+      .orderBy("day")
+  }
+
   /** Weekday-adjusted volume anomaly census: per event type, how many
     * days ran hot (> 1.25× their own weekday's mean) or cold (< 0.75×),
     * with the extreme day-vs-weekday-mean ratios in exact ppm — the
@@ -781,7 +852,9 @@ object EventFunnel {
     * int64 would wrap past ~10¹² events/day-cell). Scale shape: ONE
     * (type, day) hash agg is the only corpus-sized op; the weekday
     * stats are a ≤7·|types|-row rollup broadcast back onto the
-    * |types·span|-row daily table.
+    * |types·span|-row daily table. Same post-1970 weekday assumption
+    * as [[weeklySeasonality]]: pre-epoch days would bucket under
+    * negative `(day + 3) % 7` values (consistently in both engines).
     */
   def seasonalAnomalies(events: DataFrame): DataFrame = {
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -817,6 +890,23 @@ object EventFunnel {
       .orderBy("event_type")
   }
 
+  /** Power-user concentration: the exact share of all events produced
+    * by the top 1% / 10% / 50% most-active users — the skew number
+    * that sizes per-user state budgets and flags bot-heavy sources.
+    *
+    * Exact at scale WITHOUT sorting users: per-user counts collapse
+    * into a |distinct count-value| table (heavily collapsed — activity
+    * levels repeat), a cumulative window over that tiny table ordered
+    * count-DESC assigns rank ranges to whole value-runs, and each
+    * percentile's covered-event total takes full runs plus an exact
+    * arithmetic slice of the straddling run: `c · min(users,
+    * max(0, k_users − users_before))`. The only window is over the
+    * distinct-value table (the q154 caveat: |values|-sized by
+    * construction, single partition is fine); the corpus-sized work is
+    * one user_id hash agg (zero exchanges on the bucketed layout).
+    * Covered·10⁶ lifts to DECIMAL(38,0) (int64 wraps at ~9·10¹²
+    * events).
+    */
   def powerUserShare(events: DataFrame,
       pcts: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

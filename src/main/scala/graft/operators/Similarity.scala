@@ -142,8 +142,34 @@ object Similarity {
     * when |eval|·N stops fitting the night); per-query ranking is one
     * qid-keyed window over the scored pairs, everything after is
     * |eval|- then |labels|-sized.
+    *
+    * SCALE-ADAPTIVE by default: this entry point counts the eval side
+    * once and routes — below [[KnnEvalExactMax]] eval vectors it runs
+    * the exact broadcast path ([[knnLabelEvalExact]]); at or above it
+    * the broadcast side would be an unbounded fraction of the corpus
+    * (N/mod full vectors — an OOM at 100 TB regardless of mod), so it
+    * escalates to the trained-quantizer blocking
+    * ([[knnLabelEvalBlocked]]) with the cluster count derived from the
+    * train-corpus size, exactly the [[semanticDedup]] k=0 discipline.
+    * The routing decision is the pure function [[knnEvalPlan]].
     */
   def knnLabelEval(emb: DataFrame, mod: Long = 17, k: Int = 5): DataFrame = {
+    val nEval = emb.where(col("vec_id") % mod === 0).count()
+    knnEvalPlan(nEval, emb.count() - nEval) match {
+      case Left(_) => knnLabelEvalExact(emb, mod, k)
+      case Right(nc) => knnLabelEvalBlocked(emb, mod, kNN = k,
+        nClusters = nc, sampleN = math.max(256, 2 * nc))
+    }
+  }
+
+  /** The exact-scoring path of [[knnLabelEval]]: every eval vector is
+    * ranked against the FULL train corpus (broadcast eval side, train
+    * streams). Correct at any |eval| but the broadcast is |eval| full
+    * vectors — callers outside the gate go through the auto-routed
+    * [[knnLabelEval]] front door.
+    */
+  def knnLabelEvalExact(emb: DataFrame, mod: Long = 17,
+      k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
     val q = emb.where(col("vec_id") % mod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -190,7 +216,9 @@ object Similarity {
     * instead of the full train corpus, so the scoring volume is
     * Σ|probed block| per query rather than |eval|·N. Same exact-cosine
     * ranking, same majority vote, same census — recall vs the exact
-    * variant is the q87-style trade the quantizer's k/nprobe tune.
+    * variant is the q87-style trade of the quantizer's
+    * nClusters/nprobe tune (`kNN` is the neighbour knob, `nClusters`
+    * the quantizer's cluster count — deliberately NOT both named `k`).
     *
     * Scale notes: the probes table is |eval|·nprobe rows — broadcast
     * here (2 longs per row; fine to ~10⁷ eval vectors); past that the
@@ -201,10 +229,11 @@ object Similarity {
     * candidates) — inner-join semantics, identical in the oracle.
     */
   def knnLabelEvalBlocked(emb: DataFrame, mod: Long = 17, kNN: Int = 5,
-      k: Int = 8, sampleN: Int = 256, iters: Int = 2,
+      nClusters: Int = 8, sampleN: Int = 256, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.install(emb.sparkSession)
-    val (scores, assignK) = trainedAssignments(emb, k, sampleN, iters)
+    val (scores, assignK) =
+      trainedAssignments(emb, nClusters, sampleN, iters)
     val assign = assignK.select(col("vec_id").as("tid"), col("k"))
       .where(col("tid") % mod =!= 0)
     val probes = scores.where(col("vec_id") % mod === 0)
@@ -230,6 +259,33 @@ object Similarity {
       .where(col("rnk") <= kNN)
     voteCensus(nn)
   }
+
+  /** Eval-set size at which [[knnLabelEval]]'s default switches from
+    * exact broadcast scoring to trained-quantizer blocking. Measured
+    * (ProfileKnnEval sweep at the 50×/200× sf0.1 replicas, PERF_NOTES
+    * round 13): the exact path's wall is |eval|·N cosines and tracks
+    * it linearly; the blocked path pays a fixed quantizer-training
+    * prelude and then Σ|probed block| — the measured crossover sits at
+    * |eval| in the low thousands once N is replica-scale, and the
+    * broadcast by itself (|eval| full vectors, ~1 KB each) stops being
+    * executor-safe in the 10⁷ range. 4096 is below every measured
+    * crossover while keeping the gate corpus (sf0.01, |eval| ≈ 353) on
+    * the exact path the q168 oracle replays.
+    */
+  val KnnEvalExactMax = 4096L
+
+  /** The routing decision of [[knnLabelEval]] as a pure function of
+    * the eval/train counts (unit-testable without a training run; a
+    * replaying engine derives the same plan): Left(nEval) = exact
+    * broadcast scoring, Right(nClusters) = trained-quantizer blocking
+    * with nClusters ≈ √(nTrain/2) — the [[knnGraph]] block sizing, so
+    * blocks stay ~√N and the scoring volume Σ|probed block| is
+    * ~|eval|·nprobe·√(2·nTrain).
+    */
+  def knnEvalPlan(nEval: Long, nTrain: Long): Either[Long, Int] =
+    if (nEval < KnnEvalExactMax) Left(nEval)
+    else Right(math.max(8,
+      math.ceil(math.sqrt(nTrain / 2.0)).toInt))
 
   /** Embedding quality-control report: per label, vector count,
     * dimension min/max (catches ragged arrays), and the min / max /

@@ -743,16 +743,23 @@ object Relational {
     // --- Market-share within region (TPC-H Q8 flavor on the available
     //     schema): per (region, order-year, customer nation) exact-cents
     //     revenue and its floored-ppm share of the (region, year) total.
-    //     Scale shape: one fact-side shuffle with the per-row cents-long
-    //     projected BEFORE it and the INT nation key as the group key
-    //     (key ↔ name is 1:1 and region is nation-determined, so
-    //     grouping on the key is value-identical while shuffling none
-    //     of the name strings — the q170 rework, measured ~3× there);
-    //     names attach to the ≤|nations·years|-row aggregate via a
-    //     broadcast, and the share denominators come from a window over
-    //     that tiny result, never a second corpus pass. Share products
-    //     are DECIMAL(38,0) (cents·10⁶ wraps int64 past ~$9·10¹² of
-    //     revenue per cell), floored with DIV = the oracle's HUGEINT //.
+    //     Scale shape: lineitem pre-aggregates revenue per l_orderkey
+    //     BEFORE the orders×customer join — lineitem→orders is N:1
+    //     (~4 rows per order), so the map-side partials absorb the fact
+    //     stream and the SHJ probe carries |orders| rows, not
+    //     |lineitem| (measured ~4× less probe volume at 200×). The
+    //     per-order sum is a plain codegen'd long (per-row rev ≤ ~2^37,
+    //     group size is the per-order lineitem count — exact, no wrap);
+    //     the cross-order rollup stays 128-bit-exact via exactSum, and
+    //     integer addition is associative so the regrouping is
+    //     value-identical. The INT nation key is the shuffle/group key
+    //     (key ↔ name is 1:1 and region is nation-determined — the q170
+    //     rework, measured ~3× there); names attach to the
+    //     ≤|nations·years|-row aggregate via a broadcast, and the share
+    //     denominators come from a window over that tiny result, never
+    //     a second corpus pass. Share products are DECIMAL(38,0)
+    //     (cents·10⁶ wraps int64 past ~$9·10¹² of revenue per cell),
+    //     floored with DIV = the oracle's HUGEINT //.
     QueryDef(
       "q163_market_share",
       (s, dir) => {
@@ -768,13 +775,16 @@ object Relational {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey").as("nat"), col("n_name"),
             col("r_name"))
-        val agg = t(s, dir, "lineitem")
+        val orev = t(s, dir, "lineitem")
           .select(col("l_orderkey"),
             (cents(col("l_extendedprice"))
               * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("rev")).as("orev"))
+        val agg = orev
           .join(oc, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("nat"), col("o_year"))
-          .agg(exactSum(col("rev")).as("cents"))
+          .agg(exactSum(col("orev")).as("cents"))
           .join(broadcast(nr), "nat")
         val w = Window.partitionBy(col("r_name"), col("o_year"))
         agg

@@ -2885,6 +2885,32 @@ class DataPipelineSpec extends SparkSpec {
       (8L, 1L, 1L, 1000000L)))
   }
 
+  test("rollingActiveBitmap: value-identical to the set spelling " +
+    "across word boundaries, gaps, and window widths") {
+    val s2 = spark
+    import s2.implicits._
+    val D = 86400L * 1000000000L
+    // deterministic pseudo-random active days engineered around the
+    // 64-day word structure: boundary days (63, 64, 127, 128),
+    // adjacent-word spans, multi-word gaps, isolated singletons
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 40).flatMap { u =>
+      val base = rnd.nextInt(200).toLong
+      val days = Seq(base, base + 63, base + 64, base + 1,
+        base + 130 + rnd.nextInt(5)) ++
+        Seq.fill(rnd.nextInt(4))(rnd.nextInt(400).toLong)
+      days.distinct.zipWithIndex.map { case (d, i) =>
+        (u * 1000L + i, d * D + rnd.nextInt(1000), u.toLong, "e")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    for (w <- Seq(1, 2, 7, 63, 64)) {
+      val a = EventFunnel.rollingActive(ev, w).collect().toSeq
+      val b = EventFunnel.rollingActiveBitmap(ev, w).collect().toSeq
+      assert(a == b, s"windowDays=$w")
+    }
+  }
+
   test("knnLabelEval: majority vote over exact-cosine neighbours, " +
     "per-label accuracy") {
     val s2 = spark
@@ -2918,7 +2944,20 @@ class DataPipelineSpec extends SparkSpec {
       .toSeq
     // candidates = union of ALL blocks = the full train set → the
     // blocked path must reproduce the exact census bit for bit
-    assert(rows(Similarity.knnLabelEvalBlocked(embs, k = 2, nprobe = 2,
-      sampleN = 8, iters = 1)) == rows(Similarity.knnLabelEval(embs)))
+    assert(rows(Similarity.knnLabelEvalBlocked(embs, nClusters = 2,
+      nprobe = 2, sampleN = 8, iters = 1)) ==
+      rows(Similarity.knnLabelEval(embs)))
+  }
+
+  test("knnEvalPlan: exact broadcast below the crossover, derived " +
+    "blocking at or above it") {
+    assert(Similarity.knnEvalPlan(353L, 5647L) == Left(353L))
+    assert(Similarity.knnEvalPlan(Similarity.KnnEvalExactMax - 1,
+      1000000L) == Left(Similarity.KnnEvalExactMax - 1))
+    // at the crossover the default must stop broadcasting: blocked,
+    // with the knnGraph block sizing ceil(sqrt(nTrain/2))
+    assert(Similarity.knnEvalPlan(Similarity.KnnEvalExactMax,
+      1000000L) == Right(708))
+    assert(Similarity.knnEvalPlan(100000L, 50L) == Right(8)) // floor
   }
 }
