@@ -40,8 +40,10 @@ object ProfileR13 {
     val events = Tables.events(spark, sfDir)
 
     if (op == "q167" || op == "all") {
-      time("q167 sets")(
+      time("q167 delta")(
         graft.operators.EventFunnel.rollingActive(events))
+      time("q167 fanout")(
+        graft.operators.EventFunnel.rollingActiveFanout(events))
       time("q167 bitmap")(
         graft.operators.EventFunnel.rollingActiveBitmap(events))
     }

@@ -68,5 +68,17 @@ object Tables {
     // executor memory (the build side is the smaller per-partition
     // slice) and AQE splits skewed partitions; this is the default
     // posture of modern vectorized engines.
-    "spark.sql.join.preferSortMergeJoin" -> "false")
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    // 64 MB broadcast threshold (default 10 MB): sized to fat executors
+    // (128 GiB local; the same rule on a cluster with ≥8 GiB/executor
+    // slots). Two measured effects at the 200× replica (PERF_NOTES
+    // round 13): mid-size key→attribute maps (customer→nation, ~36 MB
+    // at 200×) keep broadcasting instead of degrading to a pair of
+    // corpus-sized exchanges, and the shuffled-hash-join size bound
+    // (threshold × shuffle partitions) stops false-failing to
+    // sort-merge on pre-collapsed fact sides (q163's per-order revenue
+    // table estimated > 320 MB ⇒ two 30 M-row sorts appeared ONLY past
+    // 50×). Still corpus-safe: anything that scales with the corpus
+    // blows past 64 MB immediately and shuffles as before.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.CacheRegistry.TrackedPersist
 
@@ -712,24 +713,86 @@ object EventFunnel {
     * stickiness curve (q139's DAU/WAU is its tumbling-week cousin).
     *
     * Exact rolling distincts with ONE corpus-sized shuffle (zero on
-    * the bucketed events layout) and NO row-explosion through any
-    * exchange: the corpus collapses straight to per-user active-day
-    * SETS in a single user_id hash aggregate (map-side partial
-    * collect_sets absorb the event stream; per-user sets are bounded
-    * by the span, the q22 group-size argument), then BOTH day tables
-    * derive map-side from the cached sets — DAU by exploding the set,
-    * the rolling count by exploding `array_distinct` of the user's
-    * fanned window-end days (dedup happens INSIDE the array, so the
-    * ×`windowDays` fan-out never crosses an exchange; the first cut
-    * of this operator fanned the collapsed (user, day) table ×7
-    * through a global distinct — ~280 M exchanged rows at the 200×
-    * replica, measured ~10× the oracle — this form deletes that
-    * exchange outright). The per-day aggregates downstream are
-    * |span|-keyed with map-side partials. Day arithmetic is integer
-    * epoch-days via [[graft.Tables.epochSec]]; window-end days past
-    * the observed span are trimmed against the broadcast 1-row span.
+    * the bucketed events layout) and NO fan-out anywhere: the corpus
+    * collapses to per-user SORTED active-day sets in a single user_id
+    * hash aggregate (map-side partial collect_sets absorb the event
+    * stream; per-user sets are bounded by the span, the q22 group-size
+    * argument). A user active on day `a` credits days `[a, a+W-1]`;
+    * the union of those same-width windows over the user's sorted days
+    * is a list of disjoint RUNS (split where the gap to the previous
+    * day is ≥ W — a gap of exactly W abuts, and the −1/+1 deltas at
+    * the shared boundary cancel, so ≥ W keeps value identity), and
+    * each run contributes exactly two COVERAGE DELTAS: +1 at its first
+    * day, −1 at `last_day + W`. Per-day rolling actives are then the
+    * running sum of deltas down the |span|-day axis — so the rolling
+    * side emits ≤ 2·|runs| ≤ 2·|active days| rows per user map-side
+    * (vs the previous spelling's per-user ×W window-end array: ~120 M
+    * generated+hash-aggregated rows at the 200× replica, and before
+    * that a ~280 M-row global-distinct exchange). Day deltas, the
+    * generated day axis and the cumulative-sum Window are all
+    * |span|-sized (calendar days — thousands at any corpus size; the
+    * single-partition Window is above aggregates on both inputs, the
+    * powerUserShare shape). Days past the observed max trim for free:
+    * the axis ends at d1, so later −1 deltas simply never join. Day
+    * arithmetic is integer epoch-days via [[graft.Tables.epochSec]].
     */
   def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val W = windowDays
+    require(W >= 1, s"windowDays=$W must be >= 1")
+    val sets = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("day"))).as("days"))
+      .trackedPersist() // feeds the DAU table AND the run deltas
+    val dau = sets.select(explode(col("days")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val span = dau.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // run starts: days[i] where i = 1 or gap >= W; run ends: days[i]
+    // where i = last or next gap >= W. Equal-length by construction;
+    // zip_with pairs them into the two deltas per run.
+    val deltas = sets
+      .select(explode(expr(
+        s"""flatten(zip_with(
+           |  filter(transform(sequence(1, size(days)), i ->
+           |    IF(i = 1 OR element_at(days, i) - element_at(days, i-1) >= $W,
+           |       element_at(days, i), CAST(null AS bigint))),
+           |    x -> x IS NOT NULL),
+           |  filter(transform(sequence(1, size(days)), i ->
+           |    IF(i = size(days)
+           |         OR element_at(days, i+1) - element_at(days, i) >= $W,
+           |       element_at(days, i), CAST(null AS bigint))),
+           |    x -> x IS NOT NULL),
+           |  (a, b) -> array(named_struct('d', a, 'v', 1L),
+           |                  named_struct('d', b + ${W}L, 'v', -1L))))"""
+          .stripMargin)).as("x"))
+      .groupBy(col("x.d").as("day")).agg(sum(col("x.v")).as("delta"))
+    val axis = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(deltas, Seq("day"), "left")
+      .withColumn("rolling_active",
+        sum(coalesce(col("delta"), lit(0L))).over(cum))
+      .where(col("rolling_active") > 0) // uncredited gap days, as before
+      .join(dau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("rolling_active"),
+        (coalesce(col("dau"), lit(0L)) * 1000000L)
+          .cast("long").as("dau_e6"))
+      .select(col("day"), col("dau"), col("rolling_active"),
+        expr("dau_e6 DIV rolling_active").as("dau_share_ppm"))
+      .orderBy("day")
+  }
+
+  /** The pre-r13 window-end fan-out spelling of [[rollingActive]] —
+    * kept as the A/B reference the equivalence spec triangulates
+    * against (it was itself the fix for the ~280 M-row global-distinct
+    * first cut; the delta spelling above beat it ~[measured r13] at
+    * the 200× replica by deleting the per-user ×W array build and the
+    * ~|users|·span-row hash aggregate it fed).
+    */
+  def rollingActiveFanout(events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
     val sets = events
       .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
       .select(col("user_id"), expr("sec DIV 86400").as("day"))

@@ -104,8 +104,8 @@ class PlanLintSpec extends SparkSpec {
   //     violate it (otherwise the 166 green lints prove nothing)
 
   test("lint fires on a seeded CartesianProduct") {
-    val a = spark.range(3000000L).toDF("a") // 24 MB estimate > 10 MB
-    val b = spark.range(3000000L).toDF("b") // broadcast threshold
+    val a = spark.range(12000000L).toDF("a") // 96 MB estimate > 64 MB
+    val b = spark.range(12000000L).toDF("b") // broadcast threshold
     val vs = planned(lint(a.crossJoin(b)))
     assert(vs.exists(_.contains("CartesianProduct")), vs.toString)
   }

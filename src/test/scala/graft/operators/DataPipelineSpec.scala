@@ -2885,8 +2885,8 @@ class DataPipelineSpec extends SparkSpec {
       (8L, 1L, 1L, 1000000L)))
   }
 
-  test("rollingActiveBitmap: value-identical to the set spelling " +
-    "across word boundaries, gaps, and window widths") {
+  test("rollingActive: delta, fan-out and bitmap spellings are " +
+    "value-identical across word boundaries, gaps, and window widths") {
     val s2 = spark
     import s2.implicits._
     val D = 86400L * 1000000000L
@@ -2904,10 +2904,19 @@ class DataPipelineSpec extends SparkSpec {
       }
     }
     val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
-    for (w <- Seq(1, 2, 7, 63, 64)) {
+    for (w <- Seq(1, 2, 7, 13, 63, 64)) {
       val a = EventFunnel.rollingActive(ev, w).collect().toSeq
       val b = EventFunnel.rollingActiveBitmap(ev, w).collect().toSeq
-      assert(a == b, s"windowDays=$w")
+      val c = EventFunnel.rollingActiveFanout(ev, w).collect().toSeq
+      assert(a == b, s"delta vs bitmap, windowDays=$w")
+      assert(a == c, s"delta vs fanout, windowDays=$w")
+    }
+    // past the bitmap's 64-day single-word spill bound the delta and
+    // fan-out spellings still agree
+    for (w <- Seq(90, 365)) {
+      val a = EventFunnel.rollingActive(ev, w).collect().toSeq
+      val c = EventFunnel.rollingActiveFanout(ev, w).collect().toSeq
+      assert(a == c, s"delta vs fanout, windowDays=$w")
     }
   }
 
