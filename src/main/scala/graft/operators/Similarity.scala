@@ -1386,4 +1386,51 @@ object Similarity {
           .as("variance"))
       .orderBy("i")
   }
+
+  /** Per-label embedding centroid drift against the global centroid:
+    * for each label, the L1 drift across dimensions and the single
+    * dimension whose per-label mean shifts farthest from the global
+    * mean — the embedding-space balance check a label-stratified
+    * sampling decision reads (a label whose centroid sits far off the
+    * corpus centroid dominates any cosine-bucketed pipeline stage).
+    *
+    * Exact without a float mean: components quantize per row to
+    * micro-units (`floor(x·10⁶ + 0.5)` — FLOAT→DOUBLE promotion is
+    * exact and the floor is the same IEEE primitive in both engines);
+    * per-(label, dim) sums are plain codegen'd long aggregates; the
+    * mean comparison cross-multiplies in DECIMAL(38,0):
+    * `|s_l·n_g − s_g·n_l| DIV (n_l·n_g)` is the floored micro-shift
+    * (products ≤ max|q|·n_l·n_g ≈ 10⁶·n² — int64 wraps past ~10⁶
+    * vectors, DECIMAL holds to ~10¹⁶ per side). Scale shape: the
+    * dim-fan-out explodes map-side straight into the (label, dim)
+    * partial aggregate — |labels|·dim rows cross the exchange, never
+    * N·dim; the global centroid is a |dim|-row rollup of THAT table
+    * (not a second corpus pass) attached by broadcast; the finish is
+    * |labels| rows. Ties on the max-shift dimension break to the
+    * lowest dim index in both engines.
+    */
+  def centroidShift(embs: DataFrame): DataFrame = {
+    val qd = embs.select(col("label"),
+      posexplode(expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))"))
+        .as(Seq("dim", "q")))
+    val ld = qd.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .trackedPersist() // feeds the global rollup AND the shift join
+    val gd = ld.groupBy(col("dim"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    ld.join(broadcast(gd), "dim")
+      .withColumn("shift", expr(
+        "CAST(abs(CAST(s AS decimal(38,0)) * gn - " +
+          "CAST(gs AS decimal(38,0)) * n) DIV " +
+          "(CAST(n AS decimal(38,0)) * gn) AS bigint)"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("shift")).as("drift_l1"),
+        min(struct((-col("shift")).as("neg"),
+          col("dim").cast("long").as("d"))).as("top"))
+      .select(col("label"), col("n_vecs"), col("drift_l1"),
+        col("top.d").as("top_dim"), (-col("top.neg")).as("top_shift"))
+      .orderBy("label")
+  }
 }

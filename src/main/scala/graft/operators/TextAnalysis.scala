@@ -1978,4 +1978,63 @@ object TextAnalysis {
         expr("tv_num DIV tv_den").as("tv_ppm"))
       .orderBy("source")
   }
+
+  /** Per-source exclusive-vocabulary census: of each source's distinct
+    * terms, how many appear in NO other source, in exact floored ppm —
+    * the provenance-uniqueness signal a corpus-mixing decision reads
+    * next to [[sourceDrift]]'s distribution distance (a source can have
+    * near-zero drift yet carry a large exclusive tail, or vice versa).
+    *
+    * Scale shape: everything downstream of the scan runs on COLLAPSED
+    * distinct-term tables — the token stream never crosses an exchange
+    * un-deduped (distinct's partial aggregate collapses repeats
+    * map-side), the per-term source counts are a |terms|-row rollup,
+    * the join back is collapsed-table × collapsed-table on the term
+    * key, and the finish is |sources| rows.
+    */
+  def exclusiveVocab(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .distinct()
+    val tc = st.groupBy(col("t")).agg(count(lit(1)).as("nsrc"))
+    st.join(tc, "t")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      .select(col("source"), col("n_terms"), col("n_exclusive"),
+        expr("n_exclusive * 1000000 DIV n_terms").as("excl_ppm"))
+      .orderBy("source")
+  }
+
+  /** Per-source exact nearest-rank token-length percentiles (p50/p90/
+    * p99) plus the extremes — the length-distribution bands a packing
+    * or truncation decision reads, computed WITHOUT ever sorting
+    * documents: lengths collapse to the (source, length)→count table
+    * in one fact-absorbing aggregate, and the nearest-rank percentile
+    * (smallest length whose cumulative count reaches ⌈p·n/100⌉, i.e.
+    * 100·cum ≥ p·n on integers) falls out of a per-source cumulative
+    * sum over that |distinct lengths|-row table — the q166 rank-range
+    * arithmetic, exact at any corpus size, with the Window partitioned
+    * by source above the aggregate (never corpus-wide).
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("source"))
+    cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wt))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        min(col("v")).as("min_len"), max(col("v")).as("max_len"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("v"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("v"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99"))
+      .orderBy("source")
+  }
 }

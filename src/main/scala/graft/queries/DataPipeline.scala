@@ -5106,7 +5106,98 @@ object DataPipeline {
              |            AS BIGINT) AS n_correct,
              |       CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
              |            AS BIGINT) * 1000000 // COUNT(*) AS acc_ppm
-             |FROM p GROUP BY 1 ORDER BY label""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // --- Exclusive-vocabulary census (q165's provenance companion):
+    //     per source, distinct terms seen in NO other source, exact
+    //     floored ppm. Collapsed-table algebra only — see
+    //     TextAnalysis.exclusiveVocab for the scale shape.
+    QueryDef(
+      "q177_exclusive_vocab",
+      (s, dir) => TextAnalysis.exclusiveVocab(Tables(s, dir, "documents")),
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                t -> t <> '')) AS t
+             |  FROM documents
+             |), tc AS (
+             |  SELECT t, CAST(COUNT(*) AS BIGINT) AS nsrc
+             |  FROM st GROUP BY 1
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |       CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_exclusive,
+             |       CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) * 1000000 // COUNT(*) AS excl_ppm
+             |FROM st JOIN tc USING (t)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // --- Exact nearest-rank token-length percentile bands per source
+    //     (p50/p90/p99 + extremes) via rank arithmetic over the
+    //     collapsed (source, length) table — never a document sort.
+    QueryDef(
+      "q178_length_percentiles",
+      (s, dir) =>
+        TextAnalysis.lengthPercentiles(Tables(s, dir, "documents")),
+      Some("""WITH cnt AS (
+             |  SELECT source,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |                  t -> t <> '')) AS BIGINT) AS v,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT source, v, c,
+             |         SUM(c) OVER (PARTITION BY source ORDER BY v)
+             |           AS cum,
+             |         SUM(c) OVER (PARTITION BY source) AS n
+             |  FROM cnt
+             |)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+             |       MIN(v) AS min_len, MAX(v) AS max_len,
+             |       MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+             |       MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+             |       MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+             |FROM cum GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // --- Per-label centroid drift vs the global embedding centroid —
+    //     exact micro-unit quantization + DECIMAL cross-multiplied
+    //     means; see Similarity.centroidShift for the scale shape.
+    QueryDef(
+      "q179_centroid_shift",
+      (s, dir) => Similarity.centroidShift(Tables(s, dir, "embeddings")),
+      Some("""WITH qd AS (
+             |  SELECT label,
+             |         unnest(range(len(embedding))) AS dim,
+             |         unnest(list_transform(embedding, x ->
+             |           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+             |                AS BIGINT))) AS q
+             |  FROM embeddings
+             |), ld AS (
+             |  SELECT label, dim, SUM(q) AS s,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM qd GROUP BY 1, 2
+             |), gd AS (
+             |  SELECT dim, CAST(SUM(s) AS BIGINT) AS gs,
+             |         CAST(SUM(n) AS BIGINT) AS gn
+             |  FROM ld GROUP BY 1
+             |), sh AS (
+             |  SELECT label, ld.dim, n,
+             |         CAST(ABS(CAST(s AS HUGEINT) * gn
+             |                  - CAST(gs AS HUGEINT) * n)
+             |              // (CAST(n AS HUGEINT) * gn) AS BIGINT)
+             |           AS shift
+             |  FROM ld JOIN gd USING (dim)
+             |), r AS (
+             |  SELECT label, dim, n, shift,
+             |         ROW_NUMBER() OVER (PARTITION BY label
+             |              ORDER BY shift DESC, dim) AS rk
+             |  FROM sh
+             |)
+             |SELECT label, MAX(n) AS n_vecs,
+             |       CAST(SUM(shift) AS BIGINT) AS drift_l1,
+             |       MAX(CASE WHEN rk = 1 THEN dim END) AS top_dim,
+             |       MAX(CASE WHEN rk = 1 THEN shift END) AS top_shift
+             |FROM r GROUP BY 1 ORDER BY label""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

@@ -953,6 +953,220 @@ object Relational {
              |  AND c_nationkey = cn.n_nationkey
              |  AND sn.n_name <> cn.n_name
              |GROUP BY 1, 2, 3
-             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // --- Small-quantity revenue (TPC-H Q17 flavor): yearly revenue from
+    //     Brand#4 lineitems whose quantity is below 20% of their part's
+    //     average quantity. Scale shape: the brand filter broadcasts a
+    //     |parts|/|brands| key set into the fact scan FIRST, so only
+    //     matching lineitems flow; the per-part quantity stats are one
+    //     l_partkey hash agg over that reduced stream (same rows Q17's
+    //     correlated AVG sees — the brand predicate is a part attribute,
+    //     so filtering before the stats is value-identical); the
+    //     stats-to-fact attach rides the broadcast threshold (|brand
+    //     parts| rows). The 20% test is exact integer cross-multiply:
+    //     q < total/(5·cnt) ⇔ q·5·cnt < total on longs (quantities are
+    //     integral; floor(q+0.5) — NOT a cast, whose rounding mode
+    //     differs between engines on .5 — products ≤ 50·5·group-rows,
+    //     wrap needs ~3.7e16 rows per part).
+    QueryDef(
+      "q173_small_qty_revenue",
+      (s, dir) => {
+        import graft.operators.CacheRegistry.TrackedPersist
+        val pf = t(s, dir, "part")
+          .where(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        // consumed twice (stats + the filtered re-join): persist the
+        // ~|lineitem|/|brands| brand slice instead of scanning the fact
+        // twice
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            floor(col("l_quantity") + 0.5).as("q"),
+            cents(col("l_extendedprice")).as("revc"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .trackedPersist()
+        val stats = li.groupBy(col("l_partkey"))
+          .agg(sum(col("q")).as("total_q"), count(lit(1)).as("cnt"))
+        li.join(stats, "l_partkey")
+          .where(col("q") * 5 * col("cnt") < col("total_q"))
+          .groupBy(col("l_year"))
+          .agg((exactSum(col("revc")).cast("double") / 100).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("l_year")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+             |         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |           AS revc,
+             |         EXTRACT(year FROM l_shipdate) AS l_year
+             |  FROM lineitem, part
+             |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#4'
+             |), stats AS (
+             |  SELECT l_partkey, SUM(q) AS total_q,
+             |         CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM li GROUP BY 1
+             |)
+             |SELECT CAST(l_year AS BIGINT) AS l_year,
+             |       CAST(SUM(CAST(revc AS HUGEINT)) AS DOUBLE) / 100
+             |         AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM li JOIN stats USING (l_partkey)
+             |WHERE q * 5 * cnt < total_q
+             |GROUP BY 1 ORDER BY l_year""".stripMargin)),
+
+    // --- Ship-latency by order priority (TPC-H Q12 flavor on the
+    //     available columns): per (o_orderpriority, 30-day latency
+    //     bucket), line and distinct-order counts. Scale shape: one
+    //     orderkey-partitioned SHJ of the two projected fact streams is
+    //     the only corpus-sized exchange pair; the distinct-order count
+    //     reuses that partitioning (orderkey ⊆ the first grouping key
+    //     set, so the per-(priority, bucket, order) collapse adds NO
+    //     exchange), and the final rollup is ≤|priorities·buckets| rows.
+    //     Latency is integer epoch-day arithmetic — ship and order days
+    //     both via the shared floor-division spelling, identical in both
+    //     engines on post-epoch data.
+    QueryDef(
+      "q174_priority_latency",
+      (s, dir) => {
+        val lif = t(s, dir, "lineitem")
+        val ordf = t(s, dir, "orders")
+        val li = lif.select(col("l_orderkey"),
+          Tables.epochSec(lif, "l_shipdate").as("ssec"))
+          .select(col("l_orderkey"), expr("ssec DIV 86400").as("sday"))
+        val ord = ordf.select(col("o_orderkey"), col("o_orderpriority"),
+          Tables.epochSec(ordf, "o_orderdate").as("osec"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("osec DIV 86400").as("oday"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), col("l_orderkey"),
+            expr("(sday - oday) DIV 30").as("bucket"))
+          .groupBy(col("o_orderpriority"), col("bucket"), col("l_orderkey"))
+          .agg(count(lit(1)).as("ln"))
+          .groupBy(col("o_orderpriority"), col("bucket"))
+          .agg(sum(col("ln")).as("n_lines"), count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority", "bucket")
+      },
+      Some("""WITH j AS (
+             |  SELECT o_orderpriority, l_orderkey,
+             |         (CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400
+             |          - CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400)
+             |           // 30 AS bucket
+             |  FROM lineitem, orders WHERE l_orderkey = o_orderkey
+             |)
+             |SELECT o_orderpriority, bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM j GROUP BY 1, 2
+             |ORDER BY o_orderpriority, bucket""".stripMargin)),
+
+    // --- Promo revenue share by month (TPC-H Q14 flavor): per order
+    //     month, the floored-ppm share of discounted revenue earned by
+    //     PROMO-type parts. Scale shape: ONE fact scan; the part→type
+    //     flag attaches via an explicit broadcast of a 2-column
+    //     projection (the dim-broadcast rule); both the promo and total
+    //     sums are conditional branches of the SAME (year, month) hash
+    //     agg — never two passes. Exact: per-row cents·(100−pct) longs,
+    //     128-bit exactSum rollups, share as DECIMAL·10⁶ DIV — the
+    //     oracle's HUGEINT // to the digit.
+    QueryDef(
+      "q175_promo_share",
+      (s, dir) => {
+        val pm = t(s, dir, "part")
+          .select(col("p_partkey"),
+            (col("p_type") === "PROMO").as("is_promo"))
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            month(col("l_shipdate")).cast("long").as("l_month"))
+          .join(broadcast(pm), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_year"), col("l_month"))
+          .agg(exactSum(when(col("is_promo"), col("rev")).otherwise(0L))
+              .as("promo_c"),
+            exactSum(col("rev")).as("total_c"))
+          .select(col("l_year"), col("l_month"),
+            expr("(promo_c * 1000000) DIV total_c").as("promo_ppm"),
+            (col("total_c").cast("double") / 10000).as("revenue"))
+          .orderBy("l_year", "l_month")
+      },
+      Some("""SELECT EXTRACT(year FROM l_shipdate) AS l_year,
+             |       EXTRACT(month FROM l_shipdate) AS l_month,
+             |       CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |                THEN CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                          AS HUGEINT)
+             |                     * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                                   AS BIGINT))
+             |                ELSE 0 END) * 1000000
+             |            // SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                       AS HUGEINT)
+             |                 * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                               AS BIGINT))) AS BIGINT)
+             |         AS promo_ppm,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                     AS HUGEINT)
+             |                * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                              AS BIGINT))) AS DOUBLE) / 10000
+             |         AS revenue
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |GROUP BY 1, 2
+             |ORDER BY l_year, l_month""".stripMargin)),
+
+    // --- Top returned-revenue customers (TPC-H Q10 flavor): the 20
+    //     customers losing the most revenue to returns, with name and
+    //     nation. Scale shape: the R-flag filter pushes into the fact
+    //     scan; revenue pre-aggregates per l_orderkey BEFORE the orders
+    //     join (the q163 N:1 collapse); the per-customer rollup groups
+    //     on the INT custkey (q170 rule); the global top-20 is a
+    //     TakeOrderedAndProject (per-partition heaps, never a full
+    //     sort); and only THEN do the 20 survivors broadcast into the
+    //     customer and nation dims — the corpus-scaled customer table is
+    //     probed by a 20-row build side, never shuffled. Ties break on
+    //     custkey, so the limit is deterministic.
+    QueryDef(
+      "q176_returned_customers",
+      (s, dir) => {
+        val orev = t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("rev")).as("orev"))
+        val top = orev
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(exactSum(col("orev")).as("lost_c"))
+          .orderBy(col("lost_c").desc, col("o_custkey"))
+          .limit(20)
+        t(s, dir, "customer")
+          .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            (col("lost_c").cast("double") / 10000).as("lost_revenue"))
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      },
+      Some("""WITH orev AS (
+             |  SELECT l_orderkey,
+             |         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             |             * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                           AS BIGINT))) AS orev
+             |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+             |), top AS (
+             |  SELECT o_custkey, SUM(CAST(orev AS HUGEINT)) AS lost_c
+             |  FROM orev, orders WHERE l_orderkey = o_orderkey
+             |  GROUP BY 1 ORDER BY lost_c DESC, o_custkey LIMIT 20
+             |)
+             |SELECT c_custkey, c_name, n_name,
+             |       CAST(lost_c AS DOUBLE) / 10000 AS lost_revenue
+             |FROM top, customer, nation
+             |WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+             |ORDER BY lost_revenue DESC, c_custkey""".stripMargin))
   )
 }

@@ -94,5 +94,32 @@ class CensusPropertySpec extends SparkSpec {
     invariant(EventFunnel.rollingActive(_), ev, "rollingActive")
     invariant(EventFunnel.powerUserShare(_), ev, "powerUserShare")
     invariant(EventFunnel.seasonalAnomalies, ev, "seasonalAnomalies")
+    invariant(TextAnalysis.exclusiveVocab, docs, "exclusiveVocab")
+    invariant(TextAnalysis.lengthPercentiles, docs, "lengthPercentiles")
+    val embs = samples(Gen.choose(-100, 100), 60, 31L).zipWithIndex.map {
+      case (b, i) =>
+        (i.toLong, Array.tabulate(5)(d => (b + d * i).toFloat / 64f),
+          i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    invariant(Similarity.centroidShift, embs, "centroidShift")
+  }
+
+  test("lengthPercentiles: rank arithmetic equals brute-force sorted " +
+    "nearest-rank percentiles on random lengths") {
+    val countsGen = Gen.nonEmptyListOf(Gen.choose(0, 40))
+    for ((lens, si) <- samples(countsGen, 8, 4242L).zipWithIndex) {
+      val docs = lens.zipWithIndex.map { case (c, i) =>
+        (i.toLong, Seq.fill(c)("w").mkString(" "), "s")
+      }.toDF("doc_id", "text", "source")
+      val out = TextAnalysis.lengthPercentiles(docs).collect().head
+      val sorted = lens.map(_.toLong).sorted
+      val n = sorted.length
+      def nearestRank(p: Int): Long = sorted((n * p + 99) / 100 - 1)
+      assert((out.getLong(1), out.getLong(2), out.getLong(3),
+        out.getLong(4), out.getLong(5), out.getLong(6)) ==
+        ((n.toLong, sorted.head, sorted.last,
+          nearestRank(50), nearestRank(90), nearestRank(99))),
+        s"seed $si over $lens")
+    }
   }
 }
