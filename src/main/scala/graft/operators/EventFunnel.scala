@@ -751,7 +751,7 @@ object EventFunnel {
     // run starts: days[i] where i = 1 or gap >= W; run ends: days[i]
     // where i = last or next gap >= W. Equal-length by construction;
     // zip_with pairs them into the two deltas per run.
-    val deltas = sets
+    val deltas: DataFrame = sets
       .select(explode(expr(
         s"""flatten(zip_with(
            |  filter(transform(sequence(1, size(days)), i ->
@@ -998,5 +998,37 @@ object EventFunnel {
         // floor semantics to match the oracle's `//` (see weeklySeasonality)
         expr("share_num DIV n_events").as("share_ppm"))
       .orderBy("pct")
+  }
+
+  /** Per-type exact nearest-rank value percentiles (p50/p90/p99 of the
+    * event `value` in exact cents) plus extremes and totals — the
+    * monetization-distribution bands next to q151's robust outliers,
+    * computed WITHOUT sorting events: values quantize per row to cents
+    * (the [[graft.queries.Q.cents]] floor — identical in both engines
+    * on 2-dp money), collapse to the (type, cents)→count table in one
+    * fact-absorbing aggregate, and the nearest-rank percentile
+    * (smallest value whose cumulative count reaches ⌈p·n/100⌉) falls
+    * out of per-type cumulative rank arithmetic over that table — the
+    * q178/q166 discipline; the Window partitions by type above the
+    * aggregate, never corpus-wide.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame = {
+    val cnt = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("event_type"))
+    cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wt))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("v"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("v"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99"))
+      .orderBy("event_type")
   }
 }

@@ -1433,4 +1433,26 @@ object Similarity {
         col("top.d").as("top_dim"), (-col("top.neg")).as("top_shift"))
       .orderBy("label")
   }
+
+  /** Per-label L2-norm band census: vectors bucketed by quantized
+    * squared norm in tenth-of-unit-norm² bands — the norm-distribution
+    * sanity check an embedding pipeline runs before cosine math (a
+    * label whose norms drift from ~1 signals an unnormalized encoder
+    * batch; cosine buckets silently degrade there).
+    *
+    * Exact and engine-independent: the squared norm is [[dotQ]]'s
+    * per-component pico-quantized self-dot (plain long sum), the band
+    * is integer `DIV 10¹¹` (norm² 1.0 → band 10) — no float compare
+    * anywhere. Scale shape: pure per-row map into a (label, band) hash
+    * aggregate — ≤|labels|·|bands| rows cross the exchange.
+    */
+  def normBands(embs: DataFrame): DataFrame = {
+    embs
+      .select(col("label"),
+        dotQ(col("embedding"), col("embedding")).as("n2q"))
+      .select(col("label"), expr("n2q DIV 100000000000").as("band"))
+      .groupBy(col("label"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "band")
+  }
 }

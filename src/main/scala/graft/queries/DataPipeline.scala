@@ -5197,7 +5197,50 @@ object DataPipeline {
              |       CAST(SUM(shift) AS BIGINT) AS drift_l1,
              |       MAX(CASE WHEN rk = 1 THEN dim END) AS top_dim,
              |       MAX(CASE WHEN rk = 1 THEN shift END) AS top_shift
-             |FROM r GROUP BY 1 ORDER BY label""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // --- Per-label L2-norm band census: pico-quantized self-dot,
+    //     integer tenth-of-unit-norm² bands — see Similarity.normBands.
+    QueryDef(
+      "q182_norm_bands",
+      (s, dir) => Similarity.normBands(Tables(s, dir, "embeddings")),
+      Some("""WITH n2 AS (
+             |  SELECT label,
+             |         list_sum(list_transform(embedding, x ->
+             |           CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+             |                      * 1e12 + 0.5) AS BIGINT))) AS n2q
+             |  FROM embeddings
+             |)
+             |SELECT label,
+             |       CAST(n2q // 100000000000 AS BIGINT) AS band,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM n2 GROUP BY 1, 2
+             |ORDER BY label, band""".stripMargin)),
+
+    // --- Exact nearest-rank value-percentile bands per event type
+    //     (p50/p90/p99 in cents + extremes) — the q178 rank arithmetic
+    //     on the events ledger; see EventFunnel.valuePercentiles.
+    QueryDef(
+      "q183_value_percentiles",
+      (s, dir) => EventFunnel.valuePercentiles(Tables(s, dir, "events")),
+      Some("""WITH cnt AS (
+             |  SELECT event_type,
+             |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT event_type, v, c,
+             |         SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+             |           AS cum,
+             |         SUM(c) OVER (PARTITION BY event_type) AS n
+             |  FROM cnt
+             |)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+             |       MIN(v) AS min_cents, MAX(v) AS max_cents,
+             |       MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+             |       MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+             |       MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+             |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

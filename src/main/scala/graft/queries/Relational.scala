@@ -1167,6 +1167,104 @@ object Relational {
              |       CAST(lost_c AS DOUBLE) / 10000 AS lost_revenue
              |FROM top, customer, nation
              |WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
-             |ORDER BY lost_revenue DESC, c_custkey""".stripMargin))
+             |ORDER BY lost_revenue DESC, c_custkey""".stripMargin)),
+
+    // --- Slow-line order census (TPC-H Q4 flavor on the available
+    //     columns): per (order year, priority), how many orders have AT
+    //     LEAST ONE lineitem shipped more than 60 days after the order
+    //     date. Scale shape: a LEFT SEMI join on the orderkey — the
+    //     EXISTS collapses multi-line matches before anything counts,
+    //     so the aggregate sees ≤|orders| rows; one orderkey exchange
+    //     pair is the only corpus-sized op, and the (year, priority)
+    //     rollup is tiny. Day arithmetic is integer epoch-days.
+    QueryDef(
+      "q180_slow_order_census",
+      (s, dir) => {
+        val lif = t(s, dir, "lineitem")
+        val ordf = t(s, dir, "orders")
+        val li = lif.select(col("l_orderkey"),
+          Tables.epochSec(lif, "l_shipdate").as("ssec"))
+          .select(col("l_orderkey"), expr("ssec DIV 86400").as("sday"))
+        val ord = ordf.select(col("o_orderkey"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          Tables.epochSec(ordf, "o_orderdate").as("osec"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_year"), expr("osec DIV 86400").as("oday"))
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("sday") > col("oday") + 60, "left_semi")
+          .groupBy(col("o_year"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_slow_orders"))
+          .orderBy("o_year", "o_orderpriority")
+      },
+      Some("""SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             |       o_orderpriority,
+             |       CAST(COUNT(*) AS BIGINT) AS n_slow_orders
+             |FROM orders
+             |WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400
+             |      > CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400
+             |        + 60)
+             |GROUP BY 1, 2
+             |ORDER BY o_year, o_orderpriority""".stripMargin)),
+
+    // --- Disjunctive predicate revenue (TPC-H Q19 flavor): revenue per
+    //     brand under OR'd (brand, size-range, quantity-range) triples.
+    //     Scale shape: ONE fact scan with the quantity bounds pushed as
+    //     a covering range predicate (min of all branch lows, max of
+    //     all highs — Catalyst can't push the disjunction itself, the
+    //     covering box is the standard trick); the 3-column part side
+    //     broadcasts; the branch disjunction evaluates inside
+    //     whole-stage codegen post-join; the rollup is ≤|brands| rows.
+    //     Quantities compare as exact floor(q+0.5) longs.
+    QueryDef(
+      "q181_disjunctive_revenue",
+      (s, dir) => {
+        val pm = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val li = t(s, dir, "lineitem")
+          .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .select(col("l_partkey"),
+            floor(col("l_quantity") + 0.5).as("q"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev"))
+        li.join(broadcast(pm), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#4" && col("q").between(1, 11) &&
+              col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#8" && col("q").between(10, 20) &&
+              col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#17" && col("q").between(20, 30) &&
+              col("p_size").between(1, 15)))
+          .groupBy(col("p_brand"))
+          .agg((exactSum(col("rev")).cast("double") / 10000).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                     AS HUGEINT)
+             |                * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                              AS BIGINT))) AS DOUBLE) / 10000
+             |         AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_quantity >= 1 AND l_quantity <= 30
+             |  AND ((p_brand = 'Brand#4'
+             |        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+             |            BETWEEN 1 AND 11
+             |        AND p_size BETWEEN 1 AND 5)
+             |    OR (p_brand = 'Brand#8'
+             |        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+             |            BETWEEN 10 AND 20
+             |        AND p_size BETWEEN 1 AND 10)
+             |    OR (p_brand = 'Brand#17'
+             |        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+             |            BETWEEN 20 AND 30
+             |        AND p_size BETWEEN 1 AND 15))
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin))
   )
 }

@@ -210,4 +210,62 @@ object EventStreamOps {
           fresh.iterator.map(d => DayDelta(d, 1L))
       }
   }
+
+  final case class VEv(event_type: String, value: Double)
+
+  final case class ValueBands(event_type: String, n_events: Long,
+    min_cents: Long, max_cents: Long, p50: Long, p90: Long, p99: Long)
+
+  final case class VPState(counts: Map[Long, Long])
+
+  /** Streaming value-percentile bands — the incremental counterpart of
+    * [[graft.operators.EventFunnel.valuePercentiles]]: per event type,
+    * state holds the (cents → count) histogram; each batch a type
+    * receives events, its FULL recomputed band row is emitted, so the
+    * LATEST row per type equals the batch operator over the stream
+    * prefix at every batch boundary (the standard Update-semantics
+    * parity contract of this file). Exact nearest-rank percentiles are
+    * rank arithmetic down the sorted histogram — the same integer
+    * definition as the batch side (smallest cents whose cumulative
+    * count reaches ⌈p·n/100⌉).
+    *
+    * State is bounded BY CONSTRUCTION for 2-dp money with a bounded
+    * domain (≤ 100·range distinct cents per type, e.g. ~49 k keys for
+    * values ≤ $490); `maxDistinctPerType` guards pathological domains —
+    * past the cap a NEW distinct value folds into the nearest existing
+    * key below it (or the current minimum), keeping n and the tail
+    * ranks exact while the affected interior band may shift by one
+    * neighbouring key (documented bounded-state degradation, the
+    * dedupWithinWatermark trade).
+    */
+  def valuePercentileUpdates(events: Dataset[VEv],
+      maxDistinctPerType: Int = 1000000): Dataset[ValueBands] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[VPState, ValueBands](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, evs, state: GroupState[VPState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty)
+          evs.foreach { e =>
+            val c = Math.floor(e.value * 100 + 0.5).toLong
+            val key =
+              if (m.contains(c) || m.size < maxDistinctPerType) c
+              else m.keysIterator.filter(_ <= c)
+                .reduceOption(_ max _).getOrElse(m.keysIterator.min)
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(VPState(m))
+          val sorted = m.toSeq.sortBy(_._1)
+          val n = sorted.iterator.map(_._2).sum
+          def nearestRank(p: Int): Long = {
+            val target = (n * p + 99) / 100
+            var cum = 0L
+            sorted.find { case (_, c) => cum += c; cum >= target }.get._1
+          }
+          Iterator.single(ValueBands(tpe, n,
+            sorted.head._1, sorted.last._1,
+            nearestRank(50), nearestRank(90), nearestRank(99)))
+      }
+  }
 }

@@ -102,6 +102,13 @@ class CensusPropertySpec extends SparkSpec {
           i % 4)
     }.toDF("vec_id", "embedding", "label")
     invariant(Similarity.centroidShift, embs, "centroidShift")
+    invariant(Similarity.normBands, embs, "normBands")
+    val evv = samples(Gen.choose(1, 5000), 90, 77L).zipWithIndex.map {
+      case (c, i) =>
+        (i.toLong, i * 1000000000L, (i % 9).toLong, s"t${i % 3}",
+          c.toDouble / 100, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    invariant(EventFunnel.valuePercentiles, evv, "valuePercentiles")
   }
 
   test("lengthPercentiles: rank arithmetic equals brute-force sorted " +

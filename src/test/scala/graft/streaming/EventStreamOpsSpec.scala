@@ -163,6 +163,48 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming value-percentile bands: latest row per type equals " +
+    "the batch operator at every stream prefix") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.VEv]
+    val q = EventStreamOps.valuePercentileUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("vp_out")
+      .outputMode(OutputMode.Append()).start()
+    def latest(): Map[String, (Long, Long, Long, Long, Long, Long)] = {
+      // n_events only grows per type, so the latest emission is the
+      // max-n row — no reliance on the memory sink's append order
+      spark.table("vp_out").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+        .groupBy(_._1).map { case (t, rows) =>
+          t -> rows.map(_._2).maxBy(_._1)
+        }
+    }
+    def batchOf(rows: Seq[(String, Double)])
+        : Map[String, (Long, Long, Long, Long, Long, Long)] = {
+      val ev = rows.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, i.toLong, 1L, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      graft.operators.EventFunnel.valuePercentiles(ev).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    }
+    try {
+      val b1 = Seq(("a", 1.00), ("a", 2.50), ("a", 2.50), ("b", 0.10))
+      mem.addData(b1.map { case (t, v) => EventStreamOps.VEv(t, v) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(b1), "prefix 1")
+      // batch 2: out-of-order low value for a, new type c
+      val b2 = Seq(("a", 0.05), ("c", 9.99), ("a", 2.50))
+      mem.addData(b2.map { case (t, v) => EventStreamOps.VEv(t, v) }: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOf(b1 ++ b2), "prefix 2")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
