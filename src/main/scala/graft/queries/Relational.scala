@@ -1032,6 +1032,14 @@ object Relational {
       (s, dir) => {
         val lif = t(s, dir, "lineitem")
         val ordf = t(s, dir, "orders")
+        // NOTE a (okey, sday) pre-collapse behind an explicit
+        // okey-repartition was tried and REVERTED: the bare repartition
+        // exchanges the full line stream with no map-side combine and
+        // feeds 32 concurrent multi-million-entry hash maps — OOM at
+        // the 200× replica (PERF_NOTES r13). The join-then-aggregate
+        // form below reuses the join's orderkey partitioning for the
+        // per-(priority, bucket, order) collapse (subset rule), so the
+        // distinct-order count adds no exchange.
         val li = lif.select(col("l_orderkey"),
           Tables.epochSec(lif, "l_shipdate").as("ssec"))
           .select(col("l_orderkey"), expr("ssec DIV 86400").as("sday"))
@@ -1129,19 +1137,24 @@ object Relational {
     QueryDef(
       "q176_returned_customers",
       (s, dir) => {
+        // NO per-orderkey pre-agg here, deliberately: the R-filter keeps
+        // ~1 line per order (1/4 of ~4 lines), so the q163 N:1 collapse
+        // would pay a full exchange + |orders|-group hash agg to shrink
+        // nothing — measured 7.7–8.4 s with the pre-agg vs 6.1–6.9 s
+        // without at the 200× replica (same co-tenant band). The
+        // collapse rule is conditional on the POST-FILTER fan-in, not
+        // the raw table shape.
         val orev = t(s, dir, "lineitem")
           .where(col("l_returnflag") === "R")
           .select(col("l_orderkey"),
             (cents(col("l_extendedprice"))
               * (lit(100) - pct(col("l_discount")))).as("rev"))
-          .groupBy(col("l_orderkey"))
-          .agg(sum(col("rev")).as("orev"))
         val top = orev
           .join(t(s, dir, "orders").select(col("o_orderkey"),
             col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
-          .agg(exactSum(col("orev")).as("lost_c"))
+          .agg(exactSum(col("rev")).as("lost_c"))
           .orderBy(col("lost_c").desc, col("o_custkey"))
           .limit(20)
         t(s, dir, "customer")
