@@ -28,10 +28,19 @@ object Bench {
     var layoutWriteSec = -1.0
     if (layout == "bucketed") {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      BucketRehearsal.dropBucketTable(spark, wh,
-        operators.CorpusWriter.DefaultEventsTable)
+      Seq(operators.CorpusWriter.DefaultEventsTable,
+        operators.CorpusWriter.DefaultLineitemTable,
+        operators.CorpusWriter.DefaultOrdersTable)
+        .foreach(BucketRehearsal.dropBucketTable(spark, wh, _))
       val t0 = System.nanoTime()
       operators.CorpusWriter.writeEvents(Tables(spark, sfDir, "events"),
+        sourceDir = Some(sfDir))
+      // the relational side of the deployed layout: lineitem/orders
+      // co-bucketed on the order key (read via the plain parquet path
+      // here — Tables.apply would otherwise resolve a half-written pair)
+      operators.CorpusWriter.writeOrderFacts(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        spark.read.parquet(s"$sfDir/orders.parquet"),
         sourceDir = Some(sfDir))
       layoutWriteSec = (System.nanoTime() - t0) / 1e9
     }

@@ -48,6 +48,25 @@ object ProfileR13 {
         graft.operators.EventFunnel.rollingActiveBitmap(events))
     }
 
+    if (op == "facts") {
+      // deployed fact-pair layout: write once (timed), then the
+      // order-grain gates resolve it via Tables.apply substitution
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      import graft.operators.CorpusWriter
+      Seq(CorpusWriter.DefaultLineitemTable, CorpusWriter.DefaultOrdersTable)
+        .foreach(BucketRehearsal.dropBucketTable(spark, wh, _))
+      val t0 = System.nanoTime()
+      CorpusWriter.writeOrderFacts(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        spark.read.parquet(s"$sfDir/orders.parquet"),
+        sourceDir = Some(sfDir))
+      println(f"[facts write       ] ${(System.nanoTime() - t0) / 1e9}%8.3f")
+      for (n <- Seq("q163_market_share", "q174_priority_latency",
+          "q176_returned_customers", "q180_slow_order_census",
+          "q07_regional_revenue", "q02_pricing_summary"))
+        time(n)(SparkEntry.queries(n)(spark, sfDir))
+    }
+
     if (op == "q161" || op == "all") {
       val sec = events.select(col("event_type"),
         Tables.epochSec(events).as("sec"))

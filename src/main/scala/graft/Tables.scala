@@ -18,7 +18,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      // prefer the orderkey-co-bucketed fact pair when writeOrderFacts
+      // has registered one FOR THIS SOURCE generation (schema-identical
+      // — values never change, only the per-orderkey exchanges
+      // disappear; the events table keeps its explicit Tables.events
+      // entry point)
+      case "lineitem" => graft.operators.CorpusWriter
+        .bucketedSource(spark, dir, "lineitem.parquet",
+          graft.operators.CorpusWriter.DefaultLineitemTable)
+        .getOrElse(spark.read.parquet(s"$dir/lineitem.parquet"))
+      case "orders" => graft.operators.CorpusWriter
+        .bucketedSource(spark, dir, "orders.parquet",
+          graft.operators.CorpusWriter.DefaultOrdersTable)
+        .getOrElse(spark.read.parquet(s"$dir/orders.parquet"))
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** The events table for `dir`, preferring the user_id-bucketed layout
     * when [[graft.operators.CorpusWriter.writeEvents]] has registered

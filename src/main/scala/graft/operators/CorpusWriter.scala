@@ -69,6 +69,10 @@ object CorpusWriter {
   /** Default table name for the user_id-bucketed events layout. */
   val DefaultEventsTable = "graft_events_by_user"
 
+  /** Default table names for the orderkey-co-bucketed fact pair. */
+  val DefaultLineitemTable = "graft_lineitem_by_okey"
+  val DefaultOrdersTable = "graft_orders_by_okey"
+
   /** Table property recording which source the bucketed events were
     * written FROM, so [[bucketedEvents]] only substitutes the layout
     * for queries over that same source (a layout written from last
@@ -93,8 +97,13 @@ object CorpusWriter {
     * regeneration rewrites, adds, or drops a part file.
     */
   def eventsFingerprint(spark: org.apache.spark.sql.SparkSession,
-      sourceDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(sourceDir, "events.parquet")
+      sourceDir: String): String =
+    sourceFingerprint(spark, sourceDir, "events.parquet")
+
+  /** [[eventsFingerprint]] generalized to any source parquet file. */
+  def sourceFingerprint(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, sourceFile: String): String = {
+    val path = new org.apache.hadoop.fs.Path(sourceDir, sourceFile)
     val scheme = path.toUri.getScheme
     if (scheme == null || scheme == "file") {
       // java.nio fast path for local files: Hadoop's LocalFileSystem
@@ -156,29 +165,61 @@ object CorpusWriter {
     * the layout for reads of that source.
     */
   def writeEvents(events: DataFrame, table: String = DefaultEventsTable,
-      buckets: Int = 32, sourceDir: Option[String] = None): Unit = {
-    // Repartition on the bucket key FIRST so each write task holds
-    // exactly one bucket → one well-formed file per bucket. Without
-    // it every source-scan task writes its own sliver of every bucket
-    // (tasks × buckets files: measured 800 × ~120 KB at the 50×
-    // replica, whose footer/open overhead made the bucketed q22 read
-    // SLOWER than plain parquet). This shuffle is the one-time ingest
-    // cost the layout exists to amortize — it was always implied by
-    // "bucket the firehose once"; now it actually happens here rather
-    // than degrading every read.
-    events.repartition(buckets, col("user_id"))
+      buckets: Int = 32, sourceDir: Option[String] = None): Unit =
+    writeBucketedSource(events, table, "user_id", Seq("user_id", "ts"),
+      buckets, sourceDir, "events.parquet")
+
+  /** [[writeEvents]] generalized: write `df` as a `bucketCol`-bucketed,
+    * `sortCols`-sorted managed table, tagged with the source dir +
+    * content fingerprint so the matching `bucketedSource` lookup only
+    * substitutes for reads of that exact source generation.
+    *
+    * The repartition on the bucket key FIRST means each write task
+    * holds exactly one bucket → one well-formed file per bucket.
+    * Without it every source-scan task writes its own sliver of every
+    * bucket (tasks × buckets files: measured 800 × ~120 KB at the 50×
+    * replica, whose footer/open overhead made the bucketed q22 read
+    * SLOWER than plain parquet). This shuffle is the one-time ingest
+    * cost the layout exists to amortize.
+    */
+  def writeBucketedSource(df: DataFrame, table: String, bucketCol: String,
+      sortCols: Seq[String], buckets: Int = 32,
+      sourceDir: Option[String] = None, sourceFile: String = ""): Unit = {
+    df.repartition(buckets, col(bucketCol))
       .write
       .mode("overwrite")
-      .bucketBy(buckets, "user_id")
-      .sortBy("user_id", "ts")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
     sourceDir.foreach { d =>
-      val fp = eventsFingerprint(events.sparkSession, d)
-      events.sparkSession.sql(
+      val fp = sourceFingerprint(df.sparkSession, d, sourceFile)
+      df.sparkSession.sql(
         s"ALTER TABLE $table SET TBLPROPERTIES " +
           s"('$EventsSourceProp' = '$d', '$EventsFingerprintProp' = '$fp')")
     }
+  }
+
+  /** Write the lineitem/orders FACT PAIR co-bucketed on the order key —
+    * the warehouse layout that makes every orderkey join and per-order
+    * aggregate in the relational battery exchange-free: both scans
+    * come out HashPartitioning(okey, buckets), so lineitem⋈orders
+    * joins (q163/q174/q176/q180, the TPC-H fact spine), per-order
+    * revenue pre-aggregates (groupBy(l_orderkey) — q163/q07) and the
+    * per-(…, orderkey) distinct-order collapses (q174, subset rule)
+    * all run bucket-local. At 100 TB this is how the fact spine is
+    * stored from day one: the orderkey shuffle happens ONCE at ingest
+    * and amortizes across every order-grain query forever — the
+    * writeEvents argument applied to the relational side of the house.
+    * Bucket counts MUST match across the pair (Spark only elides the
+    * exchange when both sides' bucket partitioning is identical).
+    */
+  def writeOrderFacts(lineitem: DataFrame, orders: DataFrame,
+      buckets: Int = 32, sourceDir: Option[String] = None): Unit = {
+    writeBucketedSource(lineitem, DefaultLineitemTable, "l_orderkey",
+      Seq("l_orderkey"), buckets, sourceDir, "lineitem.parquet")
+    writeBucketedSource(orders, DefaultOrdersTable, "o_orderkey",
+      Seq("o_orderkey"), buckets, sourceDir, "orders.parquet")
   }
 
   /** The bucketed events layout for `sourceDir`, when one has been
@@ -192,6 +233,14 @@ object CorpusWriter {
   def bucketedEvents(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, table: String = DefaultEventsTable)
       : Option[DataFrame] =
+    bucketedSource(spark, sourceDir, "events.parquet", table)
+
+  /** [[bucketedEvents]] generalized to any tagged bucketed source
+    * table (the lineitem/orders pair from [[writeOrderFacts]]).
+    */
+  def bucketedSource(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, sourceFile: String, table: String)
+      : Option[DataFrame] =
     if (!spark.catalog.tableExists(table)) None
     else {
       val props = spark.sessionState.catalog
@@ -199,7 +248,7 @@ object CorpusWriter {
         .properties
       if (props.get(EventsSourceProp).contains(sourceDir) &&
           props.get(EventsFingerprintProp)
-            .contains(eventsFingerprint(spark, sourceDir)))
+            .contains(sourceFingerprint(spark, sourceDir, sourceFile)))
         Some(spark.table(table))
       else None
     }

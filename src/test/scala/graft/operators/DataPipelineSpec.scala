@@ -985,6 +985,68 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("writeOrderFacts: the co-bucketed fact pair substitutes only for " +
+    "its tagged source; order-grain join + pre-agg plan with zero " +
+    "orderkey Exchange and identical values") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("factsrc").toString
+    val li = (1L to 80L).map(i => (i % 20, 100.0 + i, 0.05))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = (0L until 20L).map(i => (i, i % 7))
+      .toDF("o_orderkey", "o_custkey")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    import graft.operators.CorpusWriter
+    Seq(CorpusWriter.DefaultLineitemTable, CorpusWriter.DefaultOrdersTable)
+      .foreach(graft.BucketRehearsal.dropBucketTable(s, wh, _))
+    val savedAuto = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      CorpusWriter.writeOrderFacts(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        buckets = 4, sourceDir = Some(dir))
+      // substitution gated on the tagged source dir
+      assert(graft.Tables(s, dir, "lineitem").queryExecution.analyzed
+        .toString.contains(CorpusWriter.DefaultLineitemTable))
+      val dir2 = java.nio.file.Files.createTempDirectory("factsrc2").toString
+      li.write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+      assert(!graft.Tables(s, dir2, "lineitem").queryExecution.analyzed
+        .toString.contains(CorpusWriter.DefaultLineitemTable))
+      // q163/q176-shaped order-grain chain: per-order pre-agg + okey
+      // join + custkey rollup
+      def shape(liDf: org.apache.spark.sql.DataFrame,
+          ordDf: org.apache.spark.sql.DataFrame) = liDf
+        .groupBy(col("l_orderkey"))
+        .agg(org.apache.spark.sql.functions
+          .sum(expr("CAST(floor(l_extendedprice*100 + 0.5) AS bigint)"))
+          .as("orev"))
+        .join(ordDf, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(org.apache.spark.sql.functions.sum(col("orev")).as("c"))
+        .orderBy("o_custkey")
+      val bucketed = shape(graft.Tables(s, dir, "lineitem"),
+        graft.Tables(s, dir, "orders"))
+      val plain = shape(s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+      assert(bucketed.collect().toSeq == plain.collect().toSeq)
+      val bplan = bucketed.queryExecution.executedPlan.toString
+      val pplan = plain.queryExecution.executedPlan.toString
+      for (k <- Seq("l_orderkey", "o_orderkey")) {
+        assert(pplan.contains(s"Exchange hashpartitioning($k"),
+          s"plain path lost its $k shuffle?\n$pplan")
+        assert(!bplan.contains(s"Exchange hashpartitioning($k"),
+          s"bucketed layout still exchanges on $k:\n$bplan")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      Seq(CorpusWriter.DefaultLineitemTable, CorpusWriter.DefaultOrdersTable)
+        .foreach(graft.BucketRehearsal.dropBucketTable(s, wh, _))
+    }
+  }
+
   test("sessionize over user_id-bucketed events plans with zero Exchange") {
     val s = spark
     import s.implicits._
