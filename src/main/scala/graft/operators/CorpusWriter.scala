@@ -213,9 +213,30 @@ object CorpusWriter {
     * writeEvents argument applied to the relational side of the house.
     * Bucket counts MUST match across the pair (Spark only elides the
     * exchange when both sides' bucket partitioning is identical).
+    *
+    * Default 128 buckets, above the core count, so one bucket stays a
+    * reasonable scan task / partial-agg working set (on a cluster,
+    * size buckets so one bucket of the LARGER table fits an executor
+    * slot — the writeBucketed rule).
+    *
+    * MEASURED TRADEOFF (PERF_NOTES r13, 200× replica): order-grain
+    * queries win big (q163 8.2–9.2→5.2–5.4 s, q07 6.0→3.5–4.6 s, q180
+    * −35%), but a rollup on a DIFFERENT fact key pays: q03's
+    * per-partkey pre-aggregate ran 3.1 s on the plain files (whose
+    * per-copy layout accidentally clusters partkeys, so each scan
+    * task's partial-agg map holds ~100 k keys and collapses 6:1) and
+    * 7.5–9 s on this layout (bucketing by orderkey scatters partkeys —
+    * ~900 k distinct per 937 k-row task, the partial agg collapses
+    * nothing and the exchange carries the full fact; the alternative
+    * broadcast-part→brand-agg shape was measured WORSE on plain and
+    * only marginally better here — the cost is the 120 M-row probe of
+    * a 4 M-entry broadcast map, not the plan). One physical sort order
+    * cannot serve every access path; the classical remedy is a second
+    * projection clustered on the other key (C-Store-style), which is a
+    * storage-budget decision, not a default.
     */
   def writeOrderFacts(lineitem: DataFrame, orders: DataFrame,
-      buckets: Int = 32, sourceDir: Option[String] = None): Unit = {
+      buckets: Int = 128, sourceDir: Option[String] = None): Unit = {
     writeBucketedSource(lineitem, DefaultLineitemTable, "l_orderkey",
       Seq("l_orderkey"), buckets, sourceDir, "lineitem.parquet")
     writeBucketedSource(orders, DefaultOrdersTable, "o_orderkey",
