@@ -83,17 +83,19 @@ object Tables {
     // executor memory (the build side is the smaller per-partition
     // slice) and AQE splits skewed partitions; this is the default
     // posture of modern vectorized engines.
-    "spark.sql.join.preferSortMergeJoin" -> "false",
-    // 64 MB broadcast threshold (default 10 MB): sized to fat executors
-    // (128 GiB local; the same rule on a cluster with ≥8 GiB/executor
-    // slots). Two measured effects at the 200× replica (PERF_NOTES
-    // round 13): mid-size key→attribute maps (customer→nation, ~36 MB
-    // at 200×) keep broadcasting instead of degrading to a pair of
-    // corpus-sized exchanges, and the shuffled-hash-join size bound
-    // (threshold × shuffle partitions) stops false-failing to
-    // sort-merge on pre-collapsed fact sides (q163's per-order revenue
-    // table estimated > 320 MB ⇒ two 30 M-row sorts appeared ONLY past
-    // 50×). Still corpus-safe: anything that scales with the corpus
-    // blows past 64 MB immediately and shuffles as before.
-    "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString)
+    // Broadcast threshold stays at the 10 MB DEFAULT, deliberately.
+    // A 64 MB threshold was tried in r13 (it let the 200× customer map
+    // keep broadcasting and un-flipped q163's SMJ) and REVERTED after
+    // it destabilized the connected-component operators at 50×:
+    // size-estimate currencies differ by plan node — parquet scans
+    // estimate from file bytes (reliable), but localCheckpoint'd loop
+    // frames (q59/q85/q90) report COMPRESSED in-memory block sizes, so
+    // a ~50 MB-looking frame deserialized into a ~512 MB driver
+    // HashedRelation → intermittent "Not enough memory to build and
+    // broadcast" + GCLocker starvation (PERF_NOTES r13). The q163-class
+    // wins are kept with PLAN-LOCAL shuffle_hash hints on the
+    // pre-collapsed fact sides instead — hints scope the decision to
+    // joins whose build side is known-bounded, rather than betting the
+    // whole session on every estimate being honest.
+    "spark.sql.join.preferSortMergeJoin" -> "false")
 }

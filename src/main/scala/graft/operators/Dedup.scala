@@ -1174,4 +1174,35 @@ object Dedup {
         expr("cross_source_docs * 1000000 DIV n_docs").as("spill_ppm"))
       .orderBy("size", "n_sources")
   }
+
+  /** Cross-source exact-duplicate MATRIX: for every unordered source
+    * pair, how many distinct texts appear in both — the
+    * provenance-overlap table a corpus-mixing decision reads next to
+    * [[dupSpreadCensus]]'s aggregate spill (the census says HOW MUCH
+    * leaks across sources; the matrix says BETWEEN WHOM).
+    */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame =
+    crossSourceDupMatrixHashed(docs.select(
+      unhex(md5(col("text"))).as("h"), col("source")))
+
+  /** [[crossSourceDupMatrix]] over a pre-hashed `(h, source)` stream
+    * (16-byte binary digests — the q162 key discipline). Scale shape:
+    * the stream collapses to DISTINCT (h, source) map-side before
+    * anything joins (the only fact-absorbing step); the self-join runs
+    * h-partitioned over that collapsed table against its cached self,
+    * fanning out at most C(|sources present|, 2) rows per digest —
+    * bounded by the source-universe size, never by corpus size; the
+    * finish is a ≤|sources|²-row aggregate.
+    */
+  def crossSourceDupMatrixHashed(pairs: DataFrame): DataFrame = {
+    import graft.operators.CacheRegistry.TrackedPersist
+    val hs = pairs.select(col("h"), col("source")).distinct()
+      .trackedPersist() // both sides of the self-join
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -5240,7 +5240,42 @@ object DataPipeline {
              |       MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
              |       MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
              |       MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
-             |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // --- Cross-source exact-dup matrix over the q162 known-duplication
+    //     channel (same single-scan hashed legs: identical text ⇒
+    //     identical digest, so the synthetic re-crawl/re-post legs
+    //     derive map-side from one projection) — BETWEEN WHOM the
+    //     duplication leaks, next to q162's how-much.
+    QueryDef(
+      "q184_cross_source_matrix",
+      (s, dir) => {
+        val noLeg = array().cast("array<struct<source:string>>")
+        val legs = Tables(s, dir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("h"),
+            col("source"))
+          .select(col("h"), explode(concat(
+            array(struct(col("source").as("source"))),
+            when(col("doc_id") % 7 === 0,
+              array(struct(lit("recrawl").as("source")))).otherwise(noLeg),
+            when(col("doc_id") % 3 === 0,
+              array(struct(col("source").as("source")))).otherwise(noLeg)))
+            .as("leg"))
+          .select(col("h"), col("leg.source").as("source"))
+        Dedup.crossSourceDupMatrixHashed(legs)
+      },
+      Some("""WITH u AS (
+             |  SELECT text, source FROM documents
+             |  UNION ALL
+             |  SELECT text, 'recrawl' FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT text, source FROM documents WHERE doc_id % 3 = 0
+             |),
+             |hs AS (SELECT DISTINCT md5(text) AS h, source FROM u)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+             |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

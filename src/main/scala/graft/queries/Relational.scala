@@ -781,7 +781,11 @@ object Relational {
               * (lit(100) - pct(col("l_discount")))).as("rev"))
           .groupBy(col("l_orderkey"))
           .agg(sum(col("rev")).as("orev"))
-        val agg = orev
+        // shuffle_hash on the pre-collapsed per-order side: past ~50×
+        // the size-estimate bound otherwise falls back to a SortMergeJoin
+        // (two |orders|-row sorts); the build side is |orders|×2 longs —
+        // bounded per partition by the shuffle-partition sizing rule
+        val agg = orev.hint("shuffle_hash")
           .join(oc, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("nat"), col("o_year"))
           .agg(exactSum(col("orev")).as("cents"))
@@ -1047,7 +1051,8 @@ object Relational {
           Tables.epochSec(ordf, "o_orderdate").as("osec"))
           .select(col("o_orderkey"), col("o_orderpriority"),
             expr("osec DIV 86400").as("oday"))
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        li.join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderpriority"), col("l_orderkey"),
             expr("(sday - oday) DIV 30").as("bucket"))
           .groupBy(col("o_orderpriority"), col("bucket"), col("l_orderkey"))
@@ -1149,7 +1154,7 @@ object Relational {
           .select(col("l_orderkey"),
             (cents(col("l_extendedprice"))
               * (lit(100) - pct(col("l_discount")))).as("rev"))
-        val top = orev
+        val top = orev.hint("shuffle_hash")
           .join(t(s, dir, "orders").select(col("o_orderkey"),
             col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
@@ -1203,7 +1208,10 @@ object Relational {
           Tables.epochSec(ordf, "o_orderdate").as("osec"))
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_year"), expr("osec DIV 86400").as("oday"))
-        ord.join(li,
+        // hint the ORDERS side: SHJ builds must hold a whole partition
+        // in memory (no spill), so the |orders|-row probe-target builds
+        // and the 4× bigger line stream probes (LeftSemi BuildLeft)
+        ord.hint("shuffle_hash").join(li,
             col("o_orderkey") === col("l_orderkey") &&
               col("sday") > col("oday") + 60, "left_semi")
           .groupBy(col("o_year"), col("o_orderpriority"))

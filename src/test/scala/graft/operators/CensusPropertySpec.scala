@@ -96,6 +96,7 @@ class CensusPropertySpec extends SparkSpec {
     invariant(EventFunnel.seasonalAnomalies, ev, "seasonalAnomalies")
     invariant(TextAnalysis.exclusiveVocab, docs, "exclusiveVocab")
     invariant(TextAnalysis.lengthPercentiles, docs, "lengthPercentiles")
+    invariant(Dedup.crossSourceDupMatrix, docs, "crossSourceDupMatrix")
     val embs = samples(Gen.choose(-100, 100), 60, 31L).zipWithIndex.map {
       case (b, i) =>
         (i.toLong, Array.tabulate(5)(d => (b + d * i).toFloat / 64f),
