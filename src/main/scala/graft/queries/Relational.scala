@@ -1286,6 +1286,306 @@ object Relational {
              |        AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
              |            BETWEEN 20 AND 30
              |        AND p_size BETWEEN 1 AND 15))
-             |GROUP BY 1 ORDER BY p_brand""".stripMargin))
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // --- Profit census (TPC-H Q9 flavor on the available columns —
+    //     no partsupp table, so unit cost is p_retailprice): profit per
+    //     (supplier nation, order year). Scale shape: the three true
+    //     dimensions (part projected to 2 columns, supplier, nation)
+    //     broadcast under the fact scan, so the only corpus-sized op is
+    //     ONE orderkey exchange pair for the lineitem⋈orders join; the
+    //     (nation, year) rollup is ≤25·|years| rows. Profit is exact at
+    //     scale 10⁴ (rev cents·pct minus cost cents·qty·100), one float
+    //     division at the end.
+    QueryDef(
+      "q185_profit_census",
+      (s, dir) => {
+        val pm = t(s, dir, "part")
+          .select(col("p_partkey"), cents(col("p_retailprice")).as("pcost"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev4"),
+            floor(col("l_quantity") + 0.5).as("q"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        li.join(broadcast(pm), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("l_orderkey"), col("n_name").as("nation"),
+            (col("rev4") - col("pcost") * col("q") * 100).as("amount4"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), col("o_year"))
+          .agg((exactSum(col("amount4")).cast("double") / 10000)
+            .as("profit"))
+          .orderBy("nation", "o_year")
+      },
+      Some("""SELECT n_name AS nation,
+             |       EXTRACT(year FROM o_orderdate) AS o_year,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                     AS HUGEINT)
+             |                  * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                                AS BIGINT))
+             |                - CAST(FLOOR(p_retailprice*100 + 0.5)
+             |                       AS HUGEINT)
+             |                  * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+             |                  * 100) AS DOUBLE) / 10000 AS profit
+             |FROM lineitem, part, supplier, nation, orders
+             |WHERE l_partkey = p_partkey
+             |  AND l_suppkey = s_suppkey
+             |  AND s_nationkey = n_nationkey
+             |  AND l_orderkey = o_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year""".stripMargin)),
+
+    // --- Returned-item customer ranking (TPC-H Q10 flavor): top 20
+    //     customers by revenue from R-flag lines. Scale shape: the
+    //     R filter pushes into the fact scan; ONE orderkey exchange
+    //     pair joins the filtered lines to the 2-column orders
+    //     projection; revenue collapses per custkey BEFORE the
+    //     customer/nation dims broadcast onto the ≤|customers|-row
+    //     aggregate; the top-20 is a TakeOrderedAndProject (per-
+    //     partition heaps, never a full sort). Total order (revenue
+    //     DESC, c_custkey) makes the cut deterministic; revenue doubles
+    //     are bit-identical in both engines (exact integer sum, one
+    //     division).
+    QueryDef(
+      "q186_returned_customer_ranking",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev4"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg((exactSum(col("rev4")).cast("double") / 10000).as("revenue"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+             |FROM (
+             |  SELECT o_custkey,
+             |         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+             |                       AS HUGEINT)
+             |                  * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                                AS BIGINT))) AS DOUBLE)
+             |           / 10000 AS revenue
+             |  FROM lineitem, orders
+             |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+             |  GROUP BY 1) rev, customer, nation
+             |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // --- Ship-latency / priority matrix (TPC-H Q12 flavor — no
+    //     l_shipmode column, so the line dimension is the ship-latency
+    //     band): per band, how many lines belong to high-priority
+    //     (URGENT/HIGH) vs lower-priority orders. Scale shape: both
+    //     sides project to 2 columns before ONE orderkey exchange pair;
+    //     the band CASE and the priority split are codegen'd conditional
+    //     counts; the result is 3 rows. Day arithmetic is integer
+    //     epoch-days (identical `//86400` truncation in both engines).
+    QueryDef(
+      "q187_latency_priority_matrix",
+      (s, dir) => {
+        val lif = t(s, dir, "lineitem")
+        val ordf = t(s, dir, "orders")
+        val li = lif.select(col("l_orderkey"),
+          Tables.epochSec(lif, "l_shipdate").as("ssec"))
+          .select(col("l_orderkey"), expr("ssec DIV 86400").as("sday"))
+        val ord = ordf.select(col("o_orderkey"), col("o_orderpriority"),
+          Tables.epochSec(ordf, "o_orderdate").as("osec"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("osec DIV 86400").as("oday"))
+        val lat = col("sday") - col("oday")
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            when(lat <= 30, "0-30").when(lat <= 60, "31-60")
+              .otherwise("61+").as("latency_band"),
+            hi.as("hi"))
+          .groupBy(col("latency_band"))
+          .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n_high"),
+            sum(when(col("hi"), 0L).otherwise(1L)).as("n_low"))
+          .orderBy("latency_band")
+      },
+      Some("""SELECT CASE WHEN lat <= 30 THEN '0-30'
+             |            WHEN lat <= 60 THEN '31-60'
+             |            ELSE '61+' END AS latency_band,
+             |       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_high,
+             |       CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT)
+             |         AS n_low
+             |FROM (
+             |  SELECT CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400
+             |           - CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+             |             // 86400 AS lat,
+             |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+             |  FROM lineitem, orders
+             |  WHERE l_orderkey = o_orderkey)
+             |GROUP BY 1
+             |ORDER BY latency_band""".stripMargin)),
+
+    // --- Brand/size supplier census (TPC-H Q16 flavor): per (brand,
+    //     size decade), how many DISTINCT suppliers shipped such parts —
+    //     excluding complaint-list suppliers (here: negative account
+    //     balance), the NOT IN leg. Scale shape: the exclusion set and
+    //     the 3-column part projection both broadcast (anti-join +
+    //     equi-join map-side under the fact scan); the distinct agg
+    //     exchanges (brand, bucket)-keyed with map-side (key, suppkey)
+    //     dedup — Spark's two-phase distinct plan, the exchange carries
+    //     at most |brands·buckets·suppliers| rows, NOT the corpus.
+    QueryDef(
+      "q188_brand_supplier_census",
+      (s, dir) => {
+        val excl = t(s, dir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val pm = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"),
+            expr("p_size DIV 10").as("size_decade"))
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(pm), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("size_decade"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+          .orderBy("p_brand", "size_decade")
+      },
+      Some("""SELECT p_brand,
+             |       CAST(p_size // 10 AS BIGINT) AS size_decade,
+             |       COUNT(DISTINCT l_suppkey) AS n_suppliers
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2
+             |ORDER BY p_brand, size_decade""".stripMargin)),
+
+    // --- Waiting-supplier ranking (TPC-H Q21 flavor): suppliers who
+    //     were the SOLE late shipper (>60 days after order date) on a
+    //     finalized multi-supplier order. Scale shape: the classic
+    //     EXISTS + NOT-EXISTS pair over a lineitem self-join collapses
+    //     into ONE per-order aggregate — count distinct suppliers,
+    //     count distinct LATE suppliers, and (when exactly one) its
+    //     identity via MAX — so the corpus-sized cost is one orderkey
+    //     exchange pair for the join plus the per-order distinct agg;
+    //     no self-join, no correlated re-scan. Supplier names broadcast
+    //     onto the ≤|suppliers|-row result; top-10 by (numwait DESC,
+    //     s_name) is total and deterministic.
+    QueryDef(
+      "q189_waiting_supplier_ranking",
+      (s, dir) => {
+        val lif = t(s, dir, "lineitem")
+        val ordf = t(s, dir, "orders")
+        val li = lif.select(col("l_orderkey"), col("l_suppkey"),
+          Tables.epochSec(lif, "l_shipdate").as("ssec"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            expr("ssec DIV 86400").as("sday"))
+        val ord = ordf.where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"),
+            Tables.epochSec(ordf, "o_orderdate").as("osec"))
+          .select(col("o_orderkey"), expr("osec DIV 86400").as("oday"))
+        val late = col("sday") > col("oday") + 60
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+            max(when(late, col("l_suppkey"))).as("late_supp"))
+          .where(col("n_supp") >= 2 && col("n_late") === 1)
+          .groupBy(col("late_supp"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""SELECT s_name, numwait
+             |FROM (
+             |  SELECT late_supp, COUNT(*) AS numwait
+             |  FROM (
+             |    SELECT l_orderkey,
+             |           COUNT(DISTINCT l_suppkey) AS n_supp,
+             |           COUNT(DISTINCT CASE WHEN late THEN l_suppkey
+             |                          END) AS n_late,
+             |           MAX(CASE WHEN late THEN l_suppkey END)
+             |             AS late_supp
+             |    FROM (
+             |      SELECT l_orderkey, l_suppkey,
+             |             CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT)
+             |               // 86400
+             |               > CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+             |                 // 86400 + 60 AS late
+             |      FROM lineitem, orders
+             |      WHERE l_orderkey = o_orderkey
+             |        AND o_orderstatus = 'F')
+             |    GROUP BY 1)
+             |  WHERE n_supp >= 2 AND n_late = 1
+             |  GROUP BY 1) w, supplier
+             |WHERE late_supp = s_suppkey
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 10""".stripMargin)),
+
+    // --- Idle rich customers (TPC-H Q22 flavor): customers whose
+    //     balance exceeds the positive-balance average and who have
+    //     never placed an URGENT order, rolled up by market segment.
+    //     Scale shape: the threshold is a 1-row broadcast (exact
+    //     integer sum, one float division — bit-identical in both
+    //     engines, so the `>` cut is deterministic); the anti-join
+    //     collapses the priority-filtered orders to DISTINCT custkeys
+    //     first (map-side combine on a 1-column projection — the only
+    //     corpus-sized exchange), then anti-joins the filtered customer
+    //     side; the segment rollup is 5 rows.
+    QueryDef(
+      "q190_idle_rich_customers",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val thr = cust.where(col("c_acctbal") > 0)
+          .agg(avgMoney(col("c_acctbal")).as("avg_bal"))
+        val okeys = t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        cust.crossJoin(broadcast(thr))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sumMoney(col("c_acctbal")).as("total_acctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment,
+             |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+             |       ${Q.sumMoneySql("c_acctbal")} AS total_acctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5)
+             |                         AS BIGINT)) AS DOUBLE)
+             |             / 100 / COUNT(*)
+             |    FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }
