@@ -1031,4 +1031,54 @@ object EventFunnel {
         min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99"))
       .orderBy("event_type")
   }
+
+  /** Burstiness census: users classified by the variance-to-mean ratio
+    * (index of dispersion) of their DAILY event counts — `bursty`
+    * (VMR > 1: campaign-driven or bot-like spikes), `steady` (VMR ≤ 1:
+    * sub-Poisson regularity), or `single-day` (one active day — VMR
+    * undefined). The bot/organic split a per-user state budget and a
+    * training-data curation pass both key on, complementing
+    * [[volumeTrend]] (trend) and [[weeklySeasonality]] (shape).
+    *
+    * Exact, no float mean/variance anywhere: with n = active days,
+    * S1 = Σx, S2 = Σx² over a user's daily counts, population
+    * Var > mean ⟺ n·S2 − S1² > n·S1 — an integer cross-multiplication
+    * (the q171 discipline). The products are computed in DECIMAL(38,0)
+    * (oracle HUGEINT): S2 alone can reach ~10¹⁸ for a 10⁹-events/day
+    * bot, so int64 would wrap on n·S2 long before the inputs do.
+    *
+    * Scale shape: one (user_id, day) fact-absorbing aggregate with
+    * map-side combine is the only corpus-sized op (bucket-local on the
+    * user_id-bucketed events layout — hash(user_id) already clusters
+    * (user_id, day)); the per-user moment rollup runs on the collapsed
+    * |user·days| table and the class rollup is 3 rows. Shares are
+    * exact floored ppm (n_users·10⁶ fits int64 to ~9·10¹² users).
+    */
+  def burstinessCensus(events: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    val daily = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .select(col("user_id"), expr("sec DIV 86400").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = daily
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val classed = perUser.select(
+      when(col("n") === 1, "single-day")
+        .when(dec(col("n")) * col("s2") - dec(col("s1")) * col("s1")
+          > dec(col("n")) * col("s1"), "bursty")
+        .otherwise("steady").as("activity_class"),
+      col("s1"))
+    classed
+      .groupBy(col("activity_class"))
+      .agg(count(lit(1)).as("n_users"), sum(col("s1")).as("n_events"))
+      // denominator from the ≤3-row rollup itself (unpartitioned window
+      // ABOVE the aggregate — the q154 caveat), never a second corpus pass
+      .withColumn("user_share_ppm",
+        expr("n_users * 1000000 DIV sum(n_users) OVER ()"))
+      .orderBy("activity_class")
+  }
 }

@@ -1455,4 +1455,64 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "band")
   }
+
+  /** Centroid-assignment purity per label: the share of vectors whose
+    * OWN label centroid is the nearest label centroid under squared L2
+    * — the nearest-centroid-classifier self-consistency check that
+    * tells a curation pipeline whether a label column still carries
+    * geometric signal (next to [[knnLabelEval]]'s neighbour vote and
+    * [[centroidShift]]'s drift).
+    *
+    * Exact with NO float mean and NO division: components micro-
+    * quantize (the [[centroidShift]] scale); the distance of x to
+    * label b's centroid S_b/n_b compares through the n²-scaled form
+    * D_b = Σ_d (n_b·x_d − S_bd)², and "own is nearest" is the integer
+    * cross-multiplication D_a·n_b² ≤ D_b·n_a² for every other label —
+    * DECIMAL(38,0) products (oracle HUGEINT), exact to ~10⁹ vectors
+    * per label at micro quantization (D·n² ≈ 10³⁸ beyond; drop one
+    * quantization decade per 10× past that).
+    *
+    * Scale shape: per-label per-dim sums collapse map-side
+    * (|labels|·dim rows cross that exchange, never N·dim); the
+    * ≤|labels|-row centroid table gathers into ONE broadcast row; each
+    * vector then evaluates ALL centroid comparisons inside a single
+    * codegen'd projection (`forall` over the broadcast array with a
+    * nested exact-integer distance fold) — zero joins, zero extra
+    * exchanges; the label rollup is ≤|labels| rows.
+    */
+  def centroidPurity(embs: DataFrame): DataFrame = {
+    val qd = embs.select(col("label"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))")
+        .as("xq"))
+    val ld = qd
+      .select(col("label"), posexplode(col("xq")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val cent = ld.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        expr("transform(array_sort(collect_list(struct(dim, s))), " +
+          "c -> c.s)").as("sarr"))
+    val gathered = cent
+      .agg(collect_list(struct(col("label"), col("n"), col("sarr")))
+        .as("cents"))
+    // n²-scaled squared distance of this row's xq to centroid c, as an
+    // exact DECIMAL(38,0) fold (order-insensitive: integer addition)
+    def dist(c: String): String =
+      s"aggregate(zip_with(xq, $c.sarr, (x, sv) -> $c.n * x - sv), " +
+        "CAST(0 AS decimal(38,0)), (acc, t) -> acc + CAST(t AS " +
+        "decimal(38,0)) * t)"
+    qd.crossJoin(broadcast(gathered))
+      .withColumn("own", expr("filter(cents, c -> c.label = label)[0]"))
+      .withColumn("da", expr(dist("own")))
+      .withColumn("pure", expr(
+        s"forall(cents, c -> c.label = label OR " +
+          s"da * (CAST(c.n AS decimal(38,0)) * c.n) <= " +
+          s"${dist("c")} * (CAST(own.n AS decimal(38,0)) * own.n))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pure"), 1L).otherwise(0L)).as("n_pure"))
+      .withColumn("purity_ppm", expr("n_pure * 1000000 DIV n_vecs"))
+      .orderBy("label")
+  }
 }

@@ -5275,7 +5275,82 @@ object DataPipeline {
              |SELECT a.source AS source_a, b.source AS source_b,
              |       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
              |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
-             |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
+    // --- Burstiness census (r13): users classified by the exact
+    //     variance-to-mean ratio of their daily event counts via
+    //     integer cross-multiplication — see
+    //     [[EventFunnel.burstinessCensus]] for the 100 TB shape.
+    QueryDef(
+      "q191_burstiness_census",
+      (s, dir) =>
+        EventFunnel.burstinessCensus(graft.Tables.events(s, dir)),
+      Some("""WITH ud AS (
+             |  SELECT user_id,
+             |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(c) AS BIGINT) AS s1,
+             |         CAST(SUM(c * c) AS BIGINT) AS s2
+             |  FROM ud GROUP BY 1),
+             |cl AS (
+             |  SELECT CASE WHEN n = 1 THEN 'single-day'
+             |              WHEN CAST(n AS HUGEINT) * s2
+             |                     - CAST(s1 AS HUGEINT) * s1
+             |                   > CAST(n AS HUGEINT) * s1 THEN 'bursty'
+             |              ELSE 'steady' END AS activity_class,
+             |         s1
+             |  FROM u)
+             |SELECT activity_class,
+             |       CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(SUM(s1) AS BIGINT) AS n_events,
+             |       COUNT(*) * 1000000
+             |         // (SELECT COUNT(*) FROM cl) AS user_share_ppm
+             |FROM cl GROUP BY 1 ORDER BY activity_class""".stripMargin)),
+
+    // --- Centroid-assignment purity (r13): share of vectors per label
+    //     whose own-label centroid is nearest under exact n²-scaled
+    //     squared L2 — see [[Similarity.centroidPurity]] for the
+    //     broadcast-forall 100 TB shape.
+    QueryDef(
+      "q192_centroid_purity",
+      (s, dir) =>
+        Similarity.centroidPurity(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT e.vec_id, e.label, d.i AS dim,
+             |         CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+             |              * 1000000 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings e
+             |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+             |ls AS (
+             |  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM q GROUP BY 1, 2),
+             |d AS (
+             |  SELECT q.vec_id, q.label, ls.label AS clabel, ls.n,
+             |         SUM(CAST(ls.n * qv - s AS HUGEINT)
+             |             * (ls.n * qv - s)) AS dist
+             |  FROM q JOIN ls ON ls.dim = q.dim
+             |  GROUP BY 1, 2, 3, 4),
+             |own AS (
+             |  SELECT vec_id, label, n AS na, dist AS da
+             |  FROM d WHERE clabel = label),
+             |fl AS (
+             |  SELECT o.vec_id, o.label,
+             |         BOOL_AND(o.da * (CAST(d.n AS HUGEINT) * d.n)
+             |                  <= d.dist * (CAST(o.na AS HUGEINT) * o.na))
+             |           AS pure
+             |  FROM own o JOIN d
+             |    ON d.vec_id = o.vec_id AND d.clabel <> o.label
+             |  GROUP BY 1, 2)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |       CAST(SUM(CASE WHEN pure THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_pure,
+             |       CAST(SUM(CASE WHEN pure THEN 1 ELSE 0 END) * 1000000
+             |            // COUNT(*) AS BIGINT) AS purity_ppm
+             |FROM fl GROUP BY 1 ORDER BY label""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

@@ -104,12 +104,101 @@ class CensusPropertySpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     invariant(Similarity.centroidShift, embs, "centroidShift")
     invariant(Similarity.normBands, embs, "normBands")
+    invariant(Similarity.centroidPurity, embs, "centroidPurity")
+    invariant(EventFunnel.burstinessCensus, ev, "burstinessCensus")
     val evv = samples(Gen.choose(1, 5000), 90, 77L).zipWithIndex.map {
       case (c, i) =>
         (i.toLong, i * 1000000000L, (i % 9).toLong, s"t${i % 3}",
           c.toDouble / 100, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     invariant(EventFunnel.valuePercentiles, evv, "valuePercentiles")
+  }
+
+  test("burstinessCensus: integer cross-multiplied VMR classes equal " +
+    "brute-force float variance/mean on random daily counts") {
+    // one user: list of (day, events-that-day)
+    val userGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(1, 9)))
+    for ((users, si) <- samples(Gen.nonEmptyListOf(userGen), 8, 191L)
+        .zipWithIndex) {
+      val ev = users.zipWithIndex.flatMap { case (days, u) =>
+        days.zipWithIndex.flatMap { case ((day, c), j) =>
+          (0 until c).map(k =>
+            (u * 100000L + j * 100 + k,
+              day * 86400L * 1000000000L + k, u.toLong, "e"))
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      // brute force with plain floats (tiny counts: exact enough to
+      // agree with the integer cross-multiplication on strict >)
+      val expected = users.map { days =>
+        val daily = days.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .values.map(_.toLong).toSeq
+        val n = daily.size
+        if (n == 1) ("single-day", daily.sum)
+        else {
+          val mean = daily.sum.toDouble / n
+          val varP = daily.map(x => (x - mean) * (x - mean)).sum / n
+          (if (varP > mean) "bursty" else "steady", daily.sum)
+        }
+      }.groupBy(_._1).view.mapValues { us =>
+        (us.size.toLong, us.map(_._2).sum)
+      }.toSeq.sortBy(_._1).map { case (cls, (nu, ne)) =>
+        (cls, nu, ne, nu * 1000000L / users.size)
+      }
+      val got = EventFunnel.burstinessCensus(ev).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == expected, s"seed $si: $got vs $expected")
+    }
+  }
+
+  test("centroidPurity: broadcast-forall cross-multiplication equals " +
+    "brute-force BigInt nearest-centroid on random vectors") {
+    val vecGen = Gen.zip(Gen.choose(0, 2),
+      Gen.listOfN(4, Gen.choose(-1000, 1000)))
+    for ((vecs0, si) <- samples(Gen.nonEmptyListOf(vecGen), 8, 192L)
+        .zipWithIndex) {
+      // ensure >= 2 labels so the oracle-shaped semantics are non-vacuous
+      val vecs = vecs0 ++ List((0, List(1, 2, 3, 4)), (1, List(5, 6, 7, 8)))
+      val embs = vecs.zipWithIndex.map { case ((l, xs), i) =>
+        (i.toLong, xs.map(_.toFloat / 512f).toArray, l)
+      }.toDF("vec_id", "embedding", "label")
+      def q(f: Float): Long =
+        math.floor(f.toDouble * 1000000 + 0.5).toLong
+      val quant = vecs.map { case (l, xs) =>
+        (l, xs.map(x => q(x.toFloat / 512f)))
+      }
+      val byLabel = quant.groupBy(_._1).view.mapValues { vs =>
+        val n = vs.size.toLong
+        val sums = vs.map(_._2).transpose.map(_.sum)
+        (n, sums)
+      }.toMap
+      def d2(xq: List[Long], l: Int): BigInt = {
+        val (n, s) = byLabel(l)
+        xq.zip(s).map { case (x, sv) =>
+          BigInt(n * x - sv) * (n * x - sv)
+        }.sum
+      }
+      val expected = quant.map { case (a, xq) =>
+        val (na, _) = byLabel(a)
+        val da = d2(xq, a)
+        val pure = byLabel.keys.forall { b =>
+          b == a || {
+            val (nb, _) = byLabel(b)
+            da * nb * nb <= d2(xq, b) * na * na
+          }
+        }
+        (a, pure)
+      }.groupBy(_._1).view.mapValues { ps =>
+        (ps.size.toLong, ps.count(_._2).toLong)
+      }.toSeq.sortBy(_._1).map { case (l, (nv, np)) =>
+        (l, nv, np, np * 1000000L / nv)
+      }
+      val got = Similarity.centroidPurity(embs).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expected, s"seed $si: $got vs $expected")
+    }
   }
 
   test("lengthPercentiles: rank arithmetic equals brute-force sorted " +
