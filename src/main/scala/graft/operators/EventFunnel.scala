@@ -1081,4 +1081,145 @@ object EventFunnel {
         expr("n_users * 1000000 DIV sum(n_users) OVER ()"))
       .orderBy("activity_class")
   }
+
+  /** Inter-event gap census: every consecutive same-user gap (in whole
+    * seconds) bucketed into human time bands — the cadence diagnostic
+    * that picks a sessionization threshold and sizes streaming-state
+    * timeouts from data instead of folklore.
+    *
+    * Scale shape: the only corpus-sized exchange is the per-user
+    * grouping (ZERO on the user_id-bucketed layout); gaps come from the
+    * per-user sorted array (the q22 argument: per-user event counts are
+    * bounded and do not grow with corpus size), the exploded gap rows
+    * collapse map-side to ≤4 band counters per partition, and the final
+    * exchange moves 4 rows. Equal-second ties give gap 0 in any order,
+    * so the sorted-array spelling equals the oracle's LAG-window
+    * formulation exactly; band labels carry an ordering prefix so the
+    * presentation sort is engine-agnostic. The ppm share divides over
+    * the 4-row rollup itself (window ABOVE the aggregate), never a
+    * second corpus pass; n_gaps·10⁶ wraps int64 only past ~9·10¹² gaps.
+    */
+  def gapBandCensus(events: DataFrame): DataFrame = {
+    val gaps = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("sec"))).as("secs"))
+      .select(explode(expr(
+        """zip_with(slice(secs, 1, size(secs) - 1),
+          |         slice(secs, 2, size(secs) - 1),
+          |         (a, b) -> b - a)""".stripMargin)).as("gap"))
+    gaps
+      .select(when(col("gap") < 60, "a_lt_1m")
+        .when(col("gap") < 3600, "b_1m_1h")
+        .when(col("gap") < 86400, "c_1h_1d")
+        .otherwise("d_ge_1d").as("gap_band"))
+      .groupBy(col("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("share_ppm",
+        expr("n_gaps * 1000000 DIV sum(n_gaps) OVER ()"))
+      .orderBy("gap_band")
+  }
+
+  /** Session-depth census: sessions (same [[gapSec]] split as q22
+    * sessionize) bucketed by how many events they contain — the
+    * engagement-shape histogram that tells a curation pipeline whether
+    * "sessions" are single-hit bounces or long trajectories before it
+    * prices per-session features.
+    *
+    * Scale shape: one per-user grouping (ZERO exchange on the bucketed
+    * events layout) builds the sorted second array; session sizes are
+    * derived INSIDE the array — boundary positions are the gaps
+    * > gapSec, and sizes are the diffs of consecutive boundary edges —
+    * so nothing event-sized crosses a second exchange. The exploded
+    * per-session rows collapse map-side to ≤5 band counters. Value
+    * identity with the oracle's window spelling: a session's size
+    * depends only on the sorted second multiset (ties gap 0), which is
+    * order-unique. Share ppm divides over the ≤5-row rollup.
+    */
+  def sessionDepthCensus(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val sizes = events
+      .select(col("user_id"), graft.Tables.epochSec(events).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("sec"))).as("secs"))
+      .select(expr(
+        s"""CASE WHEN size(secs) < 2 THEN array()
+           |     ELSE filter(sequence(1, size(secs) - 1),
+           |                 i -> element_at(secs, i + 1)
+           |                        - element_at(secs, i) > $gapSec)
+           |END""".stripMargin).as("bnd"), size(col("secs")).as("n"))
+      .select(explode(expr(
+        """zip_with(
+          |  slice(concat(array(0), bnd, array(n)), 1, size(bnd) + 1),
+          |  slice(concat(array(0), bnd, array(n)), 2, size(bnd) + 1),
+          |  (a, b) -> b - a)""".stripMargin)).as("n_ev"))
+    sizes
+      .select(when(col("n_ev") === 1, "a_1")
+        .when(col("n_ev") <= 3, "b_2_3")
+        .when(col("n_ev") <= 7, "c_4_7")
+        .when(col("n_ev") <= 15, "d_8_15")
+        .otherwise("e_16_plus").as("depth_band"), col("n_ev"))
+      .groupBy(col("depth_band"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).cast("long").as("n_events"))
+      .withColumn("session_share_ppm",
+        expr("n_sessions * 1000000 DIV sum(n_sessions) OVER ()"))
+      .orderBy("depth_band")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    * `value` distributions of every event-type pair — the distribution-
+    * shift test that decides whether two event streams (or two corpus
+    * snapshots) can share a model, computed EXACTLY: KS = max over the
+    * merged value axis of |F_a − F_b|, evaluated as the integer
+    * cross-multiplication |cum_a·n_b − cum_b·n_a| (never a float CDF),
+    * reported as floored ppm of n_a·n_b.
+    *
+    * Scale shape: the ONE corpus-sized exchange is the (type, cents)
+    * hash aggregate, which collapses the stream onto the value domain
+    * (map-side partials absorb repeats); everything after runs on the
+    * ≤|types|·|distinct cents| table — each row fans out to the ≤
+    * C(|types|,2) pairs via a broadcast nested-loop against the
+    * pair/total frame (|types|² rows), the per-pair merge re-groups
+    * that bounded table, and the cumulative windows partition BY PAIR
+    * over the value domain (the q110 pattern: |distinct money values|
+    * is domain-bounded, not corpus-bounded). Products lift to
+    * DECIMAL(38,0) (cum·n wraps int64 past ~9·10¹² events per type);
+    * ppm uses truncating DIV == the oracle's // on non-negative
+    * operands.
+    */
+  def ksValueDrift(events: DataFrame): DataFrame = {
+    import graft.queries.Q
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    val c = events
+      .select(col("event_type").as("t"), Q.cents(col("value")).as("v"))
+      .groupBy(col("t"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = c.groupBy(col("t")).agg(sum(col("c")).as("n"))
+    val pairs = tot.as("x").join(tot.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    val sided = c
+      .join(broadcast(pairs), col("t") === col("ta") || col("t") === col("tb"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("v"),
+        when(col("t") === col("ta"), col("c")).otherwise(0L).as("ca"),
+        when(col("t") === col("tb"), col("c")).otherwise(0L).as("cb"))
+    val merged = sided
+      .groupBy(col("ta"), col("tb"), col("na"), col("nb"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("v")
+    merged
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        abs(dec(col("cuma")) * col("nb") - dec(col("cumb")) * col("na"))
+          .as("d"))
+      .groupBy(col("ta"), col("tb"), col("na"), col("nb"))
+      .agg(max(col("d")).as("ks"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("CAST(ks * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb) " +
+          "AS BIGINT)").as("ks_ppm"))
+      .orderBy("type_a", "type_b")
+  }
 }

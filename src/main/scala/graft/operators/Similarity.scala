@@ -1515,4 +1515,53 @@ object Similarity {
       .withColumn("purity_ppm", expr("n_pure * 1000000 DIV n_vecs"))
       .orderBy("label")
   }
+
+  /** Cosine-band pair census over two deterministic mod-samples — the
+    * threshold-calibration histogram for SEMANTIC dedup: before picking
+    * the q122 cosine cut, measure how sampled pair similarity actually
+    * distributes. Exact banding without a single square root: for
+    * t ∈ {0.25, 0.5, 0.75}, cos(a,b) ≥ t ⟺ dot ≥ 0 ∧ k²·dot² ≥
+    * m²·‖a‖²·‖b‖² (t = m/k), evaluated on the 1e6 fixed-point grid in
+    * DECIMAL(38,0) (dot ≤ ~6.4e13 for 64 unit-ish dims; its square
+    * ≤ ~4e27 — inside the 38-digit cap), so both engines classify every
+    * pair bit-identically.
+    *
+    * Scale shape: sample A broadcasts (|corpus|/modA rows — the
+    * documented q168-family bound; raise modA or pre-cut with a
+    * vec_id range before broadcasting at 100 TB) against one scan of
+    * sample B; per-pair work is a 64-wide fused zip_with/aggregate with
+    * no shuffle at all — the band counters collapse map-side to ≤6
+    * rows. Self-pairs and mirrored pairs are excluded by requiring the
+    * A-side id strictly below the B-side id.
+    */
+  def cosineBandCensus(embs: DataFrame, modA: Int = 7, modB: Int = 11): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val q = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
+        "* 1000000 + 0.5) AS BIGINT))").as("qv"))
+      .withColumn("nrm2", expr(
+        "aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+    val a = q.where(col("vec_id") % modA === 0)
+      .select(col("vec_id").as("aid"), col("qv").as("qa"), col("nrm2").as("na"))
+    val b = q.where(col("vec_id") % modB === 0)
+      .select(col("vec_id").as("bid"), col("qv").as("qb"), col("nrm2").as("nb"))
+    val pairs = b.join(broadcast(a), col("aid") < col("bid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+      .select(
+        when(dec(col("na")) * col("nb") === 0, "z_zero")
+          .when(col("dot") < 0, "a_neg")
+          .when(dec(col("dot")) * col("dot") * 16
+            < dec(col("na")) * col("nb"), "b_lt_25")
+          .when(dec(col("dot")) * col("dot") * 4
+            < dec(col("na")) * col("nb"), "c_25_50")
+          .when(dec(col("dot")) * col("dot") * 16
+            < dec(col("na")) * col("nb") * 9, "d_50_75")
+          .otherwise("e_ge_75").as("sim_band"))
+    pairs.groupBy(col("sim_band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share_ppm",
+        expr("n_pairs * 1000000 DIV sum(n_pairs) OVER ()"))
+      .orderBy("sim_band")
+  }
 }

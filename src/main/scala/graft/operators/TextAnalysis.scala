@@ -2037,4 +2037,5 @@ object TextAnalysis {
         min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99"))
       .orderBy("source")
   }
+
 }

@@ -5350,7 +5350,146 @@ object DataPipeline {
              |         AS n_pure,
              |       CAST(SUM(CASE WHEN pure THEN 1 ELSE 0 END) * 1000000
              |            // COUNT(*) AS BIGINT) AS purity_ppm
-             |FROM fl GROUP BY 1 ORDER BY label""".stripMargin))
+             |FROM fl GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // --- Inter-event gap census (r13): consecutive same-user gaps
+    //     bucketed into time bands — the cadence diagnostic behind
+    //     sessionization thresholds and streaming state timeouts. See
+    //     [[EventFunnel.gapBandCensus]] for the 100 TB shape (per-user
+    //     sorted arrays; the exploded gaps collapse map-side to 4 band
+    //     counters).
+    QueryDef(
+      "q196_gap_band_census",
+      (s, dir) => EventFunnel.gapBandCensus(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id,
+             |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+             |           FROM events),
+             |g AS (SELECT sec - LAG(sec) OVER
+             |               (PARTITION BY user_id ORDER BY sec) AS gap
+             |      FROM e),
+             |gg AS (SELECT CASE WHEN gap < 60 THEN 'a_lt_1m'
+             |                   WHEN gap < 3600 THEN 'b_1m_1h'
+             |                   WHEN gap < 86400 THEN 'c_1h_1d'
+             |                   ELSE 'd_ge_1d' END AS gap_band
+             |       FROM g WHERE gap IS NOT NULL)
+             |SELECT gap_band, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             |       COUNT(*) * 1000000 // (SELECT COUNT(*) FROM gg)
+             |         AS share_ppm
+             |FROM gg GROUP BY 1 ORDER BY gap_band""".stripMargin)),
+
+    // --- Session-depth census (r13): q22's sessions histogrammed by
+    //     event count — bounce-vs-trajectory shape before per-session
+    //     features are priced. See [[EventFunnel.sessionDepthCensus]]
+    //     (session sizes derived INSIDE the per-user sorted array; only
+    //     ≤5 band counters cross the second exchange).
+    QueryDef(
+      "q197_session_depth_census",
+      (s, dir) => EventFunnel.sessionDepthCensus(graft.Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id,
+             |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+             |           FROM events),
+             |flags AS (SELECT user_id, sec,
+             |                 CASE WHEN LAG(sec) OVER w IS NULL THEN 1
+             |                      WHEN sec - LAG(sec) OVER w > 1800 THEN 1
+             |                      ELSE 0 END AS new_session
+             |          FROM e
+             |          WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+             |sess AS (SELECT user_id,
+             |                SUM(new_session) OVER
+             |                  (PARTITION BY user_id ORDER BY sec
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |         FROM flags),
+             |d AS (SELECT user_id, sid, COUNT(*) AS n_ev
+             |      FROM sess GROUP BY 1, 2)
+             |SELECT CASE WHEN n_ev = 1 THEN 'a_1'
+             |            WHEN n_ev <= 3 THEN 'b_2_3'
+             |            WHEN n_ev <= 7 THEN 'c_4_7'
+             |            WHEN n_ev <= 15 THEN 'd_8_15'
+             |            ELSE 'e_16_plus' END AS depth_band,
+             |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             |       COUNT(*) * 1000000 // (SELECT COUNT(*) FROM d)
+             |         AS session_share_ppm
+             |FROM d GROUP BY 1 ORDER BY depth_band""".stripMargin)),
+
+    // --- Exact two-sample KS drift matrix (r13): per event-type pair,
+    //     the Kolmogorov–Smirnov statistic between `value`
+    //     distributions as integer cross-multiplied ppm — the
+    //     distribution-shift test behind "can these streams share a
+    //     model". See [[EventFunnel.ksValueDrift]] (one (type, cents)
+    //     corpus collapse; everything after is value-domain-bounded;
+    //     DECIMAL(38,0) products).
+    QueryDef(
+      "q198_ks_value_drift",
+      (s, dir) => EventFunnel.ksValueDrift(graft.Tables.events(s, dir)),
+      Some("""WITH ev AS (SELECT event_type AS t,
+             |                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+             |            FROM events),
+             |c AS (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM ev GROUP BY 1, 2),
+             |tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n
+             |        FROM c GROUP BY 1),
+             |pairs AS (SELECT a.t AS ta, b.t AS tb, a.n AS na, b.n AS nb
+             |          FROM tot a JOIN tot b ON a.t < b.t),
+             |sided AS (SELECT p.ta, p.tb, p.na, p.nb, c.v,
+             |                 CASE WHEN c.t = p.ta THEN c.c ELSE 0 END AS ca,
+             |                 CASE WHEN c.t = p.tb THEN c.c ELSE 0 END AS cb
+             |          FROM c JOIN pairs p ON c.t = p.ta OR c.t = p.tb),
+             |m AS (SELECT ta, tb, na, nb, v,
+             |             SUM(ca) AS ca, SUM(cb) AS cb
+             |      FROM sided GROUP BY 1, 2, 3, 4, 5),
+             |cum AS (SELECT ta, tb, na, nb,
+             |               SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+             |        FROM m
+             |        WINDOW w AS (PARTITION BY ta, tb ORDER BY v))
+             |SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+             |       CAST(MAX(ABS(CAST(cuma AS HUGEINT) * nb
+             |                    - CAST(cumb AS HUGEINT) * na)) * 1000000
+             |            // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
+             |FROM cum GROUP BY 1, 2, 3, 4
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // --- Cosine-band pair census (r13): sampled embedding pairs
+    //     histogrammed into cosine bands via sqrt-free integer
+    //     cross-multiplication — the calibration read before picking a
+    //     semantic-dedup threshold. See [[Similarity.cosineBandCensus]]
+    //     (A-side broadcast with documented bound; band counters
+    //     collapse map-side; DECIMAL(38,0) squares).
+    QueryDef(
+      "q199_cosine_band_census",
+      (s, dir) => Similarity.cosineBandCensus(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding,
+             |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+             |                     AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv,
+             |         list_sum(list_transform(qv, x -> x * x)) AS nrm2
+             |  FROM q),
+             |p AS (
+             |  SELECT a.nrm2 AS na, b.nrm2 AS nb,
+             |         list_sum(list_transform(range(1, 65),
+             |           i -> a.qv[i] * b.qv[i])) AS dot
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id % 7 = 0 AND b.vec_id % 11 = 0),
+             |bands AS (
+             |  SELECT CASE
+             |           WHEN CAST(na AS HUGEINT) * nb = 0 THEN 'z_zero'
+             |           WHEN dot < 0 THEN 'a_neg'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 16
+             |                < CAST(na AS HUGEINT) * nb THEN 'b_lt_25'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 4
+             |                < CAST(na AS HUGEINT) * nb THEN 'c_25_50'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 16
+             |                < CAST(na AS HUGEINT) * nb * 9 THEN 'd_50_75'
+             |           ELSE 'e_ge_75' END AS sim_band
+             |  FROM p)
+             |SELECT sim_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       COUNT(*) * 1000000 // (SELECT COUNT(*) FROM bands)
+             |         AS pair_share_ppm
+             |FROM bands GROUP BY 1 ORDER BY sim_band""".stripMargin))
   )
 
   /** DuckDB replay of the PQ-ADC scoring over [[PqChain]]'s outputs:

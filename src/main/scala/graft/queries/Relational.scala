@@ -1586,6 +1586,167 @@ object Relational {
              |    WHERE o_custkey = c_custkey
              |      AND o_orderpriority = '1-URGENT')
              |GROUP BY 1
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // --- Minimum-cost supplier (TPC-H Q2 flavor on the available
+    //     schema — no partsupp, so the supplier-part offer is the
+    //     MINIMUM observed line price in exact cents): for every part
+    //     in the (size ≤ 10, MEDIUM) slice, the supplier(s) matching
+    //     the part's minimum cost, with names attached. The correlated
+    //     MIN subquery decorrelates into aggregate + join-back — the
+    //     classic Q2 plan. Scale shape: the part slice broadcasts and
+    //     semi-filters the fact scan BEFORE the one (partkey, suppkey)
+    //     exchange; both the per-pair MIN table and the per-part MIN
+    //     are collapsed aggregates (|slice|·|suppliers-per-part| rows),
+    //     so the join-back and every name join run on bounded frames
+    //     (per-part MIN broadcast; names broadcast). Cost is an exact
+    //     integer MIN — no float compare — and ties keep ALL matching
+    //     suppliers (deterministic set), ordered by (p_partkey,
+    //     s_suppkey).
+    QueryDef(
+      "q193_min_cost_supplier",
+      (s, dir) => {
+        val slice = t(s, dir, "part")
+          .where(col("p_size") <= 10 && col("p_type") === "MEDIUM")
+          .select(col("p_partkey"), col("p_name"))
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            cents(col("l_extendedprice")).as("price"))
+          .join(broadcast(slice.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("price")).as("cost"))
+        val pmin = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("mcost"))
+          .withColumnRenamed("l_partkey", "mpk")
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        ps.join(broadcast(pmin),
+            col("l_partkey") === col("mpk") && col("cost") === col("mcost"))
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+            col("s_name"), col("n_name"),
+            (col("cost").cast("double") / 100).as("min_cost"))
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         MIN(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+             |           AS cost
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_size <= 10 AND p_type = 'MEDIUM'
+             |  GROUP BY 1, 2),
+             |pm AS (SELECT l_partkey AS mpk, MIN(cost) AS mcost
+             |       FROM ps GROUP BY 1)
+             |SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+             |       CAST(cost AS DOUBLE) / 100 AS min_cost
+             |FROM ps
+             |JOIN pm ON ps.l_partkey = pm.mpk AND ps.cost = pm.mcost
+             |JOIN part ON ps.l_partkey = p_partkey
+             |JOIN supplier ON ps.l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
+    // --- Important parts by value share (TPC-H Q11 flavor): parts
+    //     whose discounted revenue exceeds 700 ppm of the corpus total.
+    //     Scale shape: ONE fact scan feeds the per-partkey exact-cents
+    //     aggregate; the global denominator is a 1-row aggregate OF
+    //     THAT FRAME cross-broadcast back (never a second corpus pass);
+    //     the HAVING compares 128-bit integers cross-multiplied
+    //     (v·10⁴ > t·7 ⟺ v/t > 700 ppm — no float, no division) so the
+    //     cut is bit-deterministic at any parallelism. Output value is
+    //     the single terminal division; presentation order (value DESC,
+    //     partkey) is total.
+    QueryDef(
+      "q194_important_parts",
+      (s, dir) => {
+        val pv = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (cents(col("l_extendedprice"))
+              * (lit(100) - pct(col("l_discount")))).as("rev4"))
+          .groupBy(col("l_partkey"))
+          .agg(exactSum(col("rev4")).as("v4"))
+        val tot = pv.agg(sum(col("v4")).as("t4"))
+        pv.crossJoin(broadcast(tot))
+          .where(col("v4") * 10000 > col("t4") * 7)
+          .select(col("l_partkey").as("p_partkey"),
+            (col("v4").cast("double") / 10000).as("value"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT l_partkey,
+             |         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT)
+             |             * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+             |                           AS BIGINT))) AS v4
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT SUM(v4) AS t4 FROM pv)
+             |SELECT l_partkey AS p_partkey, CAST(v4 AS DOUBLE) / 10000 AS value
+             |FROM pv, t
+             |WHERE v4 * 10000 > t4 * 7
+             |ORDER BY value DESC, p_partkey""".stripMargin)),
+
+    // --- Excess shippers (TPC-H Q20 flavor): suppliers who shipped
+    //     MORE than the uniform per-supplier share of some 'red%'
+    //     part's total quantity — the over-concentration screen that
+    //     Q20 runs on stock levels, here on shipped volume. Scale
+    //     shape: the name-sliced part keys broadcast and semi-filter
+    //     the fact scan before the one (partkey, suppkey) exchange;
+    //     per-part totals and supplier counts aggregate the ALREADY
+    //     COLLAPSED pair table; the excess test is an exact integer
+    //     cross-multiplication (qty·n_supp > total ⟺ qty > total/n_supp
+    //     without division); the per-supplier rollup and name joins run
+    //     on ≤|suppliers| rows. qty sums are 128-bit (HUGEINT / split-
+    //     word DECIMAL) so no wrap at any corpus size.
+    QueryDef(
+      "q195_excess_shippers",
+      (s, dir) => {
+        val red = t(s, dir, "part")
+          .where(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_quantity") + 0.5).as("q"))
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(exactSum(col("q")).as("qty"))
+        val pt = ps.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("tot"), count(lit(1)).as("nsup"))
+          .withColumnRenamed("l_partkey", "pk")
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        ps.join(pt, col("l_partkey") === col("pk"))
+          .where(col("qty") * col("nsup") > col("tot"))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_excess_parts"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("n_excess_parts"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE 'red%'
+             |  GROUP BY 1, 2),
+             |pt AS (SELECT l_partkey AS pk, SUM(qty) AS tot,
+             |              COUNT(*) AS nsup
+             |       FROM ps GROUP BY 1),
+             |ex AS (SELECT l_suppkey,
+             |              CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+             |       FROM ps JOIN pt ON l_partkey = pk
+             |       WHERE qty * nsup > tot
+             |       GROUP BY 1)
+             |SELECT s_suppkey, s_name, n_name, n_excess_parts
+             |FROM ex
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }

@@ -219,4 +219,169 @@ class CensusPropertySpec extends SparkSpec {
         s"seed $si over $lens")
     }
   }
+
+  // ---- r13 batch-2 censuses -------------------------------------------
+
+  /** Random (user, secs) event frames for the gap/session pins. */
+  private def gapEvents(si: Int): Seq[(Long, Long, Long, String)] = {
+    val userGen = Gen.nonEmptyListOf(Gen.choose(0L, 200000L))
+    samples(Gen.nonEmptyListOf(userGen), 1, 3000L + si).head
+      .zipWithIndex.flatMap { case (secs, u) =>
+        secs.zipWithIndex.map { case (sec, j) =>
+          (u * 100000L + j, sec * 1000000000L, u.toLong, "e")
+        }
+      }
+  }
+
+  test("gapBandCensus: per-user array gaps equal brute-force sorted " +
+    "diffs on random timelines") {
+    for (si <- 0 until 8) {
+      val rows = gapEvents(si)
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+      def band(g: Long): String =
+        if (g < 60) "a_lt_1m" else if (g < 3600) "b_1m_1h"
+        else if (g < 86400) "c_1h_1d" else "d_ge_1d"
+      val gaps = rows.groupBy(_._3).values.toSeq.flatMap { us =>
+        val s = us.map(_._2 / 1000000000L).sorted
+        s.zip(s.drop(1)).map { case (a, b) => b - a }
+      }
+      val expected = gaps.groupBy(band).view
+        .mapValues(_.size.toLong).toSeq.sorted
+        .map { case (b, n) => (b, n, n * 1000000L / gaps.size) }
+      val got = EventFunnel.gapBandCensus(ev).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"seed $si: $got vs $expected")
+    }
+  }
+
+  test("sessionDepthCensus: in-array boundary slicing equals brute-force " +
+    "session splitting on random timelines") {
+    for (si <- 0 until 8) {
+      val rows = gapEvents(si)
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+      def band(n: Int): String =
+        if (n == 1) "a_1" else if (n <= 3) "b_2_3" else if (n <= 7) "c_4_7"
+        else if (n <= 15) "d_8_15" else "e_16_plus"
+      val sizes = rows.groupBy(_._3).values.toSeq.flatMap { us =>
+        val s = us.map(_._2 / 1000000000L).sorted
+        // explicit split: walk sorted secs, cut where gap > 1800
+        val sess = scala.collection.mutable.ListBuffer(
+          scala.collection.mutable.ListBuffer(s.head))
+        s.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b - a > 1800) sess += scala.collection.mutable.ListBuffer(b)
+            else sess.last += b
+          case _ =>
+        }
+        sess.map(_.size).toSeq
+      }
+      val expected = sizes.groupBy(band).view
+        .mapValues(ss => (ss.size.toLong, ss.map(_.toLong).sum)).toSeq
+        .sortBy(_._1).map { case (b, (ns, ne)) =>
+          (b, ns, ne, ns * 1000000L / sizes.size)
+        }
+      val got = EventFunnel.sessionDepthCensus(ev).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == expected, s"seed $si: $got vs $expected")
+    }
+  }
+
+  test("ksValueDrift: cross-multiplied max-CDF-gap equals brute-force " +
+    "BigInt KS on random two-type value streams") {
+    val evGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 3), Gen.choose(1, 400)))
+    for ((evs, si) <- samples(evGen, 8, 1913L).zipWithIndex) {
+      val rows = evs.zipWithIndex.map { case ((t, cents), i) =>
+        (i.toLong, i * 1000000000L, (i % 5).toLong, s"t$t",
+          cents.toDouble / 100, "{}")
+      }
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val byType = evs.groupBy(t => s"t${t._1}").view
+        .mapValues(_.map(_._2.toLong)).toMap
+      val types = byType.keys.toSeq.sorted
+      val expected = (for {
+        i <- types.indices; j <- (i + 1) until types.length
+      } yield {
+        val (ta, tb) = (types(i), types(j))
+        val (xa, xb) = (byType(ta), byType(tb))
+        val (na, nb) = (xa.size.toLong, xb.size.toLong)
+        val axis = (xa ++ xb).distinct.sorted
+        val ks = axis.map { v =>
+          val cuma = xa.count(_ <= v).toLong
+          val cumb = xb.count(_ <= v).toLong
+          (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+        }.max
+        (ta, tb, na, nb, (ks * 1000000 / (BigInt(na) * nb)).toLong)
+      }).sortBy(r => (r._1, r._2))
+      val got = EventFunnel.ksValueDrift(ev).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expected, s"seed $si: $got vs $expected")
+    }
+  }
+
+  test("cosineBandCensus: sqrt-free integer banding equals brute-force " +
+    "double cosine on random vectors (away from band boundaries)") {
+    val vecGen = Gen.listOfN(6, Gen.choose(-1000, 1000))
+    for ((vecs, si) <- samples(Gen.nonEmptyListOf(vecGen), 8, 555L)
+        .zipWithIndex) {
+      val embs = vecs.zipWithIndex.map { case (xs, i) =>
+        (i.toLong, xs.map(_.toFloat / 1024f).toArray, 0)
+      }.toDF("vec_id", "embedding", "label")
+      def q(xs: List[Int]): List[Long] =
+        xs.map(x => math.floor((x.toFloat / 1024f).toDouble * 1000000 + 0.5)
+          .toLong)
+      val quant = vecs.map(q)
+      def band(qa: List[Long], qb: List[Long]): String = {
+        val dot = qa.zip(qb).map { case (x, y) => BigInt(x) * y }.sum
+        val nanb = BigInt(qa.map(x => BigInt(x) * x).sum.toString) *
+          qb.map(x => BigInt(x) * x).sum
+        if (nanb == 0) "z_zero"
+        else if (dot < 0) "a_neg"
+        else if (dot * dot * 16 < nanb) "b_lt_25"
+        else if (dot * dot * 4 < nanb) "c_25_50"
+        else if (dot * dot * 16 < nanb * 9) "d_50_75"
+        else "e_ge_75"
+      }
+      val pairs = for {
+        a <- vecs.indices; b <- vecs.indices
+        if a % 7 == 0 && b % 11 == 0 && a < b
+      } yield band(quant(a), quant(b))
+      if (pairs.nonEmpty) {
+        val expected = pairs.groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.sorted
+          .map { case (b, n) => (b, n, n * 1000000L / pairs.size) }
+        val got = Similarity.cosineBandCensus(embs).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == expected, s"seed $si: $got vs $expected")
+      }
+    }
+  }
+
+  test("r13 batch-2 censuses are partition-invariant (1 vs 7 partitions)") {
+    val ev = gapEvents(0).toDF("event_id", "ts", "user_id", "event_type")
+    val evv = samples(Gen.choose(1, 5000), 90, 77L).zipWithIndex.map {
+      case (c, i) =>
+        (i.toLong, i * 1000000000L, (i % 9).toLong, s"t${i % 3}",
+          c.toDouble / 100, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val embs = samples(Gen.choose(-100, 100), 60, 31L).zipWithIndex.map {
+      case (b, i) =>
+        (i.toLong, Array.tabulate(5)(d => (b + d * i).toFloat / 64f),
+          i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    def invariant(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+        src: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val a = f(src.repartition(1)).collect().toSeq
+      val b = f(src.repartition(7)).collect().toSeq
+      assert(a == b, what)
+    }
+    invariant(EventFunnel.gapBandCensus, ev, "gapBandCensus")
+    invariant(EventFunnel.sessionDepthCensus(_), ev, "sessionDepthCensus")
+    invariant(EventFunnel.ksValueDrift, evv, "ksValueDrift")
+    invariant(Similarity.cosineBandCensus(_), embs, "cosineBandCensus")
+  }
 }
