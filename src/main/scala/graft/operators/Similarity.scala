@@ -1526,15 +1526,40 @@ object Similarity {
     * ≤ ~4e27 — inside the 38-digit cap), so both engines classify every
     * pair bit-identically.
     *
-    * Scale shape: sample A broadcasts (|corpus|/modA rows — the
-    * documented q168-family bound; raise modA or pre-cut with a
-    * vec_id range before broadcasting at 100 TB) against one scan of
-    * sample B; per-pair work is a 64-wide fused zip_with/aggregate with
-    * no shuffle at all — the band counters collapse map-side to ≤6
-    * rows. Self-pairs and mirrored pairs are excluded by requiring the
-    * A-side id strictly below the B-side id.
+    * Scale shape: a calibration histogram needs a FIXED sample budget,
+    * not a fixed sampling RATE — a corpus-linear sample squares into a
+    * corpus-quadratic pair count (measured: the fixed-rate 7/11 form
+    * took ~780 s at the 200× replica where the budgeted form is
+    * seconds). Defaults are therefore scale-adaptive via
+    * [[cosineBandPlan]]: one count() sizes the mods so |A| ≈ ≤1400 and
+    * |B| ≈ ≤900 (~1.3 M pairs) at ANY corpus size, degrading sampling
+    * rate — never cost — as the corpus grows. Sample A broadcasts
+    * (bounded by the budget) against one scan of sample B; per-pair
+    * work is a 64-wide fused zip_with/aggregate with no shuffle at
+    * all — the band counters collapse map-side to ≤6 rows. Self-pairs
+    * and mirrored pairs are excluded by requiring the A-side id
+    * strictly below the B-side id. Pass explicit mods to reproduce a
+    * fixed published sample.
     */
-  def cosineBandCensus(embs: DataFrame, modA: Int = 7, modB: Int = 11): DataFrame = {
+  def cosineBandCensus(embs: DataFrame, modA: Int = 0, modB: Int = 0): DataFrame = {
+    val (ma, mb) =
+      if (modA > 0 && modB > 0) (modA, modB)
+      else cosineBandPlan(embs.count())
+    cosineBandCensusFixed(embs, ma, mb)
+  }
+
+  /** Pure sizing rule for [[cosineBandCensus]]: smallest mods that keep
+    * the expected sample sizes inside the fixed ~1400/~900 calibration
+    * budget (floors 7/11 preserve the published small-corpus sample).
+    * Unit-pinned; decision logic kept driver-side and side-effect-free,
+    * the knnEvalPlan pattern.
+    */
+  def cosineBandPlan(n: Long): (Int, Int) =
+    (math.max(7L, (n + 1399) / 1400).toInt,
+      math.max(11L, (n + 899) / 900).toInt)
+
+  private def cosineBandCensusFixed(embs: DataFrame, modA: Int,
+      modB: Int): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val q = embs.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +

@@ -360,6 +360,18 @@ class CensusPropertySpec extends SparkSpec {
     }
   }
 
+  test("cosineBandPlan: fixed calibration budget at any corpus size") {
+    // small corpora keep the published 7/11 sample
+    assert(Similarity.cosineBandPlan(50L) == ((7, 11)))
+    assert(Similarity.cosineBandPlan(500L) == ((7, 11)))
+    // large corpora bound the expected sample sizes (the quadratic
+    // pair count stays ~1.3M at ANY scale)
+    for (n <- Seq(10000L, 100000L, 10000000L, 1000000000L)) {
+      val (ma, mb) = Similarity.cosineBandPlan(n)
+      assert(n / ma <= 1400 && n / mb <= 900, s"budget at n=$n: ($ma, $mb)")
+    }
+  }
+
   test("r13 batch-2 censuses are partition-invariant (1 vs 7 partitions)") {
     val ev = gapEvents(0).toDF("event_id", "ts", "user_id", "event_type")
     val evv = samples(Gen.choose(1, 5000), 90, 77L).zipWithIndex.map {
