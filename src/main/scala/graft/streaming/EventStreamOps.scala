@@ -268,4 +268,80 @@ object EventStreamOps {
             nearestRank(50), nearestRank(90), nearestRank(99)))
       }
   }
+
+  final case class TypeHist(event_type: String, n_events: Long,
+    hist: Map[Long, Long])
+
+  final case class KsRow(type_a: String, type_b: String, n_a: Long,
+    n_b: Long, ks_ppm: Long)
+
+  /** Streaming per-type value histograms — the stateful half of the
+    * incremental [[graft.operators.EventFunnel.ksValueDrift]] monitor:
+    * per event type, state holds the exact (cents → count) histogram
+    * (the [[valuePercentileUpdates]] state machinery, same
+    * `maxDistinctPerType` cap and fold-down degradation), and each
+    * batch a type receives events its FULL updated histogram row is
+    * emitted. The pair statistic is computed by the CONSUMER from the
+    * latest row per type via [[ksFromHists]] — KS is a cross-key
+    * statistic, so it cannot live inside one key's state without
+    * serializing the stream through a single group; splitting
+    * state-per-type from the |types|²-sized finisher keeps the
+    * stateful operator parallel over types while the finisher runs on
+    * domain-bounded summaries.
+    *
+    * Scale/emission bound: a histogram row is ≤ |distinct cents| ≤ cap
+    * entries — value-domain-bounded (the q110/q198 argument), NOT
+    * corpus-bounded; emission is once per (type, batch), so the sink
+    * pays O(|types|·|domain|) per batch regardless of event volume.
+    */
+  def ksHistUpdates(events: Dataset[VEv],
+      maxDistinctPerType: Int = 1000000): Dataset[TypeHist] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[VPState, TypeHist](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, evs, state: GroupState[VPState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty)
+          evs.foreach { e =>
+            val c = Math.floor(e.value * 100 + 0.5).toLong
+            val key =
+              if (m.contains(c) || m.size < maxDistinctPerType) c
+              else m.keysIterator.filter(_ <= c)
+                .reduceOption(_ max _).getOrElse(m.keysIterator.min)
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(VPState(m))
+          Iterator.single(TypeHist(tpe, m.valuesIterator.sum, m))
+      }
+  }
+
+  /** Pure pairwise KS finisher over the latest per-type histograms:
+    * exact BigInt cross-multiplication max |cum_a·n_b − cum_b·n_a|
+    * down the merged value axis, floored ppm of n_a·n_b — the same
+    * integer definition as the batch operator, so finisher ∘ streamed
+    * state equals [[graft.operators.EventFunnel.ksValueDrift]] on the
+    * stream prefix at every batch boundary (spec-pinned). Driver-side
+    * small by construction: |types|² pairs over domain-bounded
+    * histograms.
+    */
+  def ksFromHists(hists: Seq[TypeHist]): Seq[KsRow] = {
+    val ts = hists.sortBy(_.event_type)
+    for {
+      i <- ts.indices
+      j <- (i + 1) until ts.length
+    } yield {
+      val (a, b) = (ts(i), ts(j))
+      val axis = (a.hist.keySet ++ b.hist.keySet).toSeq.sorted
+      var cuma = 0L; var cumb = 0L; var ks = BigInt(0)
+      axis.foreach { v =>
+        cuma += a.hist.getOrElse(v, 0L)
+        cumb += b.hist.getOrElse(v, 0L)
+        val d = (BigInt(cuma) * b.n_events - BigInt(cumb) * a.n_events).abs
+        if (d > ks) ks = d
+      }
+      KsRow(a.event_type, b.event_type, a.n_events, b.n_events,
+        (ks * 1000000 / (BigInt(a.n_events) * b.n_events)).toLong)
+    }
+  }
 }

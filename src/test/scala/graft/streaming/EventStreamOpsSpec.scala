@@ -275,4 +275,51 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(out.length == 2) // two 5-min windows
     assert(out.head.getLong(2) == 2)
   }
+
+  test("streaming KS drift: finisher over latest histograms equals the " +
+    "batch operator at every stream prefix") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.VEv]
+    val q = EventStreamOps.ksHistUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode(OutputMode.Append()).start()
+    def streamed(): Seq[(String, String, Long, Long, Long)] = {
+      // n_events only grows per type → the latest emission is the max-n
+      // row (no reliance on the memory sink's append order)
+      val latest = spark.table("ks_out").as[EventStreamOps.TypeHist]
+        .collect().groupBy(_.event_type)
+        .map { case (_, rows) => rows.maxBy(_.n_events) }.toSeq
+      EventStreamOps.ksFromHists(latest)
+        .map(k => (k.type_a, k.type_b, k.n_a, k.n_b, k.ks_ppm))
+    }
+    def batchOf(rows: Seq[(String, Double)])
+        : Seq[(String, String, Long, Long, Long)] = {
+      val ev = rows.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, i.toLong, 1L, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      graft.operators.EventFunnel.ksValueDrift(ev).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    }
+    try {
+      val b1 = Seq(("a", 1.00), ("a", 2.50), ("b", 0.10), ("b", 2.50))
+      mem.addData(b1.map { case (t, v) => EventStreamOps.VEv(t, v) }: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOf(b1), "prefix 1")
+      // batch 2: a third type plus out-of-order values for both others
+      val b2 = Seq(("c", 9.99), ("a", 0.05), ("b", 1.00), ("c", 0.10))
+      mem.addData(b2.map { case (t, v) => EventStreamOps.VEv(t, v) }: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOf(b1 ++ b2), "prefix 2")
+      // batch 3: only one type moves — the other types' latest rows
+      // carry over and the pair matrix still matches the full prefix
+      val b3 = Seq(("a", 2.50), ("a", 2.50))
+      mem.addData(b3.map { case (t, v) => EventStreamOps.VEv(t, v) }: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOf(b1 ++ b2 ++ b3), "prefix 3")
+    } finally q.stop()
+  }
 }
