@@ -1195,15 +1195,26 @@ object EventFunnel {
       .select(col("event_type").as("t"), Q.cents(col("value")).as("v"))
       .groupBy(col("t"), col("v"))
       .agg(count(lit(1)).as("c"))
+      // value-domain-sized, shared by the totals agg and BOTH union legs
+      // of the pair fan-out — without this the corpus agg runs twice
+      .trackedPersist()
     val tot = c.groupBy(col("t")).agg(sum(col("c")).as("n"))
     val pairs = tot.as("x").join(tot.as("y"), col("x.t") < col("y.t"))
       .select(col("x.t").as("ta"), col("y.t").as("tb"),
         col("x.n").as("na"), col("y.n").as("nb"))
+    // fan each (t, v, c) row out to the pairs containing t as TWO
+    // broadcast hash EQUI-joins unioned (t = ta side, t = tb side) —
+    // an OR-of-equalities condition would plan a BroadcastNestedLoop
+    // join, which is row-based (no codegen) and measured ~1 s of the
+    // q198 wall at 200× for the same output
     val sided = c
-      .join(broadcast(pairs), col("t") === col("ta") || col("t") === col("tb"))
+      .join(broadcast(pairs), col("t") === col("ta"))
       .select(col("ta"), col("tb"), col("na"), col("nb"), col("v"),
-        when(col("t") === col("ta"), col("c")).otherwise(0L).as("ca"),
-        when(col("t") === col("tb"), col("c")).otherwise(0L).as("cb"))
+        col("c").as("ca"), lit(0L).as("cb"))
+      .unionAll(c
+        .join(broadcast(pairs), col("t") === col("tb"))
+        .select(col("ta"), col("tb"), col("na"), col("nb"), col("v"),
+          lit(0L).as("ca"), col("c").as("cb")))
     val merged = sided
       .groupBy(col("ta"), col("tb"), col("na"), col("nb"), col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
