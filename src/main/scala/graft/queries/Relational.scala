@@ -1609,6 +1609,7 @@ object Relational {
         val slice = t(s, dir, "part")
           .where(col("p_size") <= 10 && col("p_type") === "MEDIUM")
           .select(col("p_partkey"), col("p_name"))
+        import graft.operators.CacheRegistry.TrackedPersist
         val ps = t(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"),
             cents(col("l_extendedprice")).as("price"))
@@ -1616,6 +1617,10 @@ object Relational {
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(col("price")).as("cost"))
+          // collapsed (slice-part, supplier) table, shared by the
+          // per-part MIN and the join-back — the q164 rule: without the
+          // persist the fact scan+agg runs twice
+          .trackedPersist()
         val pmin = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("mcost"))
           .withColumnRenamed("l_partkey", "mpk")
         val sup = t(s, dir, "supplier")
@@ -1663,12 +1668,16 @@ object Relational {
     QueryDef(
       "q194_important_parts",
       (s, dir) => {
+        import graft.operators.CacheRegistry.TrackedPersist
         val pv = t(s, dir, "lineitem")
           .select(col("l_partkey"),
             (cents(col("l_extendedprice"))
               * (lit(100) - pct(col("l_discount")))).as("rev4"))
           .groupBy(col("l_partkey"))
           .agg(exactSum(col("rev4")).as("v4"))
+          // |parts|-sized, shared by the totals agg and the share cut —
+          // without the persist the fact scan+agg runs twice
+          .trackedPersist()
         val tot = pv.agg(sum(col("v4")).as("t4"))
         pv.crossJoin(broadcast(tot))
           .where(col("v4") * 10000 > col("t4") * 7)
@@ -1706,12 +1715,16 @@ object Relational {
         val red = t(s, dir, "part")
           .where(col("p_name").startsWith("red"))
           .select(col("p_partkey"))
+        import graft.operators.CacheRegistry.TrackedPersist
         val ps = t(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"),
             floor(col("l_quantity") + 0.5).as("q"))
           .join(broadcast(red), col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(exactSum(col("q")).as("qty"))
+          // collapsed pair table, shared by the per-part totals and the
+          // excess cut — the q164 rule again
+          .trackedPersist()
         val pt = ps.groupBy(col("l_partkey"))
           .agg(sum(col("qty")).as("tot"), count(lit(1)).as("nsup"))
           .withColumnRenamed("l_partkey", "pk")
