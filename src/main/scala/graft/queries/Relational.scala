@@ -879,8 +879,13 @@ object Relational {
         val per = t(s, dir, "customer").select(col("c_custkey"))
           .join(oc, col("c_custkey") === col("o_custkey"), "left")
           .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        import graft.operators.CacheRegistry.TrackedPersist
         val hist = per.groupBy(col("c_count"))
           .agg(count(lit(1)).as("n_custs"))
+          // |distinct counts|-sized, shared by the report and its own
+          // total — without the persist the orders+customer chain runs
+          // twice (the q164/q193 shared-subtree rule)
+          .trackedPersist()
         hist
           .crossJoin(broadcast(hist.agg(sum(col("n_custs")).as("n_total"))))
           .select(col("c_count"), col("n_custs"),
