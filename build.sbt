@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through raw (no "[info] " logger prefix) so
+// the one-line JSON that Bench/Verify print is machine-parseable by the
+// round driver (BENCH_r*.json "parsed" was null every round because the
+// sbt log decoration broke the driver's per-line json parse).
+run / connectInput := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
