@@ -1098,6 +1098,14 @@ object EventFunnel {
     * presentation sort is engine-agnostic. The ppm share divides over
     * the 4-row rollup itself (window ABOVE the aggregate), never a
     * second corpus pass; n_gaps·10⁶ wraps int64 only past ~9·10¹² gaps.
+    *
+    * PRECONDITION (here and in [[sessionDepthCensus]], r13 ADVICE): the
+    * per-user collect_list means a single user's event history must fit
+    * one executor task — bounded-per-user cardinality is a property of
+    * the corpus, not enforced here. A hot key (a bot account with
+    * corpus-scale events) OOMs rather than degrades; pre-filter such
+    * keys (or split them by day, as `user_id, sec DIV 86400` grouping
+    * would) before calling if the source can contain them.
     */
   def gapBandCensus(events: DataFrame): DataFrame = {
     val gaps = events

@@ -1561,18 +1561,26 @@ object Similarity {
   private def cosineBandCensusFixed(embs: DataFrame, modA: Int,
       modB: Int): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // nrm2/dot accumulate in DECIMAL(38,0), not BIGINT: a quantized
+    // element of magnitude ≥ ~3e9 (raw value ~3e3 on the 1e6 grid)
+    // would silently wrap an int64 square in Spark while the DuckDB
+    // oracle's HUGEINT list_sum keeps going — a silent-wrong-band
+    // divergence on non-unit-normalized inputs (r13 ADVICE). The
+    // decimal cost is bounded by the fixed ~1.3 M-pair budget.
     val q = embs.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
         "* 1000000 + 0.5) AS BIGINT))").as("qv"))
       .withColumn("nrm2", expr(
-        "aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+        "aggregate(qv, CAST(0 AS DECIMAL(38,0)), " +
+          "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"))
     val a = q.where(col("vec_id") % modA === 0)
       .select(col("vec_id").as("aid"), col("qv").as("qa"), col("nrm2").as("na"))
     val b = q.where(col("vec_id") % modB === 0)
       .select(col("vec_id").as("bid"), col("qv").as("qb"), col("nrm2").as("nb"))
     val pairs = b.join(broadcast(a), col("aid") < col("bid"))
       .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+        "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)"))
       .select(
         when(dec(col("na")) * col("nb") === 0, "z_zero")
           .when(col("dot") < 0, "a_neg")

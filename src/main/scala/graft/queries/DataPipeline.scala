@@ -5457,7 +5457,14 @@ object DataPipeline {
     //     collapse map-side; DECIMAL(38,0) squares).
     QueryDef(
       "q199_cosine_band_census",
-      (s, dir) => Similarity.cosineBandCensus(Tables(s, dir, "embeddings")),
+      // mods pinned to the published 7/11 sample the oracle hardcodes:
+      // the scale-adaptive default (cosineBandPlan) picks LARGER mods
+      // past ~9800 embeddings and would sample a different pair set
+      // than this SQL — gate and oracle must sample identically at any
+      // corpus size (r13 ADVICE). The adaptive routing is covered by
+      // CensusPropertySpec ("adaptive default equals explicit mods").
+      (s, dir) => Similarity.cosineBandCensus(Tables(s, dir, "embeddings"),
+        7, 11),
       Some("""WITH q AS (
              |  SELECT vec_id,
              |         list_transform(embedding,

@@ -321,9 +321,16 @@ object EventStreamOps {
     * down the merged value axis, floored ppm of n_a·n_b — the same
     * integer definition as the batch operator, so finisher ∘ streamed
     * state equals [[graft.operators.EventFunnel.ksValueDrift]] on the
-    * stream prefix at every batch boundary (spec-pinned). Driver-side
-    * small by construction: |types|² pairs over domain-bounded
-    * histograms.
+    * stream prefix at every batch boundary WHILE every type stays
+    * below `maxDistinctPerType` distinct cents (spec-pinned, the same
+    * qualification as [[valuePercentileUpdates]]). Once the cap
+    * triggers, fold-down rebins new cents onto the nearest LOWER
+    * existing key, the capped type's CDF shifts by at most
+    * folded_mass/n at any axis point, and the streamed KS can differ
+    * from the batch value by up to that ppm (capped regime pinned in
+    * EventStreamOpsSpec; measured error-vs-cap table in PERF_NOTES
+    * r14). Driver-side small by construction: |types|² pairs over
+    * domain-bounded histograms.
     */
   def ksFromHists(hists: Seq[TypeHist]): Seq[KsRow] = {
     val ts = hists.sortBy(_.event_type)

@@ -360,6 +360,41 @@ class CensusPropertySpec extends SparkSpec {
     }
   }
 
+  test("cosineBandCensus: adaptive default equals explicit mods past " +
+    "the 7/11 floor (the routing the pinned q199 gate does not cover)") {
+    // 12k vectors puts cosineBandPlan past the published floor, so the
+    // default arm actually exercises the scale-adaptive mods.
+    val n = 12000
+    val embs = spark.range(n).selectExpr("id AS vec_id",
+      "array(CAST((id % 97) AS FLOAT) / 97, CAST((id % 31) AS FLOAT) / 31," +
+        " CAST((id % 7) AS FLOAT) / 7) AS embedding", "0 AS label")
+    val (ma, mb) = Similarity.cosineBandPlan(n.toLong)
+    assert(ma > 7 && mb > 11, s"plan must leave the floor: ($ma, $mb)")
+    val adaptive = Similarity.cosineBandCensus(embs).collect().toSeq
+    val explicit = Similarity.cosineBandCensus(embs, ma, mb).collect().toSeq
+    assert(adaptive == explicit)
+  }
+
+  test("cosineBandCensus: decimal accumulators survive magnitudes that " +
+    "wrap an int64 sum of squares (the silent-wrong-band ADVICE case)") {
+    // raw (2190, 2190) quantizes to (2.19e9, 2.19e9); the norm² sum
+    // 2·(2.19e9)² = 9.59e18 exceeds Long.MaxValue (9.22e18) — a BIGINT
+    // aggregate wraps it NEGATIVE, na·nb goes negative, every band
+    // inequality fails and the orthogonal pair silently misbands as
+    // e_ge_75. DECIMAL(38,0) accumulation keeps it exact (band products
+    // stay < 1e38 here; magnitudes beyond THAT error loudly under ANSI
+    // instead of wrapping, matching the oracle's HUGEINT behavior).
+    val embs = Seq(
+      (0L, Array(2190f, 2190f), 0),
+      (11L, Array(1f, -1f), 0),
+      (22L, Array(-2190f, -2190f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineBandCensus(embs, 1, 11).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // (0,11) and (11,22) orthogonal → b_lt_25; (0,22) opposite → a_neg
+    assert(got == Map("b_lt_25" -> 2L, "a_neg" -> 1L), got.toString)
+  }
+
   test("cosineBandPlan: fixed calibration budget at any corpus size") {
     // small corpora keep the published 7/11 sample
     assert(Similarity.cosineBandPlan(50L) == ((7, 11)))

@@ -322,4 +322,50 @@ class EventStreamOpsSpec extends SparkSpec {
       assert(streamed() == batchOf(b1 ++ b2 ++ b3), "prefix 3")
     } finally q.stop()
   }
+
+  test("streaming KS drift above the distinct-cents cap: fold-down " +
+    "rebins onto the nearest lower key and the KS degrades, pinned") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val mem = MemoryStream[EventStreamOps.VEv]
+    // cap = 3 distinct cents per type; type a exceeds it, type b stays
+    // exact (5 distinct) — both see the SAME values, so the exact KS
+    // is 0 and anything nonzero is pure cap-induced error.
+    val q = EventStreamOps.ksHistUpdates(mem.toDS(), maxDistinctPerType = 3)
+      .writeStream.format("memory").queryName("ks_cap_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // ONE a-event per micro-batch: fold-down depends on which keys
+      // exist when the cap trips, so per-batch singletons make the
+      // degradation deterministic. b stays single-valued (1 distinct
+      // cent, under the cap) so only a's histogram degrades.
+      val aVals = Seq(1.00, 2.00, 3.00, 2.50, 0.50)
+      for (v <- aVals) {
+        mem.addData(EventStreamOps.VEv("a", v), EventStreamOps.VEv("b", 2.50))
+        q.processAllAvailable()
+      }
+      val latest = spark.table("ks_cap_out").as[EventStreamOps.TypeHist]
+        .collect().groupBy(_.event_type)
+        .map { case (_, rows) => rows.maxBy(_.n_events) }.toSeq
+      val byType = latest.map(h => h.event_type -> h.hist).toMap
+      // a filled its 3 slots with 100/200/300; then 250 folded to the
+      // nearest LOWER key 200, and 50 (below every key) to the min 100
+      assert(byType("a") == Map(100L -> 2L, 200L -> 2L, 300L -> 1L))
+      assert(byType("b") == Map(250L -> 5L))
+      // fold-down moved a's 250-mass below b's mass point at 250, so
+      // the streamed KS reads 800000 ppm where the exact batch value
+      // is 600000 — the documented capped-regime divergence, bounded
+      // by folded_mass/n = 2/5 (here +200000 ppm)
+      val ks = EventStreamOps.ksFromHists(latest)
+      assert(ks == Seq(EventStreamOps.KsRow("a", "b", 5L, 5L, 800000L)))
+      val ev = aVals.zipWithIndex.flatMap { case (v, i) => Seq(
+        (2L * i, i.toLong, 1L, "a", v, "{}"),
+        (2L * i + 1, i.toLong, 1L, "b", 2.50, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val exact = graft.operators.EventFunnel.ksValueDrift(ev).collect()
+      assert(exact.length == 1 && exact.head.getLong(4) == 600000L)
+    } finally q.stop()
+  }
 }
