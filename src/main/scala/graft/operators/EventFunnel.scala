@@ -29,20 +29,23 @@ object EventFunnel {
     def stepCount(stage: DataFrame, label: String): DataFrame =
       stage.agg(count(lit(1)).as("n_users"))
         .select(lit(label).as("step"), col("n_users"))
-    // stage 1: first occurrence of the entry event per user
+    import graft.operators.CacheRegistry.TrackedPersist
+    // stage 1: first occurrence of the entry event per user. Every
+    // stage is |users|-sized and feeds BOTH its step count and the
+    // next stage's join — persisted, or each later stage re-evaluates
+    // every earlier one (the q194 shared-subtree rule; unpersisted,
+    // the 3-step funnel scanned events 5x)
     var stage = events.where(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .trackedPersist()
     var out = Seq(stepCount(stage, s"step1_${steps.head}"))
-    // stage k: first occurrence strictly after the user's stage-(k-1).
-    // The whole funnel stays one lazy plan (no driver-side counts);
-    // earlier stages appear as shared subtrees of later ones — a long
-    // funnel over huge data would persist each stage, the composition
-    // is unchanged.
+    // stage k: first occurrence strictly after the user's stage-(k-1)
     for ((s, i) <- steps.zipWithIndex.drop(1)) {
       val prev = stage.select(col("user_id").as("pu"), col("t").as("pt"))
       stage = events.where(col("event_type") === s)
         .join(prev, col("user_id") === col("pu") && col("ts") > col("pt"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .trackedPersist()
       out = out :+ stepCount(stage, s"step${i + 1}_$s")
     }
     out.reduce(_.unionByName(_)).orderBy("step")
@@ -400,8 +403,13 @@ object EventFunnel {
       .groupBy(col("user_id"))
       .agg(min(col("sec") - col("t0")).as("delay"),
         min(expr("t0 DIV 604800")).as("cohort_week"))
+    import graft.operators.CacheRegistry.TrackedPersist
     val c = conv.groupBy(col("cohort_week"), col("delay"))
       .agg(count(lit(1)).as("n"))
+      // (cohort, delay)-domain-sized; feeds BOTH the cumulative window
+      // and the per-cohort totals join — unpersisted, the two filtered
+      // user aggregates and their join run twice (the q194 rule)
+      .trackedPersist()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cohort_week")).orderBy(col("delay"))
     val tot = c.groupBy(col("cohort_week")).agg(sum(col("n")).as("n_conv"))
@@ -451,17 +459,24 @@ object EventFunnel {
         col("value"))
       .select(col("user_id"), expr("sec DIV 86400").as("day"),
         Q.cents(col("value")).cast("long").as("cents"))
+    import graft.operators.CacheRegistry.TrackedPersist
     val per = p.groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
+      // |purchasing users|-sized; feeds the anchor AND (via u) three
+      // tercile cuts plus the final census — unpersisted, the purchase
+      // rollup re-scanned events five times (the q194 rule)
+      .trackedPersist()
     val anchor = per.agg(max(col("last_day")).as("max_day"))
     val u = per.crossJoin(broadcast(anchor))
       .select(col("user_id"), (col("max_day") - col("last_day")).as("recency"),
         col("freq"), col("cents"), expr("cents DIV 100").as("dollars"))
+      .trackedPersist() // four consumers: three cuts + the census
     // value-based tercile cuts of one metric: first value whose
     // cumulative count reaches ceil(n/3) / ceil(2n/3)
     def cuts(metric: String): DataFrame = {
       val cnt = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("n"))
+        .trackedPersist() // value-domain-sized; window + its own total
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       cnt.withColumn("cum", sum(col("n")).over(w))
         .crossJoin(broadcast(cnt.agg(sum(col("n")).as("nu"))))

@@ -318,6 +318,7 @@ object Sampling {
     require(budgetTokens >= 1 && capPpm >= 1,
       s"need positive budget and cap, got B=$budgetTokens cap=$capPpm")
     graft.functions.GraftFunctions.install(docs.sparkSession)
+    import graft.operators.CacheRegistry.TrackedPersist
     import org.apache.spark.sql.expressions.Window
     val per = docs.groupBy(col("source"))
       .agg(sum(graft.functions.WordRunCount(col("text"))).as("n_tokens"))
@@ -335,6 +336,10 @@ object Sampling {
         expr("(cap_tokens DIV greatest(weight, 1)) * 1000000 + " +
           "((cap_tokens % greatest(weight, 1)) * 1000000) " +
           "DIV greatest(weight, 1)"))
+      // |sources|-sized; feeds the weight total AND the flagged chain —
+      // unpersisted, the corpus token-count agg ran multiple times
+      // (the q194 shared-subtree rule)
+      .trackedPersist()
     val ord = Window.orderBy(col("rk"), col("source"))
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -353,6 +358,7 @@ object Sampling {
           "CAST(cap_tokens AS DECIMAL(19, 0)) * " +
           "CAST(w_tot - pre_w AS DECIMAL(18, 0))"), 1L).otherwise(0L))
       .withColumn("saturated", min(col("pass")).over(run) === 1L)
+      .trackedPersist() // feeds the saturated totals AND the final plan
     val sat = flagged.agg(
       coalesce(sum(when(col("saturated"), col("cap_tokens"))), lit(0L))
         .as("sat_cap"),

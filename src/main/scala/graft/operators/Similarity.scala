@@ -358,6 +358,7 @@ object Similarity {
     val proj = dims.join(broadcast(planeTab), "i")
       .groupBy(col("vec_id"), col("p"))
       .agg(sum(floor(col("s") * col("v") * 1e12 + 0.5)).as("pr"))
+    import graft.operators.CacheRegistry.TrackedPersist
     val keys = proj
       .select(col("vec_id"), col("p"),
         when(col("pr") >= 0, "1").otherwise("0").as("bit"))
@@ -365,6 +366,11 @@ object Similarity {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("p"), col("bit")))),
         s => s.getField("bit")), "").as("bucket"))
+      // |vectors|-sized (vec_id, 16-char bucket); feeds BOTH sides of
+      // the candidate self-join — unpersisted, the projection pass
+      // (explode + plane join + two aggs) runs twice (the q194
+      // shared-subtree rule, caught by PlanLint rule 4)
+      .trackedPersist()
     val cand = keys.as("k1")
       .join(keys.as("k2"),
         col("k1.bucket") === col("k2.bucket") &&

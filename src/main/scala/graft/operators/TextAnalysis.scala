@@ -529,6 +529,7 @@ object TextAnalysis {
     * totals join is a broadcast of one row.
     */
   def samplingWeights(docs: DataFrame): DataFrame = {
+    import graft.operators.CacheRegistry.TrackedPersist
     val per = docs
       .select(col("lang"),
         size(graft.operators.Dedup.tokens(col("text"))).cast("long")
@@ -538,6 +539,9 @@ object TextAnalysis {
       .withColumn("w",
         floor(sqrt(col("total_tokens").cast("double")) * lit(1000000.0) +
           lit(0.5)))
+      // |languages|-sized; feeds BOTH the totals and the join-back —
+      // unpersisted, the corpus tokenize+agg ran twice (the q194 rule)
+      .trackedPersist()
     val tot = per.agg(sum(col("total_tokens")).as("tok_sum"),
       sum(col("w")).as("w_sum"))
     per.crossJoin(broadcast(tot))
@@ -1993,10 +1997,17 @@ object TextAnalysis {
     * key, and the finish is |sources| rows.
     */
   def exclusiveVocab(docs: DataFrame): DataFrame = {
+    import graft.operators.CacheRegistry.TrackedPersist
     val st = docs
       .select(col("source"),
         explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
       .distinct()
+      // |sources × vocab|-sized, feeds BOTH the per-term source-count
+      // rollup AND the join-back: without the persist the corpus-sized
+      // explode+distinct runs twice (the q194 shared-subtree rule —
+      // this exact instance was predicted by the r13 verdict and is
+      // what the PlanLint rule-4 check now catches mechanically)
+      .trackedPersist()
     val tc = st.groupBy(col("t")).agg(count(lit(1)).as("nsrc"))
     st.join(tc, "t")
       .groupBy(col("source"))

@@ -1,31 +1,17 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
-import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.SparkSpec
 
-/** Static plan lint over EVERY gate query — the three anti-patterns a
+/** Static plan lint over EVERY gate query — the four anti-patterns a
   * scale review checks by hand on the plan dumps, run on every `sbt
-  * test` against the real sf0.001 testdata:
-  *
-  *  1. no `CartesianProductExec` anywhere (an unhinted cross join of
-  *     two non-broadcast sides is quadratic at any scale);
-  *  2. no shuffle join (SMJ/SHJ) whose build or probe subtree reads
-  *     ONLY fixed-size dimension tables (region/nation) — those must
-  *     broadcast; shuffling a 25-row dim means the OTHER side's
-  *     corpus-sized exchange was spent to meet it;
-  *  3. no globally-ordered Window (empty partitionSpec) fed by a
-  *     fact-table scan with no aggregate in between — a single-
-  *     partition sort of the corpus. Windows above an aggregate are
-  *     fine (the powerUserShare/q154 pattern: |distinct values|-sized
-  *     by construction).
+  * test` against the real sf0.001 testdata. The rules live in
+  * [[graft.PlanLint]] (shared with the Plans/PlansProbe replica-scale
+  * dump mains, which fail loudly on the same violations — VERDICT r13
+  * items 1 and 5); see its scaladoc for the rule definitions.
   *
   * Lint runs on the NON-adaptive physical plan (AQE re-plans at
   * runtime but starts from this shape; disabling it keeps the whole
@@ -34,56 +20,6 @@ import graft.engine.SparkSpec
   */
 class PlanLintSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
-  private val dimTables = Set("region", "nation")
-  private val factTables = Set("lineitem", "orders", "customer", "part",
-    "supplier", "events", "documents", "embeddings")
-
-  private def tableOf(scan: FileSourceScanExec): Option[String] = {
-    val paths = scan.relation.location.rootPaths.map(_.toString.toLowerCase)
-    (dimTables ++ factTables).find(t => paths.exists(_.contains(t)))
-  }
-
-  /** All source tables read anywhere in the subtree (no pruning). */
-  private def scans(p: SparkPlan): Seq[String] =
-    p.collect { case f: FileSourceScanExec => tableOf(f) }.flatten
-
-  /** Fact scans reachable WITHOUT passing through an aggregate or a
-    * cached relation (both collapse/decouple cardinality).
-    */
-  private def unaggregatedFactScans(p: SparkPlan): Seq[String] = p match {
-    case _: HashAggregateExec | _: ObjectHashAggregateExec |
-        _: SortAggregateExec | _: InMemoryTableScanExec => Nil
-    case f: FileSourceScanExec => tableOf(f).filter(factTables).toSeq
-    case other => other.children.flatMap(unaggregatedFactScans)
-  }
-
-  def lint(df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.executedPlan
-    val cartesian = plan.collect { case c: CartesianProductExec =>
-      "CartesianProduct"
-    }
-    val dimShuffleJoins = plan.collect {
-      case j: SortMergeJoinExec => j
-      case j: ShuffledHashJoinExec => j
-    }.flatMap { j =>
-      j.children.flatMap { side =>
-        val ts = scans(side)
-        if (ts.nonEmpty && ts.forall(dimTables))
-          Seq(s"shuffle join against dim-only side ${ts.distinct.sorted
-            .mkString(",")} (should broadcast)")
-        else Nil
-      }
-    }
-    val globalWindows = plan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        unaggregatedFactScans(w.child).distinct.sorted match {
-          case Nil => Nil
-          case ts => Seq(s"unpartitioned Window over fact scan ${ts
-            .mkString(",")}")
-        }
-    }.flatten
-    cartesian ++ dimShuffleJoins ++ globalWindows
-  }
 
   /** Plan a frame with AQE off so the full static tree is visible. */
   private def planned[A](mk: => A): A = {
@@ -95,32 +31,68 @@ class PlanLintSpec extends SparkSpec {
 
   for (d <- SparkEntry.allDefs) {
     test(s"plan lint: ${d.name}") {
-      val vs = planned(lint(d.spark(spark, dir)))
+      val vs = planned(PlanLint.lintGate(d.name, d.spark(spark, dir)))
       assert(vs.isEmpty, s"plan-lint violations: ${vs.mkString("; ")}")
     }
   }
 
-  // --- seeded regressions: each rule must FIRE on a plan built to
-  //     violate it (otherwise the 166 green lints prove nothing)
+  test("rule-4 whitelist stays honest: every whitelisted gate still " +
+    "fires the shared-subtree rule (else the entry is stale)") {
+    for ((name, reason) <- PlanLint.sharedSubtreeWhitelist) {
+      val d = SparkEntry.allDefs.find(_.name == name)
+        .getOrElse(fail(s"whitelisted gate $name does not exist"))
+      val vs = planned(PlanLint.lint(d.spark(spark, dir)))
+      assert(vs.exists(_.startsWith("shared collapsed subtree")),
+        s"$name is whitelisted ('$reason') but no longer fires — " +
+          "remove the entry")
+    }
+  }
 
-  test("lint fires on a seeded CartesianProduct") {
-    val a = spark.range(12000000L).toDF("a") // 96 MB estimate > 64 MB
-    val b = spark.range(12000000L).toDF("b") // broadcast threshold
-    val vs = planned(lint(a.crossJoin(b)))
-    assert(vs.exists(_.contains("CartesianProduct")), vs.toString)
+  // --- seeded regressions: each rule must FIRE on a plan built to
+  //     violate it (otherwise the green lints prove nothing)
+
+  /** Plan with AQE off AND broadcast disabled (corpus-side seeds would
+    * otherwise broadcast at sf0.001 sizes).
+    */
+  private def plannedNoBroadcast[A](mk: => A): A = planned {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try mk finally spark.conf.set(key, old)
+  }
+
+  test("lint fires on a seeded corpus-side CartesianProduct") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vs = plannedNoBroadcast(PlanLint.lint(
+      events.select("event_id").crossJoin(docs.select("doc_id"))))
+    assert(vs.exists(_.contains("CartesianProduct with un-collapsed " +
+      "corpus side")), vs.toString)
+  }
+
+  test("lint passes a value-domain CartesianProduct above aggregates " +
+    "(the q91/q198 shape the sf0.001 rule could not see at 50x)") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val perType = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = perType.select(col("event_type").as("ta"), col("n").as("na"))
+      .crossJoin(perType.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb"))
+    val vs = plannedNoBroadcast(PlanLint.lint(pairs))
+    assert(!vs.exists(_.contains("CartesianProduct")), vs.toString)
   }
 
   test("lint fires on a seeded dim-side shuffle join") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val nation = spark.read.parquet(s"$dir/nation.parquet")
-    val vs = planned(lint(events.join(nation.hint("merge"),
+    val vs = planned(PlanLint.lint(events.join(nation.hint("merge"),
       col("user_id") === col("n_nationkey"))))
     assert(vs.exists(_.contains("dim-only side nation")), vs.toString)
   }
 
   test("lint fires on a seeded unpartitioned corpus Window") {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val vs = planned(lint(events.withColumn("rn",
+    val vs = planned(PlanLint.lint(events.withColumn("rn",
       row_number().over(Window.orderBy(col("event_id"))))))
     assert(vs.exists(_.contains("unpartitioned Window over fact scan " +
       "events")), vs.toString)
@@ -132,6 +104,61 @@ class PlanLintSpec extends SparkSpec {
     val v = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("users"))
       .withColumn("cum", sum(col("users")).over(Window.orderBy(col("c"))))
-    assert(planned(lint(v)).isEmpty)
+    assert(planned(PlanLint.lint(v)).isEmpty)
+  }
+
+  // --- rule 4 (shared collapsed subtree) seeds: the exact unpersisted
+  //     q194 spelling that cost 1.6x -> 0.18x in r13, plus the two
+  //     decouplings that must pass (persist; physical exchange reuse)
+
+  /** The r13 q194 shape: a collapsed fact aggregate feeding BOTH a
+    * global max and a join-back. `persisted` toggles the fix.
+    */
+  private def q194Shape(persisted: Boolean): DataFrame = {
+    import graft.operators.CacheRegistry.TrackedPersist
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val rev0 = t("lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("revenue"))
+    val rev = if (persisted) rev0.trackedPersist() else rev0
+    val mx = rev.agg(max(col("revenue")).as("m"))
+    val winners = rev.crossJoin(broadcast(mx))
+      .where(col("revenue") === col("m"))
+    t("supplier")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  test("lint fires on the seeded unpersisted-q194 shared subtree") {
+    val vs = planned(PlanLint.lint(q194Shape(persisted = false)))
+    assert(vs.exists(_.startsWith("shared collapsed subtree over " +
+      "lineitem")), vs.toString)
+  }
+
+  test("lint passes the persisted q194 spelling (InMemoryRelation " +
+    "decouples the copies)") {
+    val df = q194Shape(persisted = true)
+    try {
+      val vs = planned(PlanLint.lint(df))
+      assert(!vs.exists(_.startsWith("shared collapsed subtree")),
+        vs.toString)
+    } finally graft.operators.CacheRegistry.release()
+  }
+
+  test("lint passes bit-identical copies absorbed by exchange reuse " +
+    "(no re-evaluation happens, so no violation)") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val agg = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // a self-equi-join of the SAME aggregate: both sides canonicalize
+    // identically (co-keyed on user_id, no pushed-filter asymmetry), so
+    // ReuseExchange plans ONE exchange and the fact is scanned once
+    val joined = agg.join(agg.select(col("user_id").as("u2"),
+      col("n").as("n2")), col("user_id") === col("u2"))
+    val vs = planned(PlanLint.lint(joined))
+    assert(!vs.exists(_.startsWith("shared collapsed subtree")),
+      vs.toString)
   }
 }
