@@ -54,7 +54,11 @@ object ProfileR14 {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       val t = (System.nanoTime() - t0) / 1e9
-      graft.operators.CacheRegistry.release()
+      // blocking: an async eviction racing the next iteration's
+      // re-persist hands it a dying cache entry (see CacheRegistry).
+      // GRAFT_NO_RELEASE=1 keeps caches across iterations (diagnostic).
+      if (!sys.env.contains("GRAFT_NO_RELEASE"))
+        graft.operators.CacheRegistry.release(blocking = true)
       t
     }
     for (n <- names) {

@@ -47,12 +47,23 @@ object CacheRegistry {
     * CacheManager) and safe against already-stopped sessions — a
     * frame whose session died just drops from tracking.
     */
-  def release(): Unit = {
+  def release(): Unit = release(blocking = false)
+
+  /** As [[release]]; `blocking = true` waits for eviction to complete
+    * before returning. Measurement harnesses that release BETWEEN
+    * timed iterations of the same query must block: an async eviction
+    * racing the next iteration's re-persist of the same canonicalized
+    * plan can hand that run a dying cache entry whose blocks vanish
+    * under it — per-partition recompute of the whole child subtree,
+    * observed as an 8× outlier iteration (r14, q177 at 50×). Library
+    * callers releasing at session end keep the non-blocking default.
+    */
+  def release(blocking: Boolean): Unit = {
     val it = tracked.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       it.remove()
-      try e.getValue.unpersist(blocking = false)
+      try e.getValue.unpersist(blocking)
       catch { case NonFatal(_) => () }
     }
   }
