@@ -32,6 +32,16 @@ object ProfileR14 {
     // lineitem/orders pair first (timed, reported separately like
     // layout_write_sec), then time the gates on that layout via the
     // Tables.apply substitution — the ProfileR13 `facts` protocol.
+    // "dropfacts": remove the bucketed fact-pair tables so subsequent
+    // runs measure the PLAIN layout (the A/B control).
+    if (wanted.headOption.contains("dropfacts")) {
+      wanted = wanted.drop(1)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      import graft.operators.CorpusWriter
+      Seq(CorpusWriter.DefaultLineitemTable, CorpusWriter.DefaultOrdersTable)
+        .foreach(BucketRehearsal.dropBucketTable(spark, wh, _))
+      println("[r14] dropped fact-pair tables")
+    }
     if (wanted.headOption.contains("facts")) {
       wanted = wanted.drop(1)
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

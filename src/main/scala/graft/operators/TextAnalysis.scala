@@ -1997,19 +1997,22 @@ object TextAnalysis {
     * key, and the finish is |sources| rows.
     */
   def exclusiveVocab(docs: DataFrame): DataFrame = {
-    import graft.operators.CacheRegistry.TrackedPersist
     val st = docs
       .select(col("source"),
         explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
       .distinct()
-      // |sources × vocab|-sized, feeds BOTH the per-term source-count
-      // rollup AND the join-back: without the persist the corpus-sized
-      // explode+distinct runs twice (the q194 shared-subtree rule —
-      // this exact instance was predicted by the r13 verdict and is
-      // what the PlanLint rule-4 check now catches mechanically)
-      .trackedPersist()
-    val tc = st.groupBy(col("t")).agg(count(lit(1)).as("nsrc"))
-    st.join(tc, "t")
+    // per-term source count as a WINDOW over the collapsed table, not
+    // a groupBy + join-back: the join-back spelling re-evaluated the
+    // corpus-sized explode+distinct (the q194 shared-subtree rule —
+    // this exact instance was predicted by the r13 verdict and caught
+    // by PlanLint rule 4). A trackedPersist also fixes the double scan
+    // but was measured pathological at the 400× replica (cache
+    // materialization of the collapsed frame under the 108 M-token
+    // explode — PERF_NOTES r14); the window needs ONE corpus pass and
+    // no cache: everything after the distinct's own exchange is
+    // |sources × vocab|-sized.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    st.withColumn("nsrc", count(lit(1)).over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_terms"),
         sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
@@ -2030,9 +2033,14 @@ object TextAnalysis {
     * by source above the aggregate (never corpus-wide).
     */
   def lengthPercentiles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.install(docs.sparkSession)
     val cnt = docs
       .select(col("source"),
-        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("v"))
+        // native run count == size(Dedup.tokens(text)): one pass per
+        // byte, no token-array materialization, no interpreted lambda
+        // (the r14 jstack showed SimpleHigherOrderFunction.eval hot in
+        // this gate's scan at replica scale)
+        graft.functions.WordRunCount(col("text")).as("v"))
       .groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("source")).orderBy(col("v"))
