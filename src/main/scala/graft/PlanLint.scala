@@ -69,7 +69,12 @@ object PlanLint extends PredicateHelper {
   val sharedSubtreeWhitelist: Map[String, String] = Map(
     "q51_chargram_jaccard" -> "corpus-sized char-gram explode; r11 negative result",
     "q68_containment" -> "corpus-sized shingle explode; r11 negative result",
-    "q70_source_overlap" -> "corpus-sized shingle explode; r11 negative result",
+    // q70_source_overlap was REMOVED here in r15: under per-group
+    // physical confirmation its duplicate per-source collapses turn
+    // out to be reuse-absorbed (one partial/final chain in the
+    // executed plan) — the old whole-plan scan count was counting the
+    // unrelated (doc_id, shingle) chain's scan, i.e. the r14 ADVICE
+    // false positive, so there was never a re-evaluation to whitelist.
     "q77_incremental_dedup" -> "corpus-sized shingle explode; r11 negative result",
     "q80_split_contamination" -> "corpus-sized shingle explode; r11 negative result",
     "q111_incremental_match" -> "corpus-sized shingle explode; r11 negative result",
@@ -141,32 +146,86 @@ object PlanLint extends PredicateHelper {
       .canonicalized
   }
 
-  def sharedSubtreeViolations(df: DataFrame): Seq[String] = {
+  /** One rule-4 finding, keeping the duplicated collapse's fact-table
+    * set structured so [[lintGate]] can scope whitelist suppression to
+    * the justified shape instead of blanket-dropping the rule.
+    */
+  final case class SharedSubtree(tables: Seq[String], message: String)
+
+  /** ExprId-free comparable form of a grouping-key list: plain
+    * attribute NAMES (they survive logical→physical planning; exprIds
+    * and canonicalized ordinals do not compare across the two trees),
+    * with complex grouping expressions collapsed to a placeholder on
+    * BOTH sides — the physical planner pre-projects them into
+    * synthesized `_groupingexpression` attributes, so the inline
+    * logical expression and the synthesized physical attribute must
+    * compare equal.
+    */
+  private def groupingSig(exprs: Seq[Expression]): Seq[String] =
+    exprs.map {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if !a.name.startsWith("_groupingexpression") => a.name
+      case _ => "<expr>"
+    }.sorted
+
+  def sharedSubtreeFindings(df: DataFrame): Seq[SharedSubtree] = {
     val qe = df.queryExecution
     val aggs = qe.optimizedPlan.collect {
       case a: Aggregate if factRels(a).nonEmpty => a
     }
     val dupGroups = aggs.groupBy(aggSignature).values.filter(_.size >= 2)
     if (dupGroups.isEmpty) return Nil
-    // physical confirmation: exchange reuse / caching absorbs
-    // bit-identical copies — only tables actually scanned >= 2 times at
-    // execution re-evaluate
-    val physCounts = scans(qe.executedPlan)
-      .groupBy(identity).view.mapValues(_.size).toMap
+    // Physical confirmation, PER GROUP (r14 ADVICE): a genuinely
+    // re-evaluated duplicate contributes one physical evaluation CHAIN
+    // per copy, while a copy absorbed by ReuseExchange hides behind a
+    // ReusedExchangeExec leaf and contributes none. The previous
+    // whole-plan per-table scan count false-fired when an UNRELATED
+    // aggregate independently scanned the same table next to an
+    // absorbed group (measured real in q70_source_overlap: its
+    // duplicate per-source collapses ARE reuse-absorbed, and the old
+    // confirmation was counting the other collapse chain's scan).
+    // Chains are counted as BOTTOM-MOST matching aggregate nodes —
+    // match = same grouping signature + the group's fact tables in the
+    // subtree — so a partial/final (or distinct multi-stage) stack
+    // collapses to one evaluation.
+    val physAggs: Seq[(Seq[String], SparkPlan)] = qe.executedPlan.collect {
+      case a: HashAggregateExec =>
+        (groupingSig(a.groupingExpressions), a: SparkPlan)
+      case a: ObjectHashAggregateExec =>
+        (groupingSig(a.groupingExpressions), a: SparkPlan)
+      case a: SortAggregateExec =>
+        (groupingSig(a.groupingExpressions), a: SparkPlan)
+    }
     dupGroups.toSeq.flatMap { g =>
       val ts = g.flatMap(factRels).distinct.sorted
-      if (ts.exists(t => physCounts.getOrElse(t, 0) >= 2))
-        Seq(s"shared collapsed subtree over ${ts.mkString(",")} " +
-          s"evaluated ${g.size}x (grouping ${g.head.groupingExpressions
-            .map(_.sql).mkString(",")}) — trackedPersist the frame " +
-          "(the q194 rule)")
+      val sig = groupingSig(g.head.groupingExpressions)
+      def matches(n: (Seq[String], SparkPlan)): Boolean =
+        n._1 == sig && scans(n._2).exists(ts.contains)
+      val evals = physAggs.count { n =>
+        matches(n) &&
+          n._2.children.forall(c => !physAggs.exists(m =>
+            matches(m) && c.exists(_ eq m._2)))
+      }
+      if (evals >= 2)
+        Seq(SharedSubtree(ts,
+          s"shared collapsed subtree over ${ts.mkString(",")} " +
+            s"evaluated ${g.size}x (grouping ${g.head.groupingExpressions
+              .map(_.sql).mkString(",")}) — trackedPersist the frame " +
+            "(the q194 rule)"))
       else Nil
     }.distinct
   }
 
+  def sharedSubtreeViolations(df: DataFrame): Seq[String] =
+    sharedSubtreeFindings(df).map(_.message)
+
   // --- the four rules over one frame -------------------------------------
 
-  def lint(df: DataFrame): Seq[String] = {
+  def lint(df: DataFrame): Seq[String] =
+    structuralViolations(df) ++ sharedSubtreeViolations(df)
+
+  /** Rules 1–3 (cartesian, dim shuffle join, unpartitioned window). */
+  def structuralViolations(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
     val cartesian = plan.collect {
       case c: CartesianProductExec =>
@@ -196,17 +255,23 @@ object PlanLint extends PredicateHelper {
             .mkString(",")}")
         }
     }.flatten
-    cartesian ++ dimShuffleJoins ++ globalWindows ++
-      sharedSubtreeViolations(df)
+    cartesian ++ dimShuffleJoins ++ globalWindows
   }
 
-  /** Lint one gate, honoring the rule-4 whitelist. Returns remaining
-    * violations.
+  /** Lint one gate, honoring the rule-4 whitelist. Suppression is
+    * scoped to the justified shape (r14 ADVICE): every whitelist entry
+    * is a corpus-sized shingle/char-gram explode of the DOCUMENTS
+    * table (the r11 measured negative result), so only rule-4 findings
+    * whose fact-table set is exactly {documents} are dropped — a new,
+    * unrelated shared-subtree regression over any other fact table in
+    * a whitelisted gate still fails. Returns remaining violations.
     */
   def lintGate(name: String, df: DataFrame): Seq[String] = {
-    val vs = lint(df)
-    if (sharedSubtreeWhitelist.contains(name))
-      vs.filterNot(_.startsWith("shared collapsed subtree"))
-    else vs
+    val shared = sharedSubtreeFindings(df)
+    val kept =
+      if (sharedSubtreeWhitelist.contains(name))
+        shared.filterNot(_.tables == Seq("documents"))
+      else shared
+    structuralViolations(df) ++ kept.map(_.message)
   }
 }

@@ -161,4 +161,60 @@ class PlanLintSpec extends SparkSpec {
     assert(!vs.exists(_.startsWith("shared collapsed subtree")),
       vs.toString)
   }
+
+  test("per-group physical confirmation: an UNRELATED extra scan of " +
+    "the same table does not confirm a reuse-absorbed duplicate " +
+    "(the r14 ADVICE false positive)") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val agg = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val joined = agg.join(agg.select(col("user_id").as("u2"),
+      col("n").as("n2")), col("user_id") === col("u2"))
+    // a structurally DIFFERENT aggregate scans events a second time:
+    // under whole-plan scan counting this confirmed the (absorbed)
+    // user_id duplicate; per-group first-stage matching must not
+    val other = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"))
+    val combined = joined.crossJoin(broadcast(other))
+    val vs = planned(PlanLint.lint(combined))
+    assert(!vs.exists(_.startsWith("shared collapsed subtree")),
+      vs.toString)
+  }
+
+  // --- whitelist scoping (r14 ADVICE): suppression only covers the
+  //     justified documents-explode shape, not the whole rule
+
+  /** A genuinely re-evaluated collapse over DOCUMENTS (the whitelisted
+    * table): a union of two copies of the per-source count where one
+    * copy carries an IsNotNull guard the other lacks — the pushdown
+    * asymmetry that defeats exchange reuse (the q194 mechanics; a
+    * symmetric spelling gets absorbed by ReuseExchange and correctly
+    * does not fire).
+    */
+  private def sharedDocShape: DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val per2 = docs.where(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    per.unionAll(per2)
+  }
+
+  test("whitelisted gate: documents-shaped rule-4 finding is " +
+    "suppressed, but the SAME shape fails a non-whitelisted gate") {
+    val wl = PlanLint.sharedSubtreeWhitelist.keys.head
+    val suppressed = planned(PlanLint.lintGate(wl, sharedDocShape))
+    assert(!suppressed.exists(_.startsWith("shared collapsed subtree")),
+      suppressed.toString)
+    val unlisted = planned(PlanLint.lintGate("q00_not_whitelisted",
+      sharedDocShape))
+    assert(unlisted.exists(_.startsWith("shared collapsed subtree over " +
+      "documents")), unlisted.toString)
+  }
+
+  test("whitelisted gate: a NON-documents rule-4 regression still " +
+    "fails (suppression is scoped to the justified shape)") {
+    val wl = PlanLint.sharedSubtreeWhitelist.keys.head
+    val vs = planned(PlanLint.lintGate(wl, q194Shape(persisted = false)))
+    assert(vs.exists(_.startsWith("shared collapsed subtree over " +
+      "lineitem")), vs.toString)
+  }
 }
