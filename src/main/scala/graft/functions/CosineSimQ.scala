@@ -145,6 +145,10 @@ object GraftFunctions {
       "cdc_cuts",
       exprs => CdcCuts(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ks_distance_ppm",
+      exprs => KsDistancePpm(exprs(0), exprs(1)),
+      "built-in")
     ()
   }
 }

@@ -1197,63 +1197,39 @@ object EventFunnel {
     * cross-multiplication |cum_a·n_b − cum_b·n_a| (never a float CDF),
     * reported as floored ppm of n_a·n_b.
     *
-    * Scale shape: the ONE corpus-sized exchange is the (type, cents)
-    * hash aggregate, which collapses the stream onto the value domain
-    * (map-side partials absorb repeats); everything after runs on the
-    * ≤|types|·|distinct cents| table — each row fans out to the ≤
-    * C(|types|,2) pairs via a broadcast nested-loop against the
-    * pair/total frame (|types|² rows), the per-pair merge re-groups
-    * that bounded table, and the cumulative windows partition BY PAIR
-    * over the value domain (the q110 pattern: |distinct money values|
-    * is domain-bounded, not corpus-bounded). Products lift to
-    * DECIMAL(38,0) (cum·n wraps int64 past ~9·10¹² events per type);
-    * ppm uses truncating DIV == the oracle's // on non-negative
-    * operands.
+    * Scale shape (the r15 wide-counter respelling — VERDICT r14 ask
+    * #2): the ONE corpus-sized exchange is the (type, cents) hash
+    * aggregate, which collapses the stream onto the value domain
+    * (map-side partials absorb repeats; measured FIXED at 49 089 rows
+    * from sf0.1 through the 400× replica — domain-bounded, not
+    * corpus-bounded). A second |types|-sized aggregate packs each
+    * type's histogram into ONE sorted array row; the C(|types|,2)
+    * pairs then cost a single map-side two-pointer merge each
+    * ([[graft.functions.KsDistancePpm]], exact integer cross-
+    * multiplication, BigInt past int64). This replaces the previous
+    * finisher (per-pair row fan-out via two broadcast joins + union +
+    * re-group + two cumulative windows + persist) — value-domain-sized
+    * work whose constant was measured at ~1.8–2.3 s of the 3 s q198
+    * wall at 400× (PERF_NOTES r14 decomposition). The tiny histogram
+    * frame is persisted so its self-join cannot re-evaluate the corpus
+    * collapse (lint rule 4).
     */
   def ksValueDrift(events: DataFrame): DataFrame = {
     import graft.queries.Q
-    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      c.cast("decimal(38,0)")
-    val c = events
+    graft.functions.GraftFunctions.install(events.sparkSession)
+    val hist = events
       .select(col("event_type").as("t"), Q.cents(col("value")).as("v"))
       .groupBy(col("t"), col("v"))
       .agg(count(lit(1)).as("c"))
-      // value-domain-sized, shared by the totals agg and BOTH union legs
-      // of the pair fan-out — without this the corpus agg runs twice
+      .groupBy(col("t"))
+      .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("h"),
+        sum(col("c")).cast("long").as("n"))
       .trackedPersist()
-    val tot = c.groupBy(col("t")).agg(sum(col("c")).as("n"))
-    val pairs = tot.as("x").join(tot.as("y"), col("x.t") < col("y.t"))
-      .select(col("x.t").as("ta"), col("y.t").as("tb"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-    // fan each (t, v, c) row out to the pairs containing t as TWO
-    // broadcast hash EQUI-joins unioned (t = ta side, t = tb side) —
-    // an OR-of-equalities condition would plan a BroadcastNestedLoop
-    // join, which is row-based (no codegen) and measured ~1 s of the
-    // q198 wall at 200× for the same output
-    val sided = c
-      .join(broadcast(pairs), col("t") === col("ta"))
-      .select(col("ta"), col("tb"), col("na"), col("nb"), col("v"),
-        col("c").as("ca"), lit(0L).as("cb"))
-      .unionAll(c
-        .join(broadcast(pairs), col("t") === col("tb"))
-        .select(col("ta"), col("tb"), col("na"), col("nb"), col("v"),
-          lit(0L).as("ca"), col("c").as("cb")))
-    val merged = sided
-      .groupBy(col("ta"), col("tb"), col("na"), col("nb"), col("v"))
-      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-    val w = Window.partitionBy("ta", "tb").orderBy("v")
-    merged
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
-      .select(col("ta"), col("tb"), col("na"), col("nb"),
-        abs(dec(col("cuma")) * col("nb") - dec(col("cumb")) * col("na"))
-          .as("d"))
-      .groupBy(col("ta"), col("tb"), col("na"), col("nb"))
-      .agg(max(col("d")).as("ks"))
-      .select(col("ta").as("type_a"), col("tb").as("type_b"),
-        col("na").as("n_a"), col("nb").as("n_b"),
-        expr("CAST(ks * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb) " +
-          "AS BIGINT)").as("ks_ppm"))
+    hist.as("x").join(broadcast(hist.as("y")), col("x.t") < col("y.t"))
+      .select(col("x.t").as("type_a"), col("y.t").as("type_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        graft.functions.KsDistancePpm(col("x.h"), col("y.h"))
+          .as("ks_ppm"))
       .orderBy("type_a", "type_b")
   }
 }

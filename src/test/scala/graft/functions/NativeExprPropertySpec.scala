@@ -235,4 +235,83 @@ class NativeExprPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- ks_distance_ppm (the q198 wide-counter finisher) -----------------
+
+  /** Brute-force BigInt reference: evaluate |cum_a·n_b − cum_b·n_a| at
+    * every value in the union of the two supports.
+    */
+  private def ksRef(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long = {
+    val na = BigInt(a.map(_._2).sum)
+    val nb = BigInt(b.map(_._2).sum)
+    if (na == 0 || nb == 0) return 0L
+    val am = a.toMap
+    val bm = b.toMap
+    val vs = (a.map(_._1) ++ b.map(_._1)).distinct.sorted
+    var cuma = BigInt(0)
+    var cumb = BigInt(0)
+    var best = BigInt(0)
+    for (v <- vs) {
+      cuma += BigInt(am.getOrElse(v, 0L))
+      cumb += BigInt(bm.getOrElse(v, 0L))
+      val d = (cuma * nb - cumb * na).abs
+      if (d > best) best = d
+    }
+    (best * 1000000 / (na * nb)).toLong
+  }
+
+  private def arrayData(h: Seq[(Long, Long)])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      h.sortBy(_._1).map { case (v, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(v, c)
+      }.toArray[Any])
+
+  test("ks_distance_ppm == brute-force BigInt CDF sweep over generated " +
+    "histograms (overlapping supports force tie advancement)") {
+    val histGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(0, 12)
+      vs <- Gen.listOfN(n, Gen.choose(-5L, 8L))
+      cs <- Gen.listOfN(n, Gen.choose(1L, 20L))
+    } yield vs.distinct.sorted.zip(cs)
+    val cases = sample(histGen, 120, seed = 431L).grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.toSeq
+    assert(cases.size >= 50)
+    for ((a, b) <- cases) {
+      val got = KsDistancePpm.ppm(arrayData(a), arrayData(b))
+      assert(got == ksRef(a, b), s"a=$a b=$b")
+    }
+  }
+
+  test("ks_distance_ppm: BigInt fallback past the int64 product bound " +
+    "agrees with the long path's answer structure") {
+    // counts ~3.2e9 per type: na*nb ≈ 4e19 > Long.MaxValue, so the
+    // merge MUST take the BigInt branch; the distribution is scaled
+    // from a small exemplar so the expected ppm is the exemplar's
+    val small = Seq(0L -> 1L, 2L -> 3L, 5L -> 4L)
+    val smallB = Seq(1L -> 2L, 2L -> 2L, 7L -> 4L)
+    val k = 800000000L // scale factor: counts up to 3.2e9
+    val big = small.map { case (v, c) => (v, c * k) }
+    val bigB = smallB.map { case (v, c) => (v, c * k) }
+    val expect = ksRef(small, smallB) // KS is scale-invariant in counts
+    assert(KsDistancePpm.ppm(arrayData(big), arrayData(bigB)) == expect)
+    assert(KsDistancePpm.ppm(arrayData(small), arrayData(smallB)) == expect)
+  }
+
+  test("ks_distance_ppm via SQL over a frame matches the reference " +
+    "(registration + column plumbing)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.install(s)
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 3L, 5L), ("b", 1L, 1L), ("b", 4L, 6L))
+      .toDF("t", "v", "c")
+      .groupBy(col("t"))
+      .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("h"))
+    val r = df.as("x").join(df.as("y"), col("x.t") < col("y.t"))
+      .select(KsDistancePpm(col("x.h"), col("y.h")).as("ppm"))
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq ==
+      Seq(ksRef(Seq(1L -> 2L, 3L -> 5L), Seq(1L -> 1L, 4L -> 6L))))
+  }
 }
