@@ -5461,8 +5461,9 @@ object DataPipeline {
       // the scale-adaptive default (cosineBandPlan) picks LARGER mods
       // past ~9800 embeddings and would sample a different pair set
       // than this SQL — gate and oracle must sample identically at any
-      // corpus size (r13 ADVICE). The adaptive routing is covered by
-      // CensusPropertySpec ("adaptive default equals explicit mods").
+      // corpus size (r13 ADVICE). The adaptive arm is oracle-verified
+      // end-to-end by q200_cosine_band_adaptive (below), whose oracle
+      // computes the mods from COUNT(*) with cosineBandPlan's formula.
       (s, dir) => Similarity.cosineBandCensus(Tables(s, dir, "embeddings"),
         7, 11),
       Some("""WITH q AS (
@@ -5481,6 +5482,72 @@ object DataPipeline {
              |           i -> a.qv[i] * b.qv[i])) AS dot
              |  FROM n a JOIN n b ON a.vec_id < b.vec_id
              |  WHERE a.vec_id % 7 = 0 AND b.vec_id % 11 = 0),
+             |bands AS (
+             |  SELECT CASE
+             |           WHEN CAST(na AS HUGEINT) * nb = 0 THEN 'z_zero'
+             |           WHEN dot < 0 THEN 'a_neg'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 16
+             |                < CAST(na AS HUGEINT) * nb THEN 'b_lt_25'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 4
+             |                < CAST(na AS HUGEINT) * nb THEN 'c_25_50'
+             |           WHEN CAST(dot AS HUGEINT) * dot * 16
+             |                < CAST(na AS HUGEINT) * nb * 9 THEN 'd_50_75'
+             |           ELSE 'e_ge_75' END AS sim_band
+             |  FROM p)
+             |SELECT sim_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       COUNT(*) * 1000000 // (SELECT COUNT(*) FROM bands)
+             |         AS pair_share_ppm
+             |FROM bands GROUP BY 1 ORDER BY sim_band""".stripMargin)),
+
+    // --- Adaptive-mods cosine-band census (r15, VERDICT r14 ask #7):
+    //     the SAME census on the scale-adaptive default arm — the
+    //     branch that runs in production past ~9800 embeddings — made
+    //     oracle-checkable via a deterministic 26× replica fixture
+    //     channel (explode on the Spark side, CROSS JOIN range in the
+    //     oracle; ids disjoint by construction since vec_id < 100000).
+    //     The oracle computes the mods from COUNT(*) with the SAME
+    //     sizing rule as [[Similarity.cosineBandPlan]] (GREATEST(7,
+    //     ⌈n/1400⌉) / GREATEST(11, ⌈n/900⌉)), so any drift between the
+    //     driver-side plan and the published formula hash-mismatches.
+    //     13 000 vectors at sf0.001/0.01 → mods (10, 15); 52 000 at
+    //     sf0.1 → (38, 58): the adaptive arm is exercised at EVERY
+    //     gate SF, and the sampled pair budget stays ~constant — the
+    //     budget-constancy design claim, now oracle-verified.
+    QueryDef(
+      "q200_cosine_band_adaptive",
+      (s, dir) => {
+        val base = graft.Tables(s, dir, "embeddings")
+        val fixture = base
+          .select(explode(expr("sequence(0, 25)")).as("r"),
+            col("vec_id"), col("embedding"))
+          .select((col("r") * 100000L + col("vec_id")).as("vec_id"),
+            col("embedding"))
+        Similarity.cosineBandCensus(fixture)
+      },
+      Some("""WITH f AS (
+             |  SELECT r.range * 100000 + e.vec_id AS vec_id, e.embedding
+             |  FROM embeddings e CROSS JOIN range(0, 26) r),
+             |m AS (
+             |  SELECT GREATEST(7, (COUNT(*) + 1399) // 1400) AS ma,
+             |         GREATEST(11, (COUNT(*) + 899) // 900) AS mb
+             |  FROM f),
+             |q AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding,
+             |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+             |                     AS BIGINT)) AS qv
+             |  FROM f),
+             |n AS (
+             |  SELECT vec_id, qv,
+             |         list_sum(list_transform(qv, x -> x * x)) AS nrm2
+             |  FROM q),
+             |p AS (
+             |  SELECT a.nrm2 AS na, b.nrm2 AS nb,
+             |         list_sum(list_transform(range(1, 65),
+             |           i -> a.qv[i] * b.qv[i])) AS dot
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id % (SELECT ma FROM m) = 0
+             |    AND b.vec_id % (SELECT mb FROM m) = 0),
              |bands AS (
              |  SELECT CASE
              |           WHEN CAST(na AS HUGEINT) * nb = 0 THEN 'z_zero'
