@@ -174,9 +174,132 @@ object StreamThroughput {
     spark.stop()
   }
 
+  /** Streaming KS drift monitor throughput ([[graft.streaming
+    * .EventStreamOps.ksHistUpdates]]): feeds replica events through a
+    * MemoryStream in fixed batches, printing per-batch wall/eps/state
+    * rows+bytes/emitted rows, swept over `maxDistinctPerType`. The
+    * bounded-state claim measured: state rows must PLATEAU at |types|
+    * (5) with per-type histograms capped at min(cap, |distinct cents
+    * per type| ≤ 9 913 on this corpus) while batch walls stay flat —
+    * the emission bound is O(|types|·|domain|) per batch regardless of
+    * event volume.
+    *
+    * Usage: runMain graft.StreamThroughput ksdrift [sfDir] [batchSize]
+    *   [nBatches] [cap1,cap2,...]
+    */
+  def ksDriftLeg(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/tmp/sf50")
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(200000)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(10)
+    val caps = args.lift(4).getOrElse("1000000")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreamOps
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(value AS DOUBLE) AS value")
+      .limit(batchSize * nBatches)
+      .as[EventStreamOps.VEv].collect()
+    for (cap <- caps) {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreamOps.VEv]
+      val q = EventStreamOps.ksHistUpdates(mem.toDS(),
+          maxDistinctPerType = cap)
+        .writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation",
+          Files.createTempDirectory("ksdrift-ck").toString)
+        .start()
+      try {
+        var totalRows = 0L
+        var totalSec = 0.0
+        rows.grouped(batchSize).zipWithIndex.foreach { case (batch, i) =>
+          val t0 = System.nanoTime()
+          mem.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          totalRows += batch.length; totalSec += sec
+          val p = q.lastProgress
+          val st = p.stateOperators.headOption
+          println(f"[ksdrift-stream] cap=$cap%-8d batch=$i%2d " +
+            f"n=${batch.length}%7d wall=$sec%6.2fs " +
+            f"eps=${batch.length / sec}%9.0f " +
+            f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%4d " +
+            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"out=${p.sink.numOutputRows}%4d")
+        }
+        println(f"[ksdrift-stream] cap=$cap%-8d TOTAL n=$totalRows " +
+          f"wall=$totalSec%7.2fs eps=${totalRows / totalSec}%9.0f")
+      } finally q.stop()
+    }
+    spark.stop()
+  }
+
+  /** Streaming rolling-active delta throughput ([[graft.streaming
+    * .EventStreamOps.rollingActiveDeltas]]): per-user credited-day-set
+    * state, so state rows track DISTINCT USERS SEEN (plateauing once
+    * the replica's user population has all appeared) and per-batch
+    * emission is bounded by new (user, window-end-day) coverage — both
+    * printed per batch with the wall, so the flat-batch-duration and
+    * cap-proportional-state claims are measured, not argued.
+    *
+    * Usage: runMain graft.StreamThroughput rollingactive [sfDir]
+    *   [batchSize] [nBatches] [windowDays]
+    */
+  def rollingActiveLeg(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/tmp/sf50")
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(200000)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(10)
+    val windowDays = args.lift(4).map(_.toInt).getOrElse(7)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreamOps
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id")
+      .limit(batchSize * nBatches)
+      .as[EventStreamOps.Ev].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreamOps.Ev]
+    val q = EventStreamOps.rollingActiveDeltas(mem.toDS(),
+        windowDays = windowDays)
+      .writeStream.format("noop")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("rollingactive-ck").toString)
+      .start()
+    try {
+      var totalRows = 0L
+      var totalSec = 0.0
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, i) =>
+        val t0 = System.nanoTime()
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        totalRows += batch.length; totalSec += sec
+        val p = q.lastProgress
+        val st = p.stateOperators.headOption
+        println(f"[rollact-stream] w=$windowDays%-2d batch=$i%2d " +
+          f"n=${batch.length}%7d wall=$sec%6.2fs " +
+          f"eps=${batch.length / sec}%9.0f " +
+          f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
+          f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+          f"out=${p.sink.numOutputRows}%7d")
+      }
+      println(f"[rollact-stream] w=$windowDays%-2d TOTAL n=$totalRows " +
+        f"wall=$totalSec%7.2fs eps=${totalRows / totalSec}%9.0f")
+    } finally q.stop()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("semdedup")) { semanticDedupLeg(args); return }
     if (args.headOption.contains("chunkdedup")) { chunkDedupLeg(args); return }
+    if (args.headOption.contains("ksdrift")) { ksDriftLeg(args); return }
+    if (args.headOption.contains("rollingactive")) { rollingActiveLeg(args); return }
     val nProj = args.headOption.map(_.toInt).getOrElse(50000)
     val nAgg = args.lift(1).map(_.toInt).getOrElse(500)
     val latencyMs = args.lift(2).map(_.toLong).getOrElse(50L)

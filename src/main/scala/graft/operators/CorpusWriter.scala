@@ -243,6 +243,36 @@ object CorpusWriter {
       Seq("o_orderkey"), buckets, sourceDir, "orders.parquet")
   }
 
+  /** Default table name for the partkey-clustered lineitem projection. */
+  val DefaultLineitemByPartTable = "graft_lineitem_by_pkey"
+
+  /** The C-Store-style SECOND projection of lineitem, clustered on the
+    * part key — the storage-budget remedy for the measured fact-pair
+    * tradeoff (PERF_NOTES r13 "the q03 counter-case"): orderkey
+    * bucketing scatters partkeys, so partkey rollups lose their
+    * map-side collapse and dictionary encoding. This copy buckets AND
+    * sorts on l_partkey, restoring both, at the cost of a second copy
+    * of the fact columns partkey rollups touch (projection, not full
+    * width — C-Store projections carry the columns their sort order
+    * serves). Same source-fingerprint gating as the other layouts;
+    * resolve via [[partProjection]].
+    */
+  def writePartProjection(lineitem: DataFrame, buckets: Int = 128,
+      sourceDir: Option[String] = None): Unit =
+    writeBucketedSource(
+      lineitem.select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      DefaultLineitemByPartTable, "l_partkey", Seq("l_partkey"),
+      buckets, sourceDir, "lineitem.parquet")
+
+  /** The partkey projection for `sourceDir`, when written and
+    * fingerprint-fresh in this catalog — None otherwise.
+    */
+  def partProjection(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String): Option[DataFrame] =
+    bucketedSource(spark, sourceDir, "lineitem.parquet",
+      DefaultLineitemByPartTable)
+
   /** The bucketed events layout for `sourceDir`, when one has been
     * written and tagged via [[writeEvents]] in this catalog — None
     * otherwise: a table of the right name written from a DIFFERENT

@@ -113,7 +113,14 @@ object Relational {
         // are plain long cents sums (bounded by a key's ~30 items); the
         // brand-level finish reuses the 128-bit-safe exactSum, so the
         // final double is bit-identical to the direct formulation.
-        val perKey = t(s, dir, "lineitem")
+        // The per-key frame resolves the partkey-clustered SECOND
+        // projection when one is deployed (C-Store-style; written by
+        // CorpusWriter.writePartProjection) — bucket partitioning on
+        // l_partkey deletes this rollup's corpus exchange, the remedy
+        // for the measured orderkey-layout regression (PERF_NOTES r13
+        // "the q03 counter-case"). Absent a projection, plain files.
+        val perKey = graft.operators.CorpusWriter.partProjection(s, dir)
+          .getOrElse(t(s, dir, "lineitem"))
           .groupBy("l_partkey")
           .agg(sum("l_quantity").as("pk_qty"),
             sum(cents(col("l_extendedprice"))).as("pk_cents"),

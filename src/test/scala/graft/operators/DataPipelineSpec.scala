@@ -1047,6 +1047,38 @@ class DataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("writePartProjection: the partkey-clustered second projection " +
+    "substitutes into q03's per-key frame with zero partkey Exchange " +
+    "and identical values (deployed in r15 after the 200x A/B win)") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    import graft.operators.CorpusWriter
+    graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultLineitemByPartTable)
+    val plain = graft.SparkEntry.queries("q03_join_broadcast_dim")(s, dir)
+    val plainRows = plain.collect().toSeq
+    assert(plain.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning(l_partkey"),
+      "plain path lost its partkey shuffle?")
+    try {
+      CorpusWriter.writePartProjection(
+        s.read.parquet(s"$dir/lineitem.parquet"), buckets = 4,
+        sourceDir = Some(dir))
+      assert(CorpusWriter.partProjection(s, dir).isDefined)
+      // a DIFFERENT source dir must not resolve the projection
+      assert(CorpusWriter.partProjection(s,
+        "/root/testdata/sf0.01").isEmpty)
+      val proj = graft.SparkEntry.queries("q03_join_broadcast_dim")(s, dir)
+      assert(!proj.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(l_partkey"),
+        "projection leg still exchanges on l_partkey:\n" +
+          proj.queryExecution.executedPlan.toString)
+      assert(proj.collect().toSeq == plainRows)
+    } finally graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultLineitemByPartTable)
+  }
+
   test("sessionize over user_id-bucketed events plans with zero Exchange") {
     val s = spark
     import s.implicits._
