@@ -39,6 +39,25 @@ import graft.streaming.StreamIngest
   */
 object StreamThroughput {
 
+  /** State bytes from a progress row: `memoryUsedBytes` stopped
+    * populating for flatMapGroupsWithState in the current Spark build
+    * (it read 5.2 MB for the same chunkdedup leg in r10); fall back to
+    * the HDFS store's stateOnCurrentVersionSizeBytes custom metric.
+    */
+  private def stateBytes(
+      st: Option[org.apache.spark.sql.streaming.StateOperatorProgress])
+      : Long =
+    st.map { o =>
+      if (sys.env.contains("GRAFT_STATE_DEBUG"))
+        println(s"[state-debug] mem=${o.memoryUsedBytes} custom=" +
+          s"${Option(o.customMetrics).map(_.toString).getOrElse("-")}")
+      if (o.memoryUsedBytes > 0) o.memoryUsedBytes
+      else Option(o.customMetrics)
+        .map(m => m.getOrDefault("stateOnCurrentVersionSizeBytes", 0L)
+          .longValue())
+        .getOrElse(0L)
+    }.getOrElse(0L)
+
   def semanticDedupLeg(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/tmp/sf200")
     val batchSize = args.lift(2).map(_.toInt).getOrElse(20000)
@@ -99,7 +118,7 @@ object StreamThroughput {
             f"n=${batch.length}%6d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%8.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%5d " +
-            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
             f"flags=${p.sink.numOutputRows}%7d")
         }
         println(f"[semdedup-stream] cap=$cap%-5d TOTAL n=$totalRows " +
@@ -164,7 +183,7 @@ object StreamThroughput {
             f"n=${batch.length}%6d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%8.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%6d " +
-            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
             f"flags=${p.sink.numOutputRows}%8d")
         }
         println(f"[chunkdedup-stream] cap=$cap%-4d TOTAL n=$totalRows " +
@@ -227,7 +246,7 @@ object StreamThroughput {
             f"n=${batch.length}%7d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%9.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%4d " +
-            f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
             f"out=${p.sink.numOutputRows}%4d")
         }
         println(f"[ksdrift-stream] cap=$cap%-8d TOTAL n=$totalRows " +
@@ -286,7 +305,7 @@ object StreamThroughput {
           f"n=${batch.length}%7d wall=$sec%6.2fs " +
           f"eps=${batch.length / sec}%9.0f " +
           f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
-          f"stateMB=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+          f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
           f"out=${p.sink.numOutputRows}%7d")
       }
       println(f"[rollact-stream] w=$windowDays%-2d TOTAL n=$totalRows " +
