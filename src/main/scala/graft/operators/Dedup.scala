@@ -1144,6 +1144,9 @@ object Dedup {
     * census-sized final agg. Singleton clusters are excluded (size ≥
     * 2): the census reads duplication structure, not corpus size. All
     * integer arithmetic.
+    *
+    * Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    * PERF_NOTES r15 (measured floor stage, scales, anchors).
     */
   def dupSpreadCensus(docs: DataFrame): DataFrame =
     dupSpreadCensusHashed(

@@ -698,6 +698,8 @@ object EventFunnel {
     * cell).
     */
   def weeklySeasonality(events: DataFrame): DataFrame = {
+    // Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    // PERF_NOTES r15 (measured floor stage, scales, anchors).
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("decimal(20,0)")
     events
@@ -1028,6 +1030,8 @@ object EventFunnel {
     * aggregate, never corpus-wide.
     */
   def valuePercentiles(events: DataFrame): DataFrame = {
+    // Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    // PERF_NOTES r15 (measured floor stage, scales, anchors).
     val cnt = events
       .select(col("event_type"),
         floor(col("value") * 100 + 0.5).as("v"))
@@ -1215,6 +1219,8 @@ object EventFunnel {
     * collapse (lint rule 4).
     */
   def ksValueDrift(events: DataFrame): DataFrame = {
+    // Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    // PERF_NOTES r15 (measured floor stage, scales, anchors).
     import graft.queries.Q
     graft.functions.GraftFunctions.install(events.sparkSession)
     val hist = events

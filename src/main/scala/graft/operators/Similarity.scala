@@ -1416,6 +1416,8 @@ object Similarity {
     * lowest dim index in both engines.
     */
   def centroidShift(embs: DataFrame): DataFrame = {
+    // Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    // PERF_NOTES r15 (measured floor stage, scales, anchors).
     val qd = embs.select(col("label"),
       posexplode(expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS double) * 1000000 + 0.5) AS bigint))"))
@@ -1453,6 +1455,8 @@ object Similarity {
     * aggregate — ≤|labels|·|bands| rows cross the exchange.
     */
   def normBands(embs: DataFrame): DataFrame = {
+    // Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    // PERF_NOTES r15 (measured floor stage, scales, anchors).
     embs
       .select(col("label"),
         dotQ(col("embedding"), col("embedding")).as("n2q"))

