@@ -238,6 +238,35 @@ object EventStreamOps {
     * neighbouring key (documented bounded-state degradation, the
     * dedupWithinWatermark trade).
     */
+  /** Fold a batch's cents values into the capped histogram map —
+    * value-identical to the original per-arrival spelling (above the
+    * cap a NEW value rebins to the nearest existing key BELOW it, else
+    * the current minimum), but the capped regime pays a log-time
+    * floor lookup against ONE sorted key index built lazily on the
+    * first above-cap arrival of the batch, instead of an O(|hist|)
+    * linear scan per arrival (the r15 ksdrift leg measured the scan at
+    * ~3× the uncapped per-event cost once the cap binds). Below-cap
+    * batches never build the index; once the cap binds the key set is
+    * frozen (folds only hit existing keys), so the index never needs
+    * maintenance.
+    */
+  private def foldCents(m0: Map[Long, Long], cents: Iterator[Long],
+      cap: Int): Map[Long, Long] = {
+    var m = m0
+    var idx: scala.collection.immutable.TreeSet[Long] = null
+    cents.foreach { c =>
+      val key =
+        if (m.contains(c) || m.size < cap) c
+        else {
+          if (idx == null)
+            idx = scala.collection.immutable.TreeSet.from(m.keysIterator)
+          idx.maxBefore(c + 1).getOrElse(idx.head)
+        }
+      m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+    }
+    m
+  }
+
   def valuePercentileUpdates(events: Dataset[VEv],
       maxDistinctPerType: Int = 1000000): Dataset[ValueBands] = {
     import events.sparkSession.implicits._
@@ -247,14 +276,9 @@ object EventStreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (tpe, evs, state: GroupState[VPState]) =>
           var m = state.getOption.map(_.counts).getOrElse(Map.empty)
-          evs.foreach { e =>
-            val c = Math.floor(e.value * 100 + 0.5).toLong
-            val key =
-              if (m.contains(c) || m.size < maxDistinctPerType) c
-              else m.keysIterator.filter(_ <= c)
-                .reduceOption(_ max _).getOrElse(m.keysIterator.min)
-            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
-          }
+          m = foldCents(m,
+            evs.map(e => Math.floor(e.value * 100 + 0.5).toLong),
+            maxDistinctPerType)
           state.update(VPState(m))
           val sorted = m.toSeq.sortBy(_._1)
           val n = sorted.iterator.map(_._2).sum
@@ -303,14 +327,9 @@ object EventStreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (tpe, evs, state: GroupState[VPState]) =>
           var m = state.getOption.map(_.counts).getOrElse(Map.empty)
-          evs.foreach { e =>
-            val c = Math.floor(e.value * 100 + 0.5).toLong
-            val key =
-              if (m.contains(c) || m.size < maxDistinctPerType) c
-              else m.keysIterator.filter(_ <= c)
-                .reduceOption(_ max _).getOrElse(m.keysIterator.min)
-            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
-          }
+          m = foldCents(m,
+            evs.map(e => Math.floor(e.value * 100 + 0.5).toLong),
+            maxDistinctPerType)
           state.update(VPState(m))
           Iterator.single(TypeHist(tpe, m.valuesIterator.sum, m))
       }
