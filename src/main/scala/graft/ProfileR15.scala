@@ -109,6 +109,23 @@ object ProfileR15 {
       for (n <- Seq("q163_market_share", "q02_pricing_summary",
           "q176_returned_customers"))
         time(n)(SparkEntry.queries(n)(spark, sfDir))
+      // q11 A/B (r15 watch item): the custkey window over orders reads
+      // the ORDERKEY-bucketed table on the deployed leg — a layout that
+      // serves orderkey joins, not this window. Same JVM, same window:
+      // substituted vs plain-files orders.
+      time("q11 bucketed-orders")(
+        SparkEntry.queries("q11_window_rank")(spark, sfDir))
+      val plainOrders = spark.read.parquet(s"$sfDir/orders.parquet")
+      time("q11 plain-orders") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        plainOrders
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      }
     }
 
     if (op == "pkproj") {
