@@ -5,6 +5,12 @@ package graft
   * per-iteration wall times, so cold (JIT + footer-cache) vs steady-state
   * cost is visible. Usage:
   * sbt "runMain graft.Profile [sfDir] [iters] [nameRegex]".
+  *
+  * Each iteration ends with a BLOCKING cache release: gates that
+  * `trackedPersist` an intermediate would otherwise hand every warm
+  * iteration the cached collapse and report impossible walls — the
+  * exact artifact that contaminated the first r15 800× q162/q198
+  * samples (q198 "0.56 s" at 800× vs 1.65 s at 400×; PERF_NOTES r15).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -23,7 +29,9 @@ object Profile {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.operators.CacheRegistry.release(blocking = true)
+        t
       }
       println(f"[profile] $name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")
     }
