@@ -83,9 +83,30 @@ object ProfileR15 {
       // across sessions (a warehouse doesn't rewrite per session).
       import graft.operators.CorpusWriter
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      // value-identity guard BEFORE re-attaching: a mis-declared
+      // external bucket spec would make bucket-local joins silently
+      // drop matches, so the plain-files answer (tables not yet in
+      // this fresh JVM's catalog) is the reference the re-attached
+      // leg must reproduce exactly
+      val plainRef = SparkEntry.queries("q163_market_share")(spark, sfDir)
+        .collect().map(_.toString).sorted.mkString("\n").hashCode
       def reattach(table: String, bucketCol: String,
           sourceFile: String): Unit = {
         val loc = s"$wh/$table"
+        // provenance guard: the warehouse keeps whatever the LAST
+        // writer left (e.g. a 200× Bench leg), and re-tagging blindly
+        // would claim it came from THIS sfDir — q163's join shape even
+        // masks the mismatch (the smaller dims filter the bigger fact
+        // back to the smaller answer) while the timings silently
+        // measure the wrong corpus. Row-count equality with the
+        // claimed source is cheap (parquet metadata count) and
+        // catches every cross-scale mix-up.
+        val whCount = spark.read.parquet(loc).count()
+        val srcCount = spark.read.parquet(s"$sfDir/$sourceFile").count()
+        require(whCount == srcCount,
+          s"$table holds $whCount rows but $sfDir/$sourceFile has " +
+            s"$srcCount — the warehouse layout was written from a " +
+            "different corpus; rerun ProfileR13 facts for this dir")
         val schema = spark.read.parquet(loc).schema.toDDL
         spark.sql(s"DROP TABLE IF EXISTS $table")
         spark.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
@@ -105,7 +126,13 @@ object ProfileR15 {
       val probe = SparkEntry.queries("q163_market_share")(spark, sfDir)
       val nEx = probe.queryExecution.executedPlan.toString
         .split('\n').count(_.contains("Exchange hashpartitioning(l_orderkey"))
-      println(s"[factsreuse probe  ] l_orderkey exchanges in q163 plan: $nEx")
+      val reHash = probe.collect().map(_.toString).sorted
+        .mkString("\n").hashCode
+      require(reHash == plainRef,
+        "re-attached bucketed layout changed q163's answer — bucket " +
+          "spec mismatch; timings would be meaningless")
+      println(s"[factsreuse probe  ] l_orderkey exchanges in q163 plan: " +
+        s"$nEx; value identity vs plain files: OK")
       for (n <- Seq("q163_market_share", "q02_pricing_summary",
           "q176_returned_customers"))
         time(n)(SparkEntry.queries(n)(spark, sfDir))
