@@ -8,6 +8,26 @@ package graft
   * includes the complete plan — a count() would let Catalyst prune most
   * of the work and flatter the numbers.
   *
+  * SELF-ADJUDICATING (VERDICT r15 ask #1): the raw wall-clock headline
+  * proved uninterpretable across rounds — BENCH_r15's 8.26 s read as a
+  * 2.8× regression vs r14 until a paired DuckDB run showed the whole
+  * HOST ~2× slower that session (co-tenant steal that starting loadavg
+  * demonstrably does not predict: the judge measured 7.74 s at loadavg
+  * 0.17 and 4.28 s at 0.91 in one session). So the artifact now embeds
+  * its own same-window controls:
+  *   - `oracle_total_sec`: the DuckDB oracle headline set, timed by
+  *     shelling out to the dev harness `tools/bench_duckdb.py`
+  *     immediately after the Spark timings (same host window, same
+  *     warm-median-of-3 protocol). -1 when python/duckdb is absent —
+  *     the harness is driver-side tooling, not a library dependency.
+  *   - `ratio`: spark total / oracle total — THE round-over-round
+  *     comparable. Host drift cancels in the quotient.
+  *   - `calib_sec`: a fixed single-thread xorshift spin (median of 3),
+  *     a pure-JVM host-speed control that needs no external binary.
+  *   - `loadavg_start`/`loadavg_end`: recorded for the record even
+  *     though proven non-predictive — a high END loadavg at least
+  *     flags in-window contention.
+  *
   * Second official leg (VERDICT r10 item 2): `SPARK_GRAFT_LAYOUT=
   * bucketed` first writes the events table through
   * [[operators.CorpusWriter.writeEvents]] (user_id-bucketed,
@@ -20,8 +40,63 @@ package graft
   * the per-query timings. Default (driver runs) stays `plain`.
   */
 object Bench {
+
+  /** 1/5/15-minute fields of /proc/loadavg ("-" off-Linux). */
+  def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3)
+      .mkString(" ")
+    catch { case _: Exception => "-" }
+
+  /** Fixed single-thread host-speed control: 4e8 xorshift64 steps.
+    * Pure CPU, no allocation, deterministic work — wall time moves only
+    * with clock speed + steal. The result is folded into a check the
+    * JIT can't constant-prove so the loop can't be dead-code-eliminated.
+    */
+  def calibSpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42L) System.err.println("[bench] calib fixed point")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Same-window DuckDB oracle control: dumps the headline oracle SQL
+    * and runs the dev harness (warm median-of-3 per query, all host
+    * threads — the judge's protocol). Returns the oracle total in
+    * seconds, or -1 when the harness can't run (duckdb is driver-side
+    * tooling; the shipped library carries no python dependency).
+    */
+  def oracleControl(sfDir: String, names: Seq[String]): Double = {
+    val harness = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
+      .map(new java.io.File(_)).find(_.isFile).getOrElse(return -1.0)
+    try {
+      val json = names.flatMap(n => SparkEntry.oracleSql.get(n).map(sql =>
+        "\"" + n + "\":" + "\"" + sql.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", "\\n") + "\""))
+        .mkString("{", ",", "}")
+      val tmp = java.io.File.createTempFile("bench_oracle_", ".json")
+      tmp.deleteOnExit()
+      java.nio.file.Files.write(tmp.toPath,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cmd = Seq("python3", harness.getAbsolutePath, sfDir,
+        tmp.getAbsolutePath) ++ names
+      // DISCARD stderr up front: blocking on stdout while stderr fills
+      // its pipe buffer would deadlock the child.
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() != 0) return -1.0
+      """"total":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Exception => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
     val layout = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "plain")
     val spark = GraftSession.local()
 
@@ -86,8 +161,21 @@ object Bench {
       if (layout == "bucketed")
         s""","layout":"bucketed","layout_write_sec":$layoutWriteSec"""
       else s""","layout":"plain""""
+
+    // Same-window controls (r15 ask #1): oracle leg + calibration spin
+    // AFTER the Spark timings so they sample the identical host window.
+    val oracleTotal = oracleControl(sfDir, SparkEntry.benchNames)
+    val ratio = if (oracleTotal > 0) total / oracleTotal else -1.0
+    val calib = {
+      val s = (1 to 3).map(_ => calibSpin()).sorted
+      s(1)
+    }
+    val control =
+      f""","oracle_total_sec":$oracleTotal%.4f,"ratio":$ratio%.3f""" +
+        f""","calib_sec":$calib%.3f,"loadavg_start":"$loadStart"""" +
+        s""","loadavg_end":"${loadavg()}""""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$layoutInfo}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$layoutInfo$control}""")
     spark.stop()
   }
 }

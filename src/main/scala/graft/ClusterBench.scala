@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** DEV-SIDE distributed-shuffle evidence harness (VERDICT r15 ask #2):
+  * every committed number so far is `local[32]` — process-local
+  * shuffle, one heap, zero serialization. This main runs the SAME gate
+  * queries on a `local-cluster[w,c,mem]` master (real worker JVMs,
+  * serialized shuffle blocks over localhost sockets) so the constants
+  * the 100 TB design arguments lean on — shuffle volume, broadcast
+  * build+ship, the r5 parked runtime-bloom decision — get their first
+  * off-process measurement.
+  *
+  * Protocol per query (the ProfileR14/Bench protocol): warm once
+  * untimed (JIT + codegen + parquet footers + executor class ship),
+  * then `iters` timed full-plan noop writes with a GC fence and a
+  * BLOCKING tracked-cache release between iterations. Additionally
+  * prints a physical plan SIGNATURE (operator-class frequency map,
+  * exchange/broadcast counts) so a local[32] run and a cluster run of
+  * the same binary can be diffed for plan drift — the claim "plans
+  * unchanged, only the execution substrate moved" is checkable from
+  * the two outputs instead of asserted.
+  *
+  * Ends with the q07 runtime-bloom A/B when q07 is among the selected
+  * gates: PERF_NOTES r5 parked the forced bloom as a no-win ON
+  * process-local shuffle ("the first knob to re-measure" off it) —
+  * here the orderkey shuffle actually serializes, so pruning ~94% of
+  * shuffled lineitem rows finally buys network bytes, not just CPU.
+  *
+  * Usage: runMain graft.ClusterBench <sfDir> <iters> <master> [names...]
+  *   master: "local" → local[32]; anything else is passed through
+  *   (e.g. local-cluster[4,8,8192]). Cluster masters need `sbt
+  *   package` first — executors load graft classes from the jar.
+  *   names match gates by substring; default = the headline five +
+  *   q31/q59/q108/q122 (the judge's prescribed distributed set).
+  */
+object ClusterBench {
+
+  val DefaultSet = Seq("q02_pricing_summary", "q03_join_broadcast_dim",
+    "q07_regional_revenue", "q11_window_rank", "q22_sessionize",
+    "q31_lsh_buckets", "q59_near_dup_clusters", "q108_knn_graph",
+    "q122_semantic_dedup")
+
+  /** Operator-class frequency signature of the executed plan, with the
+    * exchange flavors split out (shuffle vs broadcast vs reused) —
+    * the shape that must NOT drift between masters.
+    */
+  def planSignature(df: DataFrame): String = {
+    val counts = scala.collection.mutable.SortedMap[String, Int]()
+    df.queryExecution.executedPlan.foreach { n =>
+      val key = n.getClass.getSimpleName.stripSuffix("Exec")
+      counts(key) = counts.getOrElse(key, 0) + 1
+    }
+    counts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf50")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val master = args.lift(2).getOrElse("local-cluster[4,8,8192]")
+    val wanted = args.drop(3)
+    val spark =
+      if (master == "local") GraftSession.local()
+      else GraftSession.cluster(master)
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (wanted.isEmpty) DefaultSet
+      else SparkEntry.allDefs.map(_.name).filter(n => wanted.exists(n.contains))
+    println(s"[cluster] master=$master dir=$sfDir iters=$iters " +
+      s"load=${Bench.loadavg()} executors=" +
+      spark.sparkContext.statusTracker.getExecutorInfos.length)
+
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (!sys.env.contains("GRAFT_NO_RELEASE"))
+        graft.operators.CacheRegistry.release(blocking = true)
+      t
+    }
+
+    for (n <- names) {
+      println(s"[cluster] plan $n :: " +
+        planSignature(SparkEntry.queries(n)(spark, sfDir)))
+      run(n)
+      System.gc()
+      val ts = (1 to iters).map(_ => run(n))
+      println(f"[cluster] $n%-28s load=${Bench.loadavg()}%-14s best " +
+        f"${ts.min}%8.3f  " + ts.map(t => f"$t%8.3f").mkString(" "))
+    }
+
+    // runtime-bloom re-measure on serialized shuffle (r5 parked knob)
+    if (names.exists(_.startsWith("q07"))) {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "512MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val probe = SparkEntry.queries("q07_regional_revenue")(spark, sfDir)
+      val fires = probe.queryExecution.executedPlan.toString
+        .contains("might_contain")
+      run("q07_regional_revenue")
+      System.gc()
+      val ts = (1 to iters).map(_ => run("q07_regional_revenue"))
+      println(f"[cluster] q07+forced-bloom (fires=$fires) " +
+        f"load=${Bench.loadavg()}%-14s best ${ts.min}%8.3f  " +
+        ts.map(t => f"$t%8.3f").mkString(" "))
+    }
+    spark.stop()
+  }
+}

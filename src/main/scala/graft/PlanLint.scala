@@ -199,8 +199,19 @@ object PlanLint extends PredicateHelper {
     dupGroups.toSeq.flatMap { g =>
       val ts = g.flatMap(factRels).distinct.sorted
       val sig = groupingSig(g.head.groupingExpressions)
+      // Chain match = same grouping signature + the chain's FACT scan
+      // set EQUAL to the dup group's table set (r15 ADVICE: overlap
+      // alone let an unrelated aggregate grouping by the same column
+      // names over a superset/subset of tables count as a second
+      // evaluation chain). Residual heuristic gap, accepted: two
+      // DIFFERENTLY-FILTERED collapses with identical grouping names
+      // over the identical fact-table set still conflate — names and
+      // scan identities are all that survive logical→physical
+      // comparison; canonicalized exprIds don't. The whitelist +
+      // per-gate spec pins bound the blast radius of that residue.
       def matches(n: (Seq[String], SparkPlan)): Boolean =
-        n._1 == sig && scans(n._2).exists(ts.contains)
+        n._1 == sig &&
+          scans(n._2).filter(factTables).distinct.sorted == ts
       val evals = physAggs.count { n =>
         matches(n) &&
           n._2.children.forall(c => !physAggs.exists(m =>

@@ -108,6 +108,22 @@ object ProfileR15 {
             s"$srcCount — the warehouse layout was written from a " +
             "different corpus; rerun ProfileR13 facts for this dir")
         val schema = spark.read.parquet(loc).schema.toDDL
+        // If the table already exists MANAGED in this JVM (a facts
+        // write earlier in the same session), DROP would DELETE the
+        // warehouse data files — destroying the 400+ s layout this
+        // mode exists to reuse, with the value-identity require only
+        // firing after the data is gone (r15 ADVICE). A managed table
+        // is already attached: skip the re-attach entirely.
+        val existing = try Some(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+        catch { case _: Exception => None }
+        if (existing.exists(_.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)) {
+          println(s"[factsreuse] $table already MANAGED in this " +
+            "session — skipping re-attach (dropping would delete the " +
+            "warehouse files)")
+          return
+        }
         spark.sql(s"DROP TABLE IF EXISTS $table")
         spark.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
           s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +

@@ -60,41 +60,70 @@ case class KsDistancePpm(left: Expression, right: Expression)
 
 object KsDistancePpm {
 
-  private def total(h: ArrayData): Long = {
-    var s = 0L
-    var i = 0
+  /** Defensive normalization (r15 ADVICE): the function is registered
+    * as a general session SQL function, so ANY caller-built
+    * `array<struct<bigint,bigint>>` can arrive — including arrays with
+    * null elements or null struct fields, which the raw
+    * `getStruct(i).getLong` merge would NPE on (collect_list-built
+    * gate histograms never contain them, but the SQL surface does not
+    * know that). Copy the (v, c) pairs out once, SKIPPING null
+    * elements and entries with a null v or c — a null entry carries no
+    * observation, so dropping it is the only count-consistent reading.
+    * One small allocation per evaluation, and the function runs once
+    * per type pair, never per row — not a hot path.
+    */
+  private def pairs(h: ArrayData): (Array[Long], Array[Long]) = {
     val n = h.numElements()
-    while (i < n) { s += h.getStruct(i, 2).getLong(1); i += 1 }
-    s
+    val vs = new Array[Long](n)
+    val cs = new Array[Long](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (!h.isNullAt(i)) {
+        val st = h.getStruct(i, 2)
+        if (st != null && !st.isNullAt(0) && !st.isNullAt(1)) {
+          vs(k) = st.getLong(0)
+          cs(k) = st.getLong(1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (k == n) (vs, cs) else (vs.take(k), cs.take(k))
   }
 
   def ppm(a: ArrayData, b: ArrayData): Long = {
-    val na = total(a)
-    val nb = total(b)
+    val (va, ca) = pairs(a)
+    val (vb, cb) = pairs(b)
+    val na = ca.sum
+    val nb = cb.sum
     if (na == 0L || nb == 0L) return 0L
     val ks: BigInt =
-      if (na <= Long.MaxValue / nb) BigInt(mergeLong(a, b, na, nb))
-      else mergeBig(a, b, BigInt(na), BigInt(nb))
+      if (na <= Long.MaxValue / nb) BigInt(mergeLong(va, ca, vb, cb, na, nb))
+      else mergeBig(va, ca, vb, cb, BigInt(na), BigInt(nb))
     (ks * 1000000 / (BigInt(na) * nb)).toLong
   }
 
   /** max |cum_a·n_b − cum_b·n_a| with long arithmetic (n_a·n_b known
     * to fit int64, and every cum ≤ its n bounds each product by it).
     */
-  private def mergeLong(a: ArrayData, b: ArrayData, na: Long,
-      nb: Long): Long = {
-    val la = a.numElements()
-    val lb = b.numElements()
+  private def mergeLong(av: Array[Long], ac: Array[Long], bv: Array[Long],
+      bc: Array[Long], na: Long, nb: Long): Long = {
+    val la = av.length
+    val lb = bv.length
     var i = 0
     var j = 0
     var cuma = 0L
     var cumb = 0L
     var best = 0L
     while (i < la || j < lb) {
-      val va = if (i < la) a.getStruct(i, 2).getLong(0) else Long.MaxValue
-      val vb = if (j < lb) b.getStruct(j, 2).getLong(0) else Long.MaxValue
-      if (va <= vb) { cuma += a.getStruct(i, 2).getLong(1); i += 1 }
-      if (vb <= va) { cumb += b.getStruct(j, 2).getLong(1); j += 1 }
+      // bounds guard on the advance (not just the sentinel): a REAL
+      // value equal to Long.MaxValue ties the exhausted side's
+      // sentinel and would otherwise index past the end
+      val va = if (i < la) av(i) else Long.MaxValue
+      val vb = if (j < lb) bv(j) else Long.MaxValue
+      if (i < la && va <= vb) { cuma += ac(i); i += 1 }
+      if (j < lb && vb <= va) { cumb += bc(j); j += 1 }
       val d = Math.abs(cuma * nb - cumb * na)
       if (d > best) best = d
     }
@@ -102,20 +131,23 @@ object KsDistancePpm {
   }
 
   /** Same merge in BigInt for corpora where n_a·n_b overflows int64. */
-  private def mergeBig(a: ArrayData, b: ArrayData, na: BigInt,
-      nb: BigInt): BigInt = {
-    val la = a.numElements()
-    val lb = b.numElements()
+  private def mergeBig(av: Array[Long], ac: Array[Long], bv: Array[Long],
+      bc: Array[Long], na: BigInt, nb: BigInt): BigInt = {
+    val la = av.length
+    val lb = bv.length
     var i = 0
     var j = 0
     var cuma = 0L
     var cumb = 0L
     var best = BigInt(0)
     while (i < la || j < lb) {
-      val va = if (i < la) a.getStruct(i, 2).getLong(0) else Long.MaxValue
-      val vb = if (j < lb) b.getStruct(j, 2).getLong(0) else Long.MaxValue
-      if (va <= vb) { cuma += a.getStruct(i, 2).getLong(1); i += 1 }
-      if (vb <= va) { cumb += b.getStruct(j, 2).getLong(1); j += 1 }
+      // bounds guard on the advance (not just the sentinel): a REAL
+      // value equal to Long.MaxValue ties the exhausted side's
+      // sentinel and would otherwise index past the end
+      val va = if (i < la) av(i) else Long.MaxValue
+      val vb = if (j < lb) bv(j) else Long.MaxValue
+      if (i < la && va <= vb) { cuma += ac(i); i += 1 }
+      if (j < lb && vb <= va) { cumb += bc(j); j += 1 }
       val d = (BigInt(cuma) * nb - BigInt(cumb) * na).abs
       if (d > best) best = d
     }

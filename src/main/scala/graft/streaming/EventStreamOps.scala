@@ -250,7 +250,7 @@ object EventStreamOps {
     * frozen (folds only hit existing keys), so the index never needs
     * maintenance.
     */
-  private def foldCents(m0: Map[Long, Long], cents: Iterator[Long],
+  private[graft] def foldCents(m0: Map[Long, Long], cents: Iterator[Long],
       cap: Int): Map[Long, Long] = {
     var m = m0
     var idx: scala.collection.immutable.TreeSet[Long] = null
@@ -260,7 +260,12 @@ object EventStreamOps {
         else {
           if (idx == null)
             idx = scala.collection.immutable.TreeSet.from(m.keysIterator)
-          idx.maxBefore(c + 1).getOrElse(idx.head)
+          // rangeTo (inclusive), not maxBefore(c + 1): when c ==
+          // Long.MaxValue (an Infinity value saturating toLong) c+1
+          // wraps negative and maxBefore would rebin to the MINIMUM
+          // key — diverging from the linear-scan spelling this method
+          // claims value-identity with (r15 ADVICE).
+          idx.rangeTo(c).lastOption.getOrElse(idx.head)
         }
       m = m.updated(key, m.getOrElse(key, 0L) + 1L)
     }

@@ -298,6 +298,34 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(KsDistancePpm.ppm(arrayData(small), arrayData(smallB)) == expect)
   }
 
+  test("ks_distance_ppm tolerates null elements and null struct fields " +
+    "(general SQL callers; r15 ADVICE) — nulls drop, values match the " +
+    "null-free reference") {
+    val a = Seq(0L -> 2L, 3L -> 5L)
+    val b = Seq(1L -> 1L, 4L -> 6L)
+    def withJunk(h: Seq[(Long, Long)])
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val rows: Seq[Any] = h.sortBy(_._1).flatMap { case (v, c) =>
+        Seq[Any](null, // null element
+          org.apache.spark.sql.catalyst.InternalRow(null, 7L), // null v
+          org.apache.spark.sql.catalyst.InternalRow(v, c),
+          org.apache.spark.sql.catalyst.InternalRow(v + 1000L, null)) // null c
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+    }
+    assert(KsDistancePpm.ppm(withJunk(a), withJunk(b)) == ksRef(a, b))
+    // all-null histogram folds to empty → 0, not an NPE
+    val allNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](null, org.apache.spark.sql.catalyst.InternalRow(null, null)))
+    assert(KsDistancePpm.ppm(allNull, arrayData(a)) == 0L)
+    // a REAL Long.MaxValue value ties the exhausted side's sentinel —
+    // must not index past the end (merge bounds guard)
+    val maxed = Seq(Long.MaxValue -> 3L)
+    assert(KsDistancePpm.ppm(arrayData(maxed), arrayData(maxed)) == 0L)
+    assert(KsDistancePpm.ppm(arrayData(maxed), arrayData(a)) ==
+      ksRef(maxed, a))
+  }
+
   test("ks_distance_ppm via SQL over a frame matches the reference " +
     "(registration + column plumbing)") {
     val s = spark

@@ -205,6 +205,29 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foldCents capped rebin is the floor key even at Long.MaxValue " +
+    "(wrap-safe; value-identical to the linear-scan spelling)") {
+    // reference spelling: nearest existing key BELOW c, else current min
+    def linearRef(m: Map[Long, Long], c: Long, cap: Int): Long =
+      if (m.contains(c) || m.size < cap) c
+      else m.keys.filter(_ <= c).maxOption.getOrElse(m.keys.min)
+    val full = Map(10L -> 1L, 20L -> 1L, 30L -> 1L) // cap 3 = bound
+    for (c <- Seq(5L, 10L, 15L, 29L, 31L, Long.MaxValue - 1, Long.MaxValue)) {
+      val key = linearRef(full, c, 3)
+      val folded = EventStreamOps.foldCents(full, Iterator(c), 3)
+      assert(folded(key) == full.getOrElse(key, 0L) + 1L,
+        s"c=$c expected rebin to $key, got $folded")
+      assert(folded.values.sum == full.values.sum + 1L, s"c=$c lost a count")
+    }
+    // the r15 ADVICE divergence: c == Long.MaxValue (Infinity saturating
+    // toLong) must rebin to the LARGEST key, not wrap to the minimum
+    assert(EventStreamOps.foldCents(full, Iterator(Long.MaxValue), 3)
+      .apply(30L) == 2L)
+    // below-cap and existing-key arrivals never rebin
+    assert(EventStreamOps.foldCents(Map(1L -> 1L), Iterator(9L), 3) ==
+      Map(1L -> 1L, 9L -> 1L))
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
