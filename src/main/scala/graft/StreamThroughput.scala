@@ -58,6 +58,27 @@ object StreamThroughput {
         .getOrElse(0L)
     }.getOrElse(0L)
 
+  /** Bytes-level state-size signal (VERDICT r15 ask #7): when BOTH
+    * progress metrics read 0 for flatMapGroupsWithState in this build,
+    * sample the store directly through the state data source
+    * (`spark.read.format("statestore")` over the checkpoint) and
+    * [[org.apache.spark.util.SizeEstimator]] the materialized rows —
+    * an in-memory-object estimate of the latest committed version,
+    * labeled `~` in the tables. Sampled OUTSIDE the timed region, so
+    * the wall/eps numbers are untouched. -1 when the source can't read
+    * the store (e.g. no commit yet).
+    */
+  private def stateBytesSampled(spark: org.apache.spark.sql.SparkSession,
+      st: Option[org.apache.spark.sql.streaming.StateOperatorProgress],
+      ckDir: String): Long = {
+    val fromProgress = stateBytes(st)
+    if (fromProgress > 0) fromProgress
+    else try {
+      val rows = spark.read.format("statestore").load(ckDir).collect()
+      org.apache.spark.util.SizeEstimator.estimate(rows)
+    } catch { case _: Exception => -1L }
+  }
+
   def semanticDedupLeg(args: Array[String]): Unit = {
     val sfDir = args.lift(1).getOrElse("/tmp/sf200")
     val batchSize = args.lift(2).map(_.toInt).getOrElse(20000)
@@ -89,13 +110,13 @@ object StreamThroughput {
     for (cap <- caps) {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[CorpusStreamOps.VecIn]
+      val ck = Files.createTempDirectory("semdedup-ck").toString
       val q = CorpusStreamOps
         .semanticDedupCandidates(mem.toDS(), cents, threshold = threshold,
           maxCluster = cap)
         .writeStream.format("noop")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation",
-          Files.createTempDirectory("semdedup-ck").toString)
+        .option("checkpointLocation", ck)
         .start()
       try {
         var totalRows = 0L
@@ -118,7 +139,7 @@ object StreamThroughput {
             f"n=${batch.length}%6d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%8.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%5d " +
-            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
+            f"stateMB~=${stateBytesSampled(spark, st, ck) / 1e6}%7.1f " +
             f"flags=${p.sink.numOutputRows}%7d")
         }
         println(f"[semdedup-stream] cap=$cap%-5d TOTAL n=$totalRows " +
@@ -157,11 +178,11 @@ object StreamThroughput {
     for (cap <- caps) {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[CorpusStreamOps.DocIn]
+      val ck = Files.createTempDirectory("chunkdedup-ck").toString
       val q = CorpusStreamOps.chunkDupFlags(mem.toDS(), maxBucket = cap)
         .writeStream.format("noop")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation",
-          Files.createTempDirectory("chunkdedup-ck").toString)
+        .option("checkpointLocation", ck)
         .start()
       try {
         var totalRows = 0L
@@ -183,7 +204,7 @@ object StreamThroughput {
             f"n=${batch.length}%6d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%8.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%6d " +
-            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
+            f"stateMB~=${stateBytesSampled(spark, st, ck) / 1e6}%7.1f " +
             f"flags=${p.sink.numOutputRows}%8d")
         }
         println(f"[chunkdedup-stream] cap=$cap%-4d TOTAL n=$totalRows " +
@@ -224,12 +245,12 @@ object StreamThroughput {
     for (cap <- caps) {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[EventStreamOps.VEv]
+      val ck = Files.createTempDirectory("ksdrift-ck").toString
       val q = EventStreamOps.ksHistUpdates(mem.toDS(),
           maxDistinctPerType = cap)
         .writeStream.format("noop")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation",
-          Files.createTempDirectory("ksdrift-ck").toString)
+        .option("checkpointLocation", ck)
         .start()
       try {
         var totalRows = 0L
@@ -246,7 +267,7 @@ object StreamThroughput {
             f"n=${batch.length}%7d wall=$sec%6.2fs " +
             f"eps=${batch.length / sec}%9.0f " +
             f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%4d " +
-            f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
+            f"stateMB~=${stateBytesSampled(spark, st, ck) / 1e6}%7.1f " +
             f"out=${p.sink.numOutputRows}%4d")
         }
         println(f"[ksdrift-stream] cap=$cap%-8d TOTAL n=$totalRows " +
@@ -283,12 +304,12 @@ object StreamThroughput {
       .as[EventStreamOps.Ev].collect()
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[EventStreamOps.Ev]
+    val ck = Files.createTempDirectory("rollingactive-ck").toString
     val q = EventStreamOps.rollingActiveDeltas(mem.toDS(),
         windowDays = windowDays)
       .writeStream.format("noop")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .option("checkpointLocation",
-        Files.createTempDirectory("rollingactive-ck").toString)
+      .option("checkpointLocation", ck)
       .start()
     try {
       var totalRows = 0L
@@ -305,7 +326,7 @@ object StreamThroughput {
           f"n=${batch.length}%7d wall=$sec%6.2fs " +
           f"eps=${batch.length / sec}%9.0f " +
           f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
-          f"stateMB=${stateBytes(st) / 1e6}%7.1f " +
+          f"stateMB~=${stateBytesSampled(spark, st, ck) / 1e6}%7.1f " +
           f"out=${p.sink.numOutputRows}%7d")
       }
       println(f"[rollact-stream] w=$windowDays%-2d TOTAL n=$totalRows " +

@@ -5164,7 +5164,13 @@ object DataPipeline {
     //     means; see Similarity.centroidShift for the scale shape.
     QueryDef(
       "q179_centroid_shift",
-      (s, dir) => Similarity.centroidShift(Tables(s, dir, "embeddings")),
+      // resolves the quantized projection when one is deployed
+      // (CorpusWriter.writeEmbQuantProjection): the stored `qv` is the
+      // same micro grid this operator derives per query — identical
+      // values, no per-row float→int transform. Absent it, plain files.
+      (s, dir) => Similarity.centroidShift(
+        graft.operators.CorpusWriter.embQuantProjection(s, dir)
+          .getOrElse(Tables(s, dir, "embeddings"))),
       Some("""WITH qd AS (
              |  SELECT label,
              |         unnest(range(len(embedding))) AS dim,
@@ -5203,7 +5209,14 @@ object DataPipeline {
     //     integer tenth-of-unit-norm² bands — see Similarity.normBands.
     QueryDef(
       "q182_norm_bands",
-      (s, dir) => Similarity.normBands(Tables(s, dir, "embeddings")),
+      // resolves the quantized projection when one is deployed: its
+      // stored `n2q` (the identical pico self-dot) turns this gate's
+      // per-row read from the ~260-byte float array into 8 bytes — the
+      // ENGINE-FLOOR LEDGER named the bare array<float> scan as q182's
+      // floor, and the projection deletes it. Absent it, plain files.
+      (s, dir) => Similarity.normBands(
+        graft.operators.CorpusWriter.embQuantProjection(s, dir)
+          .getOrElse(Tables(s, dir, "embeddings"))),
       Some("""WITH n2 AS (
              |  SELECT label,
              |         list_sum(list_transform(embedding, x ->
@@ -5464,7 +5477,11 @@ object DataPipeline {
       // corpus size (r13 ADVICE). The adaptive arm is oracle-verified
       // end-to-end by q200_cosine_band_adaptive (below), whose oracle
       // computes the mods from COUNT(*) with cosineBandPlan's formula.
-      (s, dir) => Similarity.cosineBandCensus(Tables(s, dir, "embeddings"),
+      // resolves the quantized projection when one is deployed (the
+      // census quantizes to the same micro grid the projection stores).
+      (s, dir) => Similarity.cosineBandCensus(
+        graft.operators.CorpusWriter.embQuantProjection(s, dir)
+          .getOrElse(Tables(s, dir, "embeddings")),
         7, 11),
       Some("""WITH q AS (
              |  SELECT vec_id,

@@ -1079,6 +1079,62 @@ class DataPipelineSpec extends SparkSpec {
       CorpusWriter.DefaultLineitemByPartTable)
   }
 
+  test("writeEmbQuantProjection: the quantized embeddings projection " +
+    "substitutes into q179/q182/q199 with identical values, is " +
+    "source-gated, and q182's scan narrows to (label, n2q)") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    import graft.operators.CorpusWriter
+    graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultEmbQuantTable)
+    val gates = Seq("q179_centroid_shift", "q182_norm_bands",
+      "q199_cosine_band_census")
+    val plainRows = gates.map(n =>
+      n -> graft.SparkEntry.queries(n)(s, dir).collect().toSeq).toMap
+    try {
+      assert(CorpusWriter.writeEmbQuantProjection(
+        s.read.parquet(s"$dir/embeddings.parquet"), buckets = 4,
+        sourceDir = Some(dir)))
+      assert(CorpusWriter.embQuantProjection(s, dir).isDefined)
+      // a DIFFERENT source dir must not resolve the projection
+      assert(CorpusWriter.embQuantProjection(s,
+        "/root/testdata/sf0.01").isEmpty)
+      // value identity on every consumer gate: the stored integer
+      // forms are the exact grids the float path derives per query
+      for (n <- gates) {
+        val proj = graft.SparkEntry.queries(n)(s, dir)
+        assert(proj.queryExecution.analyzed.toString
+          .contains(CorpusWriter.DefaultEmbQuantTable),
+          s"$n did not resolve the projection")
+        assert(proj.collect().toSeq == plainRows(n), s"$n values drifted")
+      }
+      // the q182 win mechanism: its scan reads 8-byte n2q + label, not
+      // the float array — visible as the projection scan's ReadSchema
+      val q182 = graft.SparkEntry.queries("q182_norm_bands")(s, dir)
+      val scan = q182.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      // (the table NAME contains "embeddings" — test the schema type)
+      assert(scan.contains("n2q") && !scan.contains("array<float>"),
+        s"q182 projection scan still reads the float array:\n$scan")
+      // int32 narrowing is lossless where written: stored qv re-widened
+      // equals the float-derived bigint grid on every row
+      val mism = s.table(CorpusWriter.DefaultEmbQuantTable)
+        .select(col("vec_id"), col("qv").cast("array<bigint>").as("pqv"),
+          col("n2q").as("pn2q"))
+        .join(s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS double)" +
+              " * 1000000 + 0.5) AS bigint))").as("fqv"),
+            graft.operators.Similarity.dotQ(col("embedding"),
+              col("embedding")).as("fn2q")), "vec_id")
+        .where(col("pqv") =!= col("fqv") || col("pn2q") =!= col("fn2q"))
+        .count()
+      assert(mism == 0L, s"$mism rows drifted between stored and derived")
+    } finally graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultEmbQuantTable)
+  }
+
   test("sessionize over user_id-bucketed events plans with zero Exchange") {
     val s = spark
     import s.implicits._
