@@ -38,20 +38,48 @@ object ClusterBench {
 
   val DefaultSet = Seq("q02_pricing_summary", "q03_join_broadcast_dim",
     "q07_regional_revenue", "q11_window_rank", "q22_sessionize",
-    "q31_lsh_buckets", "q59_near_dup_clusters", "q108_knn_graph",
-    "q122_semantic_dedup")
+    "q31_lsh_buckets", "q59_near_dup_clusters", "q108prod_knn_graph",
+    "q122prod_semantic_dedup")
 
-  /** Operator-class frequency signature of the executed plan, with the
-    * exchange flavors split out (shuffle vs broadcast vs reused) —
-    * the shape that must NOT drift between masters.
+  /** The q108/q122 GATE forms pin k=8 to replay the oracle's quantizer
+    * — which makes their Σ|block|² candidate set corpus-quadratic past
+    * gate SFs BY DESIGN (measured: gate-form q108 at the 50× replica
+    * transiently filled >60 GB of shuffle spill before dying). The
+    * distributed evidence therefore runs the PRODUCTION arms — the
+    * k=0 default that derives k ≈ √(N/2), the documented scale-correct
+    * blocking — which compute the same operator shape with a bounded
+    * per-block working set.
     */
-  def planSignature(df: DataFrame): String = {
-    val counts = scala.collection.mutable.SortedMap[String, Int]()
-    df.queryExecution.executedPlan.foreach { n =>
-      val key = n.getClass.getSimpleName.stripSuffix("Exec")
-      counts(key) = counts.getOrElse(key, 0) + 1
-    }
-    counts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+  val ProdArms: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q108prod_knn_graph" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(Tables(s, dir, "embeddings"))),
+    "q122prod_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedup(Tables(s, dir, "embeddings"))))
+
+  def query(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    ProdArms.getOrElse(name, SparkEntry.queries(name))
+
+  /** Operator-class frequency signature of the physical plan, with the
+    * exchange flavors split out (shuffle vs broadcast vs reused) —
+    * the shape that must NOT drift between masters. AQE's wrapper node
+    * hides the tree from a plain foreach (the executed plan is ONE
+    * AdaptiveSparkPlan node until run — found when the first dumps all
+    * read "AdaptiveSparkPlan=1"), so the signature is taken from the
+    * STATIC plan built with AQE off, the Plans-dump convention; the
+    * timed runs keep AQE on.
+    */
+  def planSignature(build: => DataFrame,
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val counts = scala.collection.mutable.SortedMap[String, Int]()
+      build.queryExecution.executedPlan.foreach { n =>
+        val key = n.getClass.getSimpleName.stripSuffix("Exec")
+        counts(key) = counts.getOrElse(key, 0) + 1
+      }
+      counts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,14 +93,15 @@ object ClusterBench {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (wanted.isEmpty) DefaultSet
-      else SparkEntry.allDefs.map(_.name).filter(n => wanted.exists(n.contains))
+      else (SparkEntry.allDefs.map(_.name) ++ ProdArms.keys)
+        .filter(n => wanted.exists(n.contains))
     println(s"[cluster] master=$master dir=$sfDir iters=$iters " +
       s"load=${Bench.loadavg()} executors=" +
       spark.sparkContext.statusTracker.getExecutorInfos.length)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      query(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       val t = (System.nanoTime() - t0) / 1e9
       if (!sys.env.contains("GRAFT_NO_RELEASE"))
@@ -82,16 +111,18 @@ object ClusterBench {
 
     for (n <- names) {
       println(s"[cluster] plan $n :: " +
-        planSignature(SparkEntry.queries(n)(spark, sfDir)))
-      run(n)
-      System.gc()
-      val ts = (1 to iters).map(_ => run(n))
-      println(f"[cluster] $n%-28s load=${Bench.loadavg()}%-14s best " +
-        f"${ts.min}%8.3f  " + ts.map(t => f"$t%8.3f").mkString(" "))
+        planSignature(query(n)(spark, sfDir), spark))
+      if (iters > 0) {
+        run(n)
+        System.gc()
+        val ts = (1 to iters).map(_ => run(n))
+        println(f"[cluster] $n%-28s load=${Bench.loadavg()}%-14s best " +
+          f"${ts.min}%8.3f  " + ts.map(t => f"$t%8.3f").mkString(" "))
+      }
     }
 
     // runtime-bloom re-measure on serialized shuffle (r5 parked knob)
-    if (names.exists(_.startsWith("q07"))) {
+    if (iters > 0 && names.exists(_.startsWith("q07"))) {
       spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         "512MB")

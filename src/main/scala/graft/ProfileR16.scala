@@ -42,6 +42,63 @@ object ProfileR16 {
         sourceDir = Some(sfDir))
       println(f"[r16] embquant write ok=$ok ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
+    // `libucket`: write ONLY the orderkey-bucketed lineitem half of the
+    // fact pair (for replicas that carry no orders table — the q02
+    // 800× pin needs just the lineitem layout; q02 never reads orders).
+    if (wanted.headOption.contains("libucket")) {
+      wanted = wanted.drop(1)
+      BucketRehearsal.dropBucketTable(spark, wh,
+        CorpusWriter.DefaultLineitemTable)
+      val t0 = System.nanoTime()
+      CorpusWriter.writeBucketedSource(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        CorpusWriter.DefaultLineitemTable, "l_orderkey",
+        Seq("l_orderkey"), 128, Some(sfDir), "lineitem.parquet")
+      println(f"[r16] libucket write ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    // `lireuse`: re-attach a lineitem bucketed layout written by a
+    // PREVIOUS JVM (external bucketed DDL + fingerprint re-tag — the
+    // ProfileR15 factsreuse pattern, lineitem-only) so the gate leg
+    // runs in a CLEAN load window instead of the write's
+    // page-cache/loadavg wake (the r15 "write-wake confound": the
+    // first 800× q02 sample ran at loadavg 27–31 right after a 253 s
+    // bucketed write and read 3× its clean-window wall). Same guards:
+    // row-count provenance vs the claimed source, MANAGED-table skip,
+    // and q02 value identity vs the plain files before timing.
+    if (wanted.headOption.contains("lireuse")) {
+      wanted = wanted.drop(1)
+      val table = CorpusWriter.DefaultLineitemTable
+      val loc = s"$wh/$table"
+      val plainRef = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
+        .collect().map(_.toString).sorted.mkString("\n").hashCode
+      val existing = try Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      catch { case _: Exception => None }
+      if (existing.exists(_.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)) {
+        println(s"[r16] $table already MANAGED — skipping re-attach")
+      } else {
+        val whCount = spark.read.parquet(loc).count()
+        val srcCount = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        require(whCount == srcCount,
+          s"$table holds $whCount rows but $sfDir has $srcCount — " +
+            "layout written from a different corpus")
+        val schema = spark.read.parquet(loc).schema.toDDL
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
+          "CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) " +
+          s"INTO 128 BUCKETS LOCATION 'file:$loc'")
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('${CorpusWriter.EventsSourceProp}' = '$sfDir', " +
+          s"'${CorpusWriter.EventsFingerprintProp}' = " +
+          s"'${CorpusWriter.sourceFingerprint(spark, sfDir, "lineitem.parquet")}')")
+        val reHash = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
+          .collect().map(_.toString).sorted.mkString("\n").hashCode
+        require(reHash == plainRef,
+          "re-attached lineitem layout changed q02's answer")
+        println("[r16] lireuse: re-attached; q02 value identity OK")
+      }
+    }
     val names = SparkEntry.allDefs.map(_.name)
       .filter(n => wanted.exists(n.contains))
     println(s"[r16] dir=$sfDir iters=$iters load=${ProfileR14.loadavg()} " +

@@ -58,25 +58,34 @@ object StreamThroughput {
         .getOrElse(0L)
     }.getOrElse(0L)
 
-  /** Bytes-level state-size signal (VERDICT r15 ask #7): when BOTH
-    * progress metrics read 0 for flatMapGroupsWithState in this build,
-    * sample the store directly through the state data source
+  /** Bytes-level state-size signal (VERDICT r15 ask #7): sample the
+    * store directly through the state data source
     * (`spark.read.format("statestore")` over the checkpoint) and
     * [[org.apache.spark.util.SizeEstimator]] the materialized rows —
     * an in-memory-object estimate of the latest committed version,
-    * labeled `~` in the tables. Sampled OUTSIDE the timed region, so
-    * the wall/eps numbers are untouched. -1 when the source can't read
-    * the store (e.g. no commit yet).
+    * labeled `~` in the tables. The progress metrics are NOT the
+    * primary signal: for flatMapGroupsWithState in this build they
+    * either read 0 (r15) or only the loaded-map overhead (measured
+    * 1536 B while the 5 capped histograms actually hold ~10⁴ map
+    * entries each), so they are the fallback when the source can't
+    * read the store (e.g. no commit yet). Sampled OUTSIDE the timed
+    * region, so the wall/eps numbers are untouched.
     */
   private def stateBytesSampled(spark: org.apache.spark.sql.SparkSession,
       st: Option[org.apache.spark.sql.streaming.StateOperatorProgress],
       ckDir: String): Long = {
-    val fromProgress = stateBytes(st)
-    if (fromProgress > 0) fromProgress
-    else try {
+    try {
       val rows = spark.read.format("statestore").load(ckDir).collect()
-      org.apache.spark.util.SizeEstimator.estimate(rows)
-    } catch { case _: Exception => -1L }
+      val est = org.apache.spark.util.SizeEstimator.estimate(rows)
+      if (sys.env.contains("GRAFT_STATE_DEBUG"))
+        println(s"[state-debug] sampled rows=${rows.length} est=$est")
+      est
+    } catch { case e: Exception =>
+      if (sys.env.contains("GRAFT_STATE_DEBUG"))
+        println(s"[state-debug] statestore read failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      stateBytes(st)
+    }
   }
 
   def semanticDedupLeg(args: Array[String]): Unit = {
