@@ -27,6 +27,15 @@ object PlanDumpR16 {
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
         sourceDir = Some(sfDir))
     }
+    if (wanted.headOption.contains("docdigest")) {
+      wanted = wanted.drop(1)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      BucketRehearsal.dropBucketTable(spark, wh,
+        graft.operators.CorpusWriter.DefaultDocDigestTable)
+      graft.operators.CorpusWriter.writeDocDigestProjection(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        sourceDir = Some(sfDir))
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val names = SparkEntry.allDefs.map(_.name)
       .filter(n => wanted.exists(n.contains))

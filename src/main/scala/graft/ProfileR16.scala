@@ -42,6 +42,22 @@ object ProfileR16 {
         sourceDir = Some(sfDir))
       println(f"[r16] embquant write ok=$ok ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
+    if (wanted.headOption.contains("dropdocdigest")) {
+      wanted = wanted.drop(1)
+      BucketRehearsal.dropBucketTable(spark, wh,
+        CorpusWriter.DefaultDocDigestTable)
+      println("[r16] dropped documents digest projection")
+    }
+    if (wanted.headOption.contains("docdigest")) {
+      wanted = wanted.drop(1)
+      BucketRehearsal.dropBucketTable(spark, wh,
+        CorpusWriter.DefaultDocDigestTable)
+      val t0 = System.nanoTime()
+      CorpusWriter.writeDocDigestProjection(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        sourceDir = Some(sfDir))
+      println(f"[r16] docdigest write ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
     // `libucket`: write ONLY the orderkey-bucketed lineitem half of the
     // fact pair (for replicas that carry no orders table — the q02
     // 800× pin needs just the lineitem layout; q02 never reads orders).

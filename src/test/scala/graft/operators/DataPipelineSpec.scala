@@ -1135,6 +1135,51 @@ class DataPipelineSpec extends SparkSpec {
       CorpusWriter.DefaultEmbQuantTable)
   }
 
+  test("writeDocDigestProjection: the documents digest projection " +
+    "substitutes into q162/q184 with identical values, is source-gated," +
+    " and the gates' scans drop the text column") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    import graft.operators.CorpusWriter
+    graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultDocDigestTable)
+    val gates = Seq("q162_dup_spread_census", "q184_cross_source_matrix")
+    val plainRows = gates.map(n =>
+      n -> graft.SparkEntry.queries(n)(s, dir).collect().toSeq).toMap
+    try {
+      CorpusWriter.writeDocDigestProjection(
+        s.read.parquet(s"$dir/documents.parquet"), buckets = 4,
+        sourceDir = Some(dir))
+      assert(CorpusWriter.docDigestProjection(s, dir).isDefined)
+      assert(CorpusWriter.docDigestProjection(s,
+        "/root/testdata/sf0.01").isEmpty)
+      for (n <- gates) {
+        val proj = graft.SparkEntry.queries(n)(s, dir)
+        assert(proj.queryExecution.analyzed.toString
+          .contains(CorpusWriter.DefaultDocDigestTable),
+          s"$n did not resolve the projection")
+        assert(proj.collect().toSeq == plainRows(n), s"$n values drifted")
+        // the win mechanism: no scan in the projection plan reads the
+        // corpus text bytes
+        val scans = proj.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")
+        assert(!scans.contains("text:string"),
+          s"$n projection plan still scans the text column:\n$scans")
+      }
+      // stored digest equals the text-derived digest on every row
+      val mism = s.table(CorpusWriter.DefaultDocDigestTable)
+        .select(col("doc_id"), col("h").as("ph"))
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("fh")),
+          "doc_id")
+        .where(col("ph") =!= col("fh"))
+        .count()
+      assert(mism == 0L, s"$mism rows drifted between stored and derived")
+    } finally graft.BucketRehearsal.dropBucketTable(s, wh,
+      CorpusWriter.DefaultDocDigestTable)
+  }
+
   test("sessionize over user_id-bucketed events plans with zero Exchange") {
     val s = spark
     import s.implicits._
