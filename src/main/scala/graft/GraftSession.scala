@@ -51,6 +51,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", executorMem)
       .config("spark.jars", jar)
+      // deployment-shaped knob, parameterized (guide §2.3): shuffle
+      // codec matters once shuffle blocks serialize over a wire —
+      // zstd trades CPU for bytes. Local-mode sessions keep the lz4
+      // default untouched (process-local shuffle pays the CPU without
+      // the byte saving), so the driver's bench stays comparable;
+      // cluster legs opt in via SPARK_GRAFT_IO_CODEC for the A/B.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .withExtensions(new graft.plans.GraftExtensions)
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
