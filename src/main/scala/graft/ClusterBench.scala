@@ -91,10 +91,16 @@ object ClusterBench {
       if (master == "local") GraftSession.local()
       else GraftSession.cluster(master)
     spark.sparkContext.setLogLevel("ERROR")
+    // exact-name tokens select exactly that gate (r16 ADVICE: the bare
+    // substring filter made a 'q108_knn_graph' request ALSO select the
+    // gate form's quadratic sibling and vice versa — and a gate-form
+    // q108/q122 at replica scale fills >60 GB of shuffle spill);
+    // non-matching tokens still work as substrings.
+    val all = SparkEntry.allDefs.map(_.name) ++ ProdArms.keys
     val names =
       if (wanted.isEmpty) DefaultSet
-      else (SparkEntry.allDefs.map(_.name) ++ ProdArms.keys)
-        .filter(n => wanted.exists(n.contains))
+      else all.filter(n => wanted.exists(w =>
+        if (all.contains(w)) n == w else n.contains(w)))
     println(s"[cluster] master=$master dir=$sfDir iters=$iters " +
       s"load=${Bench.loadavg()} executors=" +
       spark.sparkContext.statusTracker.getExecutorInfos.length)
@@ -119,6 +125,32 @@ object ClusterBench {
         println(f"[cluster] $n%-28s load=${Bench.loadavg()}%-14s best " +
           f"${ts.min}%8.3f  " + ts.map(t => f"$t%8.3f").mkString(" "))
       }
+    }
+
+    // q03 dim-attach A/B (VERDICT r16 ask #6): the cluster leg showed
+    // +131% on q03 — the `part` broadcast is BUILT on the driver and
+    // SHIPPED to every worker each run, where local[32] pays ~nothing.
+    // The alternative keyed attach: perKey is already hash-partitioned
+    // by l_partkey from its own aggregate, so forcing the part join
+    // off broadcast costs ONE exchange of the 2-column part projection
+    // (a single traversal of the wire) instead of worker-count ships.
+    if (iters > 0 && names.exists(_.startsWith("q03"))) {
+      val savedThresh =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val savedPrefer =
+        spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      println(s"[cluster] plan q03+shuffle-dim :: " + planSignature(
+        SparkEntry.queries("q03_join_broadcast_dim")(spark, sfDir), spark))
+      run("q03_join_broadcast_dim")
+      System.gc()
+      val ts = (1 to iters).map(_ => run("q03_join_broadcast_dim"))
+      println(f"[cluster] q03+shuffle-dim            " +
+        f"load=${Bench.loadavg()}%-14s best ${ts.min}%8.3f  " +
+        ts.map(t => f"$t%8.3f").mkString(" "))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", savedPrefer)
     }
 
     // runtime-bloom re-measure on serialized shuffle (r5 parked knob)

@@ -85,8 +85,11 @@ object ProfileR16 {
       wanted = wanted.drop(1)
       val table = CorpusWriter.DefaultLineitemTable
       val loc = s"$wh/$table"
+      // full sorted row strings, not a 32-bit hashCode (r16 ADVICE:
+      // a collision would pass a changed answer through a correctness
+      // require) — q02's output is 6 rows, the compare is free
       val plainRef = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
-        .collect().map(_.toString).sorted.mkString("\n").hashCode
+        .collect().map(_.toString).sorted.mkString("\n")
       val existing = try Some(spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
       catch { case _: Exception => None }
@@ -109,7 +112,7 @@ object ProfileR16 {
           s"'${CorpusWriter.EventsFingerprintProp}' = " +
           s"'${CorpusWriter.sourceFingerprint(spark, sfDir, "lineitem.parquet")}')")
         val reHash = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
-          .collect().map(_.toString).sorted.mkString("\n").hashCode
+          .collect().map(_.toString).sorted.mkString("\n")
         require(reHash == plainRef,
           "re-attached lineitem layout changed q02's answer")
         println("[r16] lireuse: re-attached; q02 value identity OK")

@@ -75,10 +75,16 @@ object StreamThroughput {
       st: Option[org.apache.spark.sql.streaming.StateOperatorProgress],
       ckDir: String): Long = {
     try {
-      val rows = spark.read.format("statestore").load(ckDir).collect()
-      val est = org.apache.spark.util.SizeEstimator.estimate(rows)
+      // estimate per partition on the executors and ship only one long
+      // each (r16 ADVICE: collecting the whole store to the driver can
+      // GC-stall the harness JVM at large caps, bleeding into the NEXT
+      // batch's timed wall)
+      val est = spark.read.format("statestore").load(ckDir).rdd
+        .mapPartitions(it => Iterator.single(
+          it.map(org.apache.spark.util.SizeEstimator.estimate(_)).sum))
+        .collect().sum
       if (sys.env.contains("GRAFT_STATE_DEBUG"))
-        println(s"[state-debug] sampled rows=${rows.length} est=$est")
+        println(s"[state-debug] sampled est=$est")
       est
     } catch { case e: Exception =>
       if (sys.env.contains("GRAFT_STATE_DEBUG"))

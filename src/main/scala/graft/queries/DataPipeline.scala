@@ -4876,7 +4876,12 @@ object DataPipeline {
              |       CAST(SUM(size - max_c) AS BIGINT) AS cross_source_docs,
              |       CAST(SUM(size - max_c) AS BIGINT) * 1000000
              |         // CAST(SUM(size) AS BIGINT) AS spill_ppm
-             |FROM cl GROUP BY 1, 2 ORDER BY size, n_sources""".stripMargin)),
+             |FROM cl GROUP BY 1, 2 ORDER BY size, n_sources""".stripMargin),
+      // headline since r17 (VERDICT r16 ask #3): the digest-projection
+      // gate the repo's biggest r16 win lives on — in benchNames so the
+      // driver's own artifact tracks it round-over-round (plain leg =
+      // oracle-comparable control, bucketed leg shows the projection)
+      headline = true),
 
     // --- Per-source unigram drift vs the corpus mixture: exact
     //     total-variation distance in ppm (log-free by design — TV is
@@ -5235,7 +5240,10 @@ object DataPipeline {
              |       CAST(n2q // 100000000000 AS BIGINT) AS band,
              |       CAST(COUNT(*) AS BIGINT) AS n
              |FROM n2 GROUP BY 1, 2
-             |ORDER BY label, band""".stripMargin)),
+             |ORDER BY label, band""".stripMargin),
+      // headline since r17 (VERDICT r16 ask #3): same rationale as
+      // q162 — the quantized-projection gate, now driver-tracked
+      headline = true),
 
     // --- Exact nearest-rank value-percentile bands per event type
     //     (p50/p90/p99 in cents + extremes) — the q178 rank arithmetic

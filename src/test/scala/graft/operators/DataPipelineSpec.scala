@@ -399,6 +399,61 @@ class DataPipelineSpec extends SparkSpec {
     assert(r2.getAs[String]("flag") == "ok")
   }
 
+  test("nearDupClusters: collapsed form equals the direct pair-graph CC " +
+      "on a dup-rich corpus") {
+    // exercises every collapse case: a 3-member exact group whose rep
+    // near-dups a second group, a dup group of short (<3-token) texts
+    // that must stay excluded, an unpaired multi-member exact group
+    // (within-group clique only), and singletons
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      4L -> "the quick brown fox jumps over the lazy dog again today",
+      9L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      7L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "completely different words entirely unrelated content here now",
+      5L -> "too short",
+      6L -> "too short",
+      8L -> "isolated exact pair of documents sharing all their words",
+      10L -> "isolated exact pair of documents sharing all their words")
+    // the pre-r17 direct form: CC over the full verified pair graph
+    val direct = Dedup.connectedComponents(
+      Dedup.nearDupPairs(d).select(col("a"), col("b")))
+      .orderBy("doc_id").collect().toSeq
+    val collapsed = Dedup.nearDupClusters(d).collect().toSeq
+    assert(collapsed == direct)
+    // and the expected shape: {1,4,9,2,7} min-labeled 1, {8,10} at 8;
+    // short-text dups and the singleton are absent
+    val m = collapsed.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet == Set(1L, 2L, 4L, 7L, 9L, 8L, 10L))
+    assert(Seq(1L, 2L, 4L, 7L, 9L).forall(m(_) == (1L, 5L)))
+    assert(m(8L) == (8L, 2L) && m(10L) == (8L, 2L))
+  }
+
+  test("lshBuckets: collapsed form equals the direct minhash rollup " +
+      "on a dup-rich corpus") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      4L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      5L -> "too short",
+      6L -> "too short",
+      3L -> "completely different words entirely unrelated content here now")
+    val direct = Dedup.minhash(d)
+      .groupBy(col("band"), col("minhash"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("docs"))
+      .where(col("n_docs") > 1)
+      .orderBy("band", "minhash").collect().toSeq
+    val collapsed = Dedup.lshBuckets(d)
+      .orderBy("band", "minhash").collect().toSeq
+    assert(collapsed == direct)
+    // exact dups 1/4 share every bucket; short-text dups appear in none
+    assert(direct.nonEmpty)
+    assert(direct.forall(r => !r.getString(3).split(",").contains("5")))
+  }
+
   test("connectedComponents labels transitive chains by component min") {
     val s = spark
     import s.implicits._
